@@ -1,0 +1,113 @@
+"""Checkpointed, resumable extraction runs (north rule: per-partition lineage).
+
+Partition unit = a deterministic chunk of the input's parquet fragment files
+(one output directory per input shard, per the resumable-output pattern).
+Each partition is processed as its own Ray Data pipeline, written atomically
+(tmp dir → rename) together with a ``_manifest/part-{i}.json`` recording the
+input fingerprint, row count and basic metrics. A killed run restarted with
+the same arguments skips every partition whose manifest is present and whose
+input fingerprint still matches — no re-extraction of completed work.
+
+The reference has no checkpoint/resume at all (SURVEY.md §4); this is the
+engine-side addition the 100 TB target requires.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import List, Optional
+
+import ray.data
+
+from pdftext_ray.kernel.document import ExtractConfig
+from pdftext_ray.pipelines import extract as P
+
+
+def _input_files(input_path: str) -> List[str]:
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    return files
+
+
+def _fingerprint(files: List[str]) -> dict:
+    return {os.path.basename(f): os.path.getsize(f) for f in files}
+
+
+def run_checkpointed(
+    input_path: str,
+    output_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    num_partitions: int = 8,
+    skew_aware: bool = True,
+) -> dict:
+    """Run (or resume) a full extraction over ``input_path``.
+
+    Returns {"partitions": n, "processed": k, "skipped": m, "rows": total}.
+    """
+    cfg = cfg or ExtractConfig()
+    files = _input_files(input_path)
+    num_partitions = min(num_partitions, len(files))
+    chunks = [files[i::num_partitions] for i in range(num_partitions)]
+
+    manifest_dir = os.path.join(output_dir, "_manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    processed = skipped = total_rows = 0
+    for i, chunk in enumerate(chunks):
+        mpath = os.path.join(manifest_dir, f"part-{i}.json")
+        fp = _fingerprint(chunk)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("status") == "done" and manifest.get("fingerprint") == fp:
+                skipped += 1
+                total_rows += manifest.get("rows", 0)
+                continue
+        part_dir = os.path.join(output_dir, f"part-{i}")
+        tmp_dir = part_dir + ".tmp"
+        if os.path.isdir(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+
+        ds = ray.data.read_parquet(chunk, columns=["doc_id", "spans"])
+        out = P.extract_spans_skew_aware(ds, cfg) if skew_aware else P.extract_spans(ds, cfg)
+        out.write_parquet(tmp_dir)
+
+        # per-partition metrics ride in the manifest (lineage + observability)
+        part = ray.data.read_parquet(tmp_dir, columns=["n_pages", "n_chars", "error"])
+        rows = part.count()
+        errors = part.filter(expr="error != ''").count()
+        if os.path.isdir(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "status": "done",
+                    "partition": i,
+                    "fingerprint": fp,
+                    "rows": rows,
+                    "errors": errors,
+                    "input_files": [os.path.basename(c) for c in chunk],
+                },
+                f,
+            )
+        os.replace(mpath + ".tmp", mpath)
+        processed += 1
+        total_rows += rows
+
+    return {
+        "partitions": num_partitions,
+        "processed": processed,
+        "skipped": skipped,
+        "rows": total_rows,
+    }

@@ -1,0 +1,104 @@
+"""Corpus materialization: shard-parallel deterministic generation + oracle.
+
+``generate_corpus_ds`` fans document generation out as a Ray Data pipeline
+(each doc is a pure function of (seed, index) — see pdftext_ray/corpus.py), so
+arbitrarily large corpora stream straight to partitioned Parquet without ever
+materializing on one node.
+
+``materialize_expected`` computes the golden span sequences with the
+single-document oracle using plain pyarrow — no Ray involved — so the
+pipeline-vs-oracle comparison crosses two independent execution paths.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from pdftext_ray.corpus import generate_batch, generate_document
+from pdftext_ray.kernel.document import ExtractConfig, extract_document
+from pdftext_ray.stages import schemas
+
+
+def _rows_to_input_table(rows) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["doc_id"] for r in rows], pa.string()),
+            pa.array([r["spans"] for r in rows], pa.list_(schemas.INPUT_SPAN)),
+        ],
+        schema=schemas.INPUT_SCHEMA,
+    )
+
+
+def generate_corpus_ds(n_docs: int, seed: int = 42, profile: str = "mixed") -> ray.data.Dataset:
+    base = ray.data.range(n_docs)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return _rows_to_input_table(generate_batch(ids, seed, profile))
+
+    return base.map_batches(gen, batch_format="pyarrow")
+
+
+def materialize_corpus(
+    path: str, n_docs: int, seed: int = 42, profile: str = "mixed", overwrite: bool = False
+) -> str:
+    """Write the corpus to ``path`` (idempotent: atomic rename, skip if done)."""
+    if os.path.isdir(path) and not overwrite:
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    generate_corpus_ds(n_docs, seed, profile).write_parquet(tmp)
+    if os.path.isdir(path):  # lost a race or overwrite: replace
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path
+
+
+def generate_corpus_table(n_docs: int, seed: int = 42, profile: str = "mixed") -> pa.Table:
+    """Driver-side (no Ray) corpus build for tests / the oracle path."""
+    return _rows_to_input_table([generate_document(i, seed, profile) for i in range(n_docs)])
+
+
+def expected_flat_table(
+    n_docs: int, seed: int = 42, profile: str = "mixed", cfg: Optional[ExtractConfig] = None
+) -> pa.Table:
+    """Golden flattened span sequences via the single-doc oracle (no Ray)."""
+    cfg = cfg or ExtractConfig()
+    doc_ids, orders, kinds, texts, refs = [], [], [], [], []
+    for i in range(n_docs):
+        doc = generate_document(i, seed, profile)
+        payloads = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+        res = extract_document(payloads, cfg)
+        for s in res["spans"]:
+            doc_ids.append(doc["doc_id"])
+            orders.append(s["order"])
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, pa.string()),
+            pa.array(orders, pa.int32()),
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+        ],
+        schema=schemas.FLAT_SPAN_SCHEMA,
+    )
+
+
+def materialize_expected(path: str, n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
+    """Write the golden flat table as one parquet file (idempotent/atomic)."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(expected_flat_table(n_docs, seed, profile), tmp)
+    os.replace(tmp, path)
+    return path

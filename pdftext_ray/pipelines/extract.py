@@ -1,0 +1,101 @@
+"""End-to-end extraction pipelines (lazy Ray Data graphs; callers consume).
+
+Plan shape (doc-parallel flagship):
+
+    read_table (column-pruned) → [size pre-pass] → map_batches(DocumentExtractor,
+    actor pool) → write / flatten — zero shuffles.
+
+Skew handling (north rule): a cheap vectorized pre-pass computes
+``payload_bytes`` per doc; docs above ``explode_threshold`` take the
+page-exploded branch (pages decoded in parallel, one groupby(doc_id) shuffle
+to reassemble), the rest take the fused doc-parallel branch; branches union.
+At 10^12-doc scale this keeps one 5,000-page document from pinning a task
+while the bulk of the corpus streams shuffle-free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data
+
+from pdftext_ray.kernel.document import ExtractConfig
+from pdftext_ray.stages import extract as X
+from pdftext_ray.storage import read_table
+
+
+def read_documents(path: str, columns=("doc_id", "spans")) -> ray.data.Dataset:
+    return read_table(path, columns=list(columns))
+
+
+def extract_spans(
+    ds: ray.data.Dataset,
+    cfg: Optional[ExtractConfig] = None,
+    batch_size: int = 64,
+    concurrency: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Flagship doc-parallel span-sequence extraction (no shuffle)."""
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(X.DocumentExtractor(cfg), **kwargs)
+
+
+def extract_spans_exploded(
+    ds: ray.data.Dataset,
+    cfg: Optional[ExtractConfig] = None,
+    page_batch_size: int = 128,
+    concurrency: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Page-exploded extraction for heavy documents: explode → per-page decode
+    → groupby(doc_id).map_groups reassembly (the one shuffle, keyed doc_id)."""
+    cfg = cfg or ExtractConfig()
+    kwargs = dict(batch_format="pyarrow", batch_size=page_batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    pages = ds.map_batches(X.explode_pages, batch_format="pyarrow").map_batches(
+        X.PageExtractor(cfg), **kwargs
+    )
+    return pages.groupby("doc_id").map_groups(
+        lambda g: X.assemble_document(g, cfg), batch_format="pyarrow"
+    )
+
+
+def extract_spans_skew_aware(
+    ds: ray.data.Dataset,
+    cfg: Optional[ExtractConfig] = None,
+    explode_threshold: int = 512 * 1024,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Size-bucketed plan: small docs fused, huge docs page-exploded, union."""
+    cfg = cfg or ExtractConfig()
+    sized = ds.map_batches(X.payload_sizes, batch_format="pyarrow")
+    small = sized.filter(expr=f"payload_bytes <= {explode_threshold}").drop_columns(["payload_bytes"])
+    large = sized.filter(expr=f"payload_bytes > {explode_threshold}").drop_columns(["payload_bytes"])
+    small_out = extract_spans(small, cfg, batch_size=batch_size)
+    # heavy bucket: small page batches so one batch never holds two monsters
+    large_out = extract_spans_exploded(large, cfg, page_batch_size=32)
+    return small_out.union(large_out)
+
+
+def flat_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Span-sequence rows → one row per span (driver-comparable shape)."""
+    return ds.map_batches(X.flatten_spans, batch_format="pyarrow")
+
+
+def extract_plain_text(
+    ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(X.PlainTextExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_dictionary(
+    ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(X.DictionaryExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_tables(
+    ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(X.TableCellExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)

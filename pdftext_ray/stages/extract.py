@@ -1,0 +1,279 @@
+"""Ray Data extraction stages — actor-pool map_batches UDFs over Arrow.
+
+The decode+cluster kernel holds warm state (font caches, unicode LUTs are
+process-level; the config object and Arrow schemas are per-actor), so the
+stages are callable CLASSES run as actor pools:
+``ds.map_batches(DocumentExtractor(cfg_dict), concurrency=N, batch_size=B,
+batch_format="pyarrow")`` — setup once per actor in ``__init__``, work per
+batch in ``__call__`` (SURVEY.md §2.3 ST1; the reference holds a pdfium doc
+per ProcessPoolExecutor worker, pdftext/extraction.py:32-41).
+
+Two physical plans:
+
+* **doc-parallel** (default): one row = one document; embarrassingly parallel,
+  zero shuffles. Right at 10^12-doc scale because the unit of skew is a doc.
+* **page-exploded** (heavy tail): pathological documents (hundreds of pages)
+  explode to one row per page, pages decode in parallel, and
+  ``groupby(doc_id).map_groups`` reassembles the document (the only shuffle,
+  keyed by doc_id; SURVEY.md §4 "skew").
+"""
+
+from __future__ import annotations
+
+import pickle
+import traceback
+from typing import Iterable, List
+
+import numpy as np
+import pyarrow as pa
+
+from pdftext_ray.kernel.document import (
+    ExtractConfig,
+    extract_document,
+    plain_text,
+    process_document,
+    shape_dictionary,
+    span_sequence,
+    table_output,
+)
+from pdftext_ray.stages import schemas
+
+
+def _doc_payloads(spans_cell: list) -> List[str]:
+    """Pull the per-page payloads (kind='text' spans) out of one input row."""
+    return [s["text"] for s in spans_cell if s["kind"] == "text"]
+
+
+def payload_sizes(batch: pa.Table) -> pa.Table:
+    """Pre-pass: per-doc payload byte size for skew bucketing (north rule).
+
+    Vectorized over Arrow list offsets — no Python per row.
+    """
+    spans = batch.column("spans")
+    sizes = np.zeros(len(batch), dtype=np.int64)
+    pos = 0
+    for chunk in spans.chunks if isinstance(spans, pa.ChunkedArray) else [spans]:
+        offsets = chunk.offsets.to_numpy(zero_copy_only=False)
+        texts = chunk.values.field("text")
+        # byte length of every span text, then segment-sum per row
+        tl = pa.compute.binary_length(texts).to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(tl)])
+        base = offsets - offsets[0]
+        sizes[pos:pos + len(chunk)] = csum[base[1:]] - csum[base[:-1]]
+        pos += len(chunk)
+    return batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+
+
+class DocumentExtractor:
+    """Flagship stage: input doc rows → span-sequence rows (no shuffle).
+
+    Per-doc try/except emits an ``error`` column so one corrupt document can't
+    fail a whole block repeatedly (SURVEY.md §4 stragglers/retries).
+    """
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        out_spans, n_pages, n_chars, errors = [], [], [], []
+        for spans_cell in spans_col:
+            try:
+                res = extract_document(_doc_payloads(spans_cell or []), self.cfg)
+                out_spans.append(res["spans"])
+                n_pages.append(res["n_pages"])
+                n_chars.append(res["n_chars"])
+                errors.append("")
+            except Exception:
+                out_spans.append([])
+                n_pages.append(0)
+                n_chars.append(0)
+                errors.append(traceback.format_exc(limit=3))
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(out_spans, pa.list_(schemas.OUTPUT_SPAN)),
+                pa.array(n_pages, pa.int32()),
+                pa.array(n_chars, pa.int64()),
+                pa.array(errors, pa.string()),
+            ],
+            schema=schemas.SPAN_SEQ_SCHEMA,
+        )
+
+
+def flatten_spans(batch: pa.Table) -> pa.Table:
+    """Span-sequence rows → one row per span, vectorized via list offsets."""
+    spans = batch.column("spans").combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0) if spans.num_chunks else pa.array([], pa.list_(schemas.OUTPUT_SPAN))
+    counts = pa.compute.list_value_length(spans).fill_null(0).to_numpy(zero_copy_only=False)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(doc_ids, counts)
+    flat = spans.flatten()
+    return pa.Table.from_arrays(
+        [
+            pa.array(rep_ids, pa.string()),
+            flat.field("order"),
+            flat.field("kind"),
+            flat.field("text"),
+            flat.field("media_ref"),
+        ],
+        schema=schemas.FLAT_SPAN_SCHEMA,
+    )
+
+
+class PlainTextExtractor:
+    """M10 parity: one plain-text string per document."""
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        texts = []
+        for cell in spans_col:
+            pages = process_document(_doc_payloads(cell or []), self.cfg)
+            texts.append(plain_text(pages, sort=self.cfg.sort, hyphens=self.cfg.hyphens))
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string()), pa.array(texts, pa.string())],
+            schema=schemas.PLAIN_TEXT_SCHEMA,
+        )
+
+
+class DictionaryExtractor:
+    """M9 parity: full nested dictionary output as Arrow list<struct> pages."""
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()
+        self.schema = schemas.dictionary_schema(self.cfg.keep_chars)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        pages_out = []
+        for cell in spans_col:
+            pages = process_document(_doc_payloads(cell or []), self.cfg)
+            pages_out.append(shape_dictionary(pages, self.cfg))
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(pages_out, self.schema.field("pages").type),
+            ],
+            schema=self.schema,
+        )
+
+
+class TableCellExtractor:
+    """T1 stage: one row per (doc, page, table) with clustered cell text."""
+
+    def __init__(self, cfg: ExtractConfig = None):
+        cfg = cfg or ExtractConfig()
+        # table extraction needs chars; links don't matter for cell text
+        self.cfg = cfg
+        if not cfg.keep_chars:
+            self.cfg = ExtractConfig(**{**cfg.__dict__, "keep_chars": True})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        o_doc, o_page, o_tbl, o_cells = [], [], [], []
+        for doc_id, cell in zip(doc_ids, spans_col):
+            pages = process_document(_doc_payloads(cell or []), self.cfg)
+            per_page = table_output(pages)
+            for page, tables in zip(pages, per_page):
+                for t_idx, cells in enumerate(tables):
+                    o_doc.append(doc_id)
+                    o_page.append(page["page"])
+                    o_tbl.append(t_idx)
+                    o_cells.append(cells)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, pa.string()),
+                pa.array(o_page, pa.int32()),
+                pa.array(o_tbl, pa.int32()),
+                pa.array(o_cells, pa.list_(schemas.TABLE_CELL)),
+            ],
+            schema=schemas.TABLE_SCHEMA,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Page-exploded path (heavy documents)
+# ---------------------------------------------------------------------------
+
+def explode_pages(batch: pa.Table) -> pa.Table:
+    """Doc rows → page rows (doc_id, page_pos, payload)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    o_doc, o_pos, o_payload = [], [], []
+    for doc_id, cell in zip(doc_ids, spans_col):
+        for pos, payload in enumerate(_doc_payloads(cell or [])):
+            o_doc.append(doc_id)
+            o_pos.append(pos)
+            o_payload.append(payload)
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_doc, pa.string()),
+            pa.array(o_pos, pa.int32()),
+            pa.array(o_payload, pa.string()),
+        ],
+        schema=schemas.PAGE_ROW_SCHEMA,
+    )
+
+
+class PageExtractor:
+    """Decode + cluster ONE page per row; emits pickled page state for
+    document reassembly (links are document-global so they run post-shuffle)."""
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdftext_ray.kernel.decode import decode_page
+        from pdftext_ray.kernel.document import process_page
+
+        payloads = batch.column("payload").to_pylist()
+        states = []
+        for p in payloads:
+            page = process_page(decode_page(p, self.cfg.quote_loosebox), self.cfg)
+            states.append(pickle.dumps(page, protocol=pickle.HIGHEST_PROTOCOL))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("page_pos"),
+                pa.array(states, pa.binary()),
+            ],
+            names=["doc_id", "page_pos", "page_state"],
+        )
+
+
+def assemble_document(group: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
+    """map_groups(doc_id): order pages, resolve links doc-wide, emit the span
+    sequence — the groupby(doc_id) reassembly of the north rule."""
+    from pdftext_ray.kernel import links as klinks
+
+    cfg = cfg or ExtractConfig()
+    pos = group.column("page_pos").to_numpy(zero_copy_only=False)
+    order = np.argsort(pos, kind="stable")
+    states = group.column("page_state").to_pylist()
+    pages = [pickle.loads(states[i]) for i in order]
+    if not cfg.disable_links:
+        klinks.add_links_and_refs(pages, [pg["links"] for pg in pages])
+    else:
+        for pg in pages:
+            pg["refs"] = []
+    seq = span_sequence(pages)
+    doc_id = group.column("doc_id")[0].as_py()
+    n_chars = sum(len(s["chars"]) for pg in pages for b in pg["blocks"] for l in b["lines"] for s in l["spans"])
+    return pa.Table.from_arrays(
+        [
+            pa.array([doc_id], pa.string()),
+            pa.array([seq], pa.list_(schemas.OUTPUT_SPAN)),
+            pa.array([len(pages)], pa.int32()),
+            pa.array([n_chars], pa.int64()),
+            pa.array([""], pa.string()),
+        ],
+        schema=schemas.SPAN_SEQ_SCHEMA,
+    )

@@ -1,0 +1,132 @@
+"""Golden tests for the clustering kernel (M1-M5) on hand-built char streams."""
+
+from pdftext_ray.kernel import cluster
+from pdftext_ray.kernel.decode import decode_page
+from pdftext_ray.kernel.document import ExtractConfig, process_document
+from pdftext_ray.payload import PayloadWriter
+
+FONT_A = ("Times", 0, 12.0, 400.0)
+FONT_B = ("Bold", 4, 12.0, 700.0)
+
+
+def ch(c, bbox, font=FONT_A, rot=0.0, idx=0):
+    return (c, list(bbox), rot, font, idx)
+
+
+def word(text, x, y, font=FONT_A, w=6.0, h=12.0, start_idx=0, rot=0.0):
+    return [
+        ch(c, [x + i * w, y, x + (i + 1) * w, y + h], font, rot, start_idx + i)
+        for i, c in enumerate(text)
+    ]
+
+
+def test_dedup_drops_shadow_words():
+    # chars.py:102-115 — identical (rounded bbox, text, rotation, font) words;
+    # the shadow copy re-renders the word (incl. trailing space) at ~same coords
+    chars = (
+        word("hi", 10, 10)
+        + [ch(" ", [22, 10, 25, 22], idx=2)]
+        + word("hi", 10.2, 10.3, start_idx=3)
+        + [ch(" ", [22.2, 10.3, 25.2, 22.3], idx=5)]
+    )
+    out = cluster.deduplicate_chars(chars)
+    assert "".join(c[0] for c in out) == "hi "
+
+
+def test_dedup_keeps_distinct_words():
+    chars = word("hi", 10, 10) + [ch(" ", [22, 10, 25, 22], idx=2)] + word("hi", 60, 10, start_idx=3)
+    out = cluster.deduplicate_chars(chars)
+    assert "".join(c[0] for c in out) == "hi hi"
+
+
+def test_span_breaks_on_font_change():
+    chars = word("ab", 10, 10, FONT_A) + word("cd", 22, 10, FONT_B, start_idx=2)
+    spans = cluster.get_spans(chars)
+    assert [s["text"] for s in spans] == ["ab", "cd"]
+    assert spans[0]["font"] == FONT_A and spans[1]["font"] == FONT_B
+
+
+def test_span_breaks_on_rotation_and_hyphen():
+    chars = word("ab", 10, 10) + word("cd", 22, 10, rot=90.0, start_idx=2)
+    assert [s["text"] for s in cluster.get_spans(chars)] == ["ab", "cd"]
+    chars = word("a\x02", 10, 10) + word("b", 22, 10, start_idx=2)
+    assert [s["text"] for s in cluster.get_spans(chars)] == ["a\x02", "b"]
+
+
+def test_line_breaks_on_newline_and_baseline():
+    # pages.py:148-157: break after trailing \n and on y_start > line y_end
+    chars = word("ab\n", 10, 10) + word("cd", 10, 30, start_idx=3)
+    spans = cluster.get_spans(chars)
+    lines = cluster.get_lines(spans)
+    assert len(lines) == 2
+    # missing newline but lower baseline also breaks — the second line must
+    # open a new span for another reason (here: font change), then the
+    # y_start > line.y_end check splits the line (pages.py:157)
+    chars = word("ab", 10, 10) + word("cd", 10, 30, FONT_B, start_idx=2)
+    spans = cluster.get_spans(chars)
+    assert len(spans) == 2
+    lines = cluster.get_lines(spans)
+    assert len(lines) == 2
+
+
+def test_superscript_flagging():
+    # a short raised digit between full-height words → superscript (pages.py:22-74)
+    base = word("word", 10, 20)
+    small = ("Times", 0, 6.0, 400.0)  # superscripts come in a smaller size
+    sup = [ch("2", [35, 14, 38, 20], small, 0.0, 4)]
+    rest = word(" tail", 40, 20, start_idx=5)
+    spans = cluster.get_spans(base + sup + rest, superscript_height_threshold=0.7)
+    lines = cluster.get_lines(spans)
+    cluster.assign_scripts(lines, height_threshold=0.7)
+    flagged = [s for line in lines for s in line["spans"] if s["superscript"]]
+    assert len(flagged) == 1 and flagged[0]["text"] == "2"
+
+
+def test_block_separation_by_y_gap():
+    # uniform line gaps cluster; a 2x gap splits blocks (pages.py:167-257)
+    chars = []
+    idx = 0
+    for li, y in enumerate([10, 26, 42, 90, 106]):
+        wchars = word(f"line{li}\n", 10, y, start_idx=idx)
+        idx += len(wchars)
+        chars.extend(wchars)
+    blocks = cluster.get_blocks(cluster.get_lines(cluster.get_spans(chars)))
+    assert len(blocks) == 2
+    assert len(blocks[0]["lines"]) == 3 and len(blocks[1]["lines"]) == 2
+
+
+def test_decode_coordinate_flip_and_rotation():
+    w = PayloadWriter(0, [-2.0, 3.0, 610.0, 795.0], 0)
+    # layout box [50, 40, 56, 52] (top-left coords) → raw coords
+    w.add_char("a", [48.0, 755.0, 54.0, 743.0], FONT_A)
+    page = decode_page(w.build())
+    assert page.width == 612 and page.height == 792
+    bbox = page.chars[0][1]
+    assert [round(v, 6) for v in bbox] == [50.0, 40.0, 56.0, 52.0]
+
+    w = PayloadWriter(0, [-2.0, 3.0, 610.0, 795.0], 90)
+    w.add_char("a", [48.0, 755.0, 54.0, 743.0], FONT_A)
+    page = decode_page(w.build())
+    bbox = page.chars[0][1]
+    # rotate([50,40,56,52], 612, 792, 90) = [792-52, 50, 792-40, 56]
+    assert [round(v, 6) for v in bbox] == [740.0, 50.0, 752.0, 56.0]
+
+
+def test_quote_loosebox_gate():
+    w = PayloadWriter(0, [0.0, 0.0, 612.0, 792.0], 0)
+    w.add_char("'", [10.0, 780.0, 16.0, 768.0], FONT_A)
+    loose = decode_page(w.build(), quote_loosebox=True).chars[0][1]
+    tight = decode_page(w.build(), quote_loosebox=False).chars[0][1]
+    assert loose != tight and tight[3] == loose[3]  # bottom edge shrunk in layout space
+
+
+def test_whitespace_only_page_has_no_nonempty_blocks():
+    w = PayloadWriter(0, [0.0, 0.0, 612.0, 792.0], 0)
+    w.add_char(" ", [10.0, 780.0, 16.0, 768.0], FONT_A)
+    pages = process_document([w.build()], ExtractConfig())
+    texts = [s["text"] for pg in pages for b in pg["blocks"] for l in b["lines"] for s in l["spans"]]
+    assert texts == [" "]
+
+
+def test_empty_document():
+    assert process_document([], ExtractConfig()) == []

@@ -1,0 +1,94 @@
+"""The north-rule invariant: Ray pipeline span sequences == oracle, exactly,
+for every adversarial case, on both physical plans (doc-parallel and
+page-exploded), and independent of parallelism/block order."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+from pdftext_ray.corpus import NUM_CASES, doc_case
+from pdftext_ray.pipelines import corpus_io, extract as P
+
+N_DOCS = 2 * NUM_CASES  # every adversarial case at least twice
+
+
+@pytest.fixture(scope="module")
+def corpus_ds():
+    table = corpus_io.generate_corpus_table(N_DOCS)
+    return ray.data.from_arrow(table)
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return corpus_io.expected_flat_table(N_DOCS)
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def _sorted_flat(t: pa.Table) -> pa.Table:
+    return t.sort_by([("doc_id", "ascending"), ("order", "ascending")])
+
+
+def _assert_equal(actual: pa.Table, expected: pa.Table):
+    actual = _sorted_flat(actual.select(["doc_id", "order", "kind", "text", "media_ref"]))
+    expected = _sorted_flat(expected)
+    assert actual.num_rows == expected.num_rows
+    for col in ["doc_id", "order", "kind", "text", "media_ref"]:
+        eq = pc.all(pc.equal(actual.column(col), expected.column(col))).as_py()
+        if not eq:
+            neq = pc.invert(pc.equal(actual.column(col), expected.column(col)))
+            idx = pc.index(neq, True).as_py()
+            raise AssertionError(
+                f"column {col} mismatch at row {idx}: "
+                f"{actual.slice(idx, 1).to_pydict()} vs {expected.slice(idx, 1).to_pydict()}"
+            )
+
+
+def test_doc_parallel_matches_oracle(corpus_ds, expected):
+    out = P.flat_spans(P.extract_spans(corpus_ds, batch_size=7))
+    _assert_equal(_collect(out), expected)
+
+
+def test_page_exploded_matches_oracle(corpus_ds, expected):
+    out = P.flat_spans(P.extract_spans_exploded(corpus_ds, page_batch_size=5))
+    _assert_equal(_collect(out), expected)
+
+
+def test_skew_aware_plan_matches_oracle(corpus_ds, expected):
+    # low threshold so BOTH branches run on this corpus
+    out = P.flat_spans(P.extract_spans_skew_aware(corpus_ds, explode_threshold=12_000))
+    _assert_equal(_collect(out), expected)
+
+
+def test_no_errors_and_metrics_present(corpus_ds):
+    out = P.extract_spans(corpus_ds).to_pandas()
+    assert (out["error"] == "").all()
+    assert (out["n_pages"] > 0).sum() >= N_DOCS - 4  # empty docs allowed
+    assert out["n_chars"].sum() > 0
+
+
+def test_media_interleaved_in_reading_order(expected):
+    t = expected.to_pandas()
+    media = t[t["kind"] == "media"]
+    assert len(media) > 0, "corpus must contain media spans"
+    assert (media["media_ref"].str.startswith("media://")).all()
+    assert (media["text"] == "").all()
+    # media spans sit strictly inside the sequence for media_heavy docs
+    heavy_ids = [d for d in t["doc_id"].unique() if doc_case(int(d.split("-")[1])) == "media_heavy"]
+    for d in heavy_ids:
+        seq = t[t["doc_id"] == d].sort_values("order")
+        kinds = list(seq["kind"])
+        assert "media" in kinds
+        first_media = kinds.index("media")
+        assert first_media > 0 and "text" in kinds[first_media:]
+
+
+def test_deterministic_across_runs(corpus_ds):
+    a = P.flat_spans(P.extract_spans(corpus_ds, batch_size=3)).to_pandas()
+    b = P.flat_spans(P.extract_spans(corpus_ds, batch_size=17)).to_pandas()
+    a = a.sort_values(["doc_id", "order"]).reset_index(drop=True)
+    b = b.sort_values(["doc_id", "order"]).reset_index(drop=True)
+    assert a.equals(b)
