@@ -1,44 +1,396 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Extraction queries run over the engine's own deterministic interleaved-
+document corpus (BASELINE.json ``input_hint`` — synthesized from
+(seed=42, doc index), sized by the sf dir's ``documents`` row count, cached
+under /tmp). Their oracles are the single-document reference oracle's golden
+parquet (written by plain pyarrow, no Ray), read back in SQL — two
+independent execution paths compared value-by-value. Training-data and
+relational operators run over the driver's parquet tables with pure-SQL
+DuckDB oracles.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.parquet as pq
+
+CORPUS_SEED = 42
+CORPUS_ROOT = "/tmp/pdftext_ray_corpus"
+
+# The driver's correctness gate runs at sf=0.01 whose documents table has 500
+# rows; extraction-oracle SQL paths are pinned to that size.
+SF001_DOCS = 500
+
+
+def _corpus_paths(n_docs: int) -> dict:
+    base = os.path.join(CORPUS_ROOT, f"n{n_docs}_s{CORPUS_SEED}")
+    return {
+        "corpus": os.path.join(base, "corpus"),
+        "expected_flat": os.path.join(base, "expected_flat.parquet"),
+        "expected_plain": os.path.join(base, "expected_plain.parquet"),
+    }
+
+
+def _corpus_size(sf_dir: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def _ensure_corpus(sf_dir: str) -> dict:
+    from pdftext_ray.pipelines import corpus_io
+
+    n = _corpus_size(sf_dir)
+    paths = _corpus_paths(n)
+    corpus_io.materialize_corpus(paths["corpus"], n, CORPUS_SEED)
+    corpus_io.materialize_expected(paths["expected_flat"], n, CORPUS_SEED)
+    corpus_io.materialize_expected_plain(paths["expected_plain"], n, CORPUS_SEED)
+    return paths
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved corpus → span-sequence extraction (sf0.001 scale)."""
+    from pdftext_ray.pipelines import corpus_io, extract as P
+
+    n = _corpus_size("/root/testdata/sf0.001")
+    paths = _corpus_paths(n)
+    corpus_io.materialize_corpus(paths["corpus"], n, CORPUS_SEED)
+    ds = P.read_documents(paths["corpus"])
+    return P.flat_spans(P.extract_spans(ds))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_spans(sf_dir: str):
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    return P.flat_spans(P.extract_spans(P.read_documents(paths["corpus"])))
+
+
+def _q_extract_spans_exploded(sf_dir: str):
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    return P.flat_spans(P.extract_spans_exploded(P.read_documents(paths["corpus"])))
+
+
+def _q_extract_spans_skew(sf_dir: str):
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    return P.flat_spans(
+        P.extract_spans_skew_aware(P.read_documents(paths["corpus"]), explode_threshold=40_000)
+    )
+
+
+def _q_extract_plain_text(sf_dir: str):
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    return P.extract_plain_text(P.read_documents(paths["corpus"]))
+
+
+def _q_extract_tables(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    ds = P.extract_tables(P.read_documents(paths["corpus"]))
+
+    def flat(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cells")
+        texts = [";".join(c["text"] for c in row) for row in cells.to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("page"),
+                batch.column("table_idx"),
+                pc.cast(pc.list_value_length(cells), pa.int32()),
+                pa.array(texts, pa.string()),
+            ],
+            names=["doc_id", "page", "table_idx", "n_cells", "cell_texts"],
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _q_extract_dictionary(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    ds = P.extract_dictionary(P.read_documents(paths["corpus"]))
+
+    # summarize the nested output per doc (rows-only check; the full nested
+    # shape is pytest-verified)
+    def summarize(batch: pa.Table) -> pa.Table:
+        pages = batch.column("pages").to_pylist()
+        n_pages, n_blocks, n_spans, n_refs = [], [], [], []
+        for pgs in pages:
+            n_pages.append(len(pgs))
+            n_blocks.append(sum(len(p["blocks"]) for p in pgs))
+            n_spans.append(sum(len(l["spans"]) for p in pgs for b in p["blocks"] for l in b["lines"]))
+            n_refs.append(sum(len(p["refs"]) for p in pgs))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_pages, pa.int32()),
+                pa.array(n_blocks, pa.int32()),
+                pa.array(n_spans, pa.int32()),
+                pa.array(n_refs, pa.int32()),
+            ],
+            names=["doc_id", "n_pages", "n_blocks", "n_spans", "n_refs"],
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_quality_score(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_dedup_prefix(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.prefix_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), n_tokens=20)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9
+    )
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _q_embedding_pairs(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.embedding_pairs_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+def _q_similarity_topk(sf_dir: str):
+    from pdftext_ray.ops import similarity
+
+    return similarity.brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    )
+
+
+def _q_similarity_ivf(sf_dir: str):
+    from pdftext_ray.ops import similarity
+
+    return similarity.ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    )
+
+
+def _q_pricing_summary(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    return relational.lineitem_pricing_summary(_read(sf_dir, "lineitem", cols))
+
+
+def _q_events_hourly(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.events_hourly_window(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    )
+
+
+def _q_distinct_event_types(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.distinct_values(_read(sf_dir, "events", ["event_type"]), "event_type")
+
+
+def _q_filter_project(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.filter_project_documents(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), min_chars=200
+    )
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from pdftext_ray.ops import media
+
+    n = max(30, _corpus_size(sf_dir) // 10)
+    ds = ray.data.from_arrow(media.synth_media_table(n))
+    return media.featurize_media(ds).drop_columns(["feature"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_spans": _q_extract_spans,
+        "extract_spans_exploded": _q_extract_spans_exploded,
+        "extract_spans_skew_aware": _q_extract_spans_skew,
+        "extract_plain_text": _q_extract_plain_text,
+        "extract_tables": _q_extract_tables,
+        "extract_dictionary": _q_extract_dictionary,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "embedding_pairs": _q_embedding_pairs,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ivf": _q_similarity_ivf,
+        "pricing_summary": _q_pricing_summary,
+        "events_hourly": _q_events_hourly,
+        "distinct_event_types": _q_distinct_event_types,
+        "filter_project": _q_filter_project,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views: region nation customer supplier part orders
+# lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+_EXPECTED_FLAT = _corpus_paths(SF001_DOCS)["expected_flat"]
+_EXPECTED_PLAIN = _corpus_paths(SF001_DOCS)["expected_plain"]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # extraction oracles: golden parquet written by the independent
+        # single-doc reference oracle (plain pyarrow path, no Ray)
+        "extract_spans": f"SELECT doc_id, \"order\", kind, text, media_ref FROM read_parquet('{_EXPECTED_FLAT}')",
+        "extract_spans_exploded": f"SELECT doc_id, \"order\", kind, text, media_ref FROM read_parquet('{_EXPECTED_FLAT}')",
+        "extract_spans_skew_aware": f"SELECT doc_id, \"order\", kind, text, media_ref FROM read_parquet('{_EXPECTED_FLAT}')",
+        "extract_plain_text": f"SELECT doc_id, text FROM read_parquet('{_EXPECTED_PLAIN}')",
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, "
+            "round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / greatest(length(text), 1), 6) AS alpha_ratio, "
+            "round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / greatest(length(text), 1), 6) AS space_ratio, "
+            f"round(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stopword_ratio, "
+            "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_token_len "
+            "FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, "
+            f"CASE WHEN CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1) >= 0.02 THEN 'en' ELSE 'unk' END AS pred_lang, "
+            f"round(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stop_ratio "
+            "FROM documents"
+        ),
+        "fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_prefix": (
+            "SELECT md5(array_to_string(list_slice(regexp_extract_all(text, '\\S+'), 1, 20), ' ')) AS prefix_hash, "
+            "min(doc_id) AS keep_doc_id, count(*) AS dup_count FROM documents "
+            "GROUP BY md5(array_to_string(list_slice(regexp_extract_all(text, '\\S+'), 1, 20), ' '))"
+        ),
+        "embedding_pairs": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
+            "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "filter_project": "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
+    }

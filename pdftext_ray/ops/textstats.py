@@ -1,0 +1,121 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All vectorized pyarrow/numpy per batch — no Python
+loop over rows in the hot path (hashing uses C-backed hashlib per string).
+
+Each operator is a pure ``map_batches`` stage (stateless tasks); every output
+column is named to match the DuckDB oracle SQL in __ray_entry__.py exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from pdftext_ray.ops import round_half_away
+
+TOKEN_RE = r"\S+"
+
+# deliberately tiny, fixed stopword list (must mirror the oracle SQL)
+STOPWORDS: List[str] = ["the", "a", "of", "and", "to", "in", "is"]
+_STOP_ARR = pa.array(STOPWORDS)
+
+LANG_STOP_THRESHOLD = 0.02  # stopword ratio at/above which we call it English
+
+
+def _stop_counts(texts: pa.ChunkedArray) -> np.ndarray:
+    """Per-row count of stopword tokens (vectorized via list offsets)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    pos = 0
+    chunks = texts.chunks if isinstance(texts, pa.ChunkedArray) else [texts]
+    for chunk in chunks:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(chunk))
+        flat = toks.flatten()
+        hits = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        base = offsets - offsets[0]
+        csum = np.concatenate([[0], np.cumsum(hits)])
+        out[pos:pos + len(chunk)] = csum[base[1:]] - csum[base[:-1]]
+        pos += len(chunk)
+    return out
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (\\S+ runs), n_chars_text (UTF-8 char length)."""
+    text = batch.column("text")
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64()),
+            pc.cast(pc.utf8_length(text), pa.int64()),
+        ],
+        names=["doc_id", "n_tokens", "n_chars_text"],
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: alpha ratio, space ratio, stopword ratio, mean token
+    length. Ratios are rounded to 6 decimals (FP-stable vs the SQL oracle)."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_alpha = pc.count_substring_regex(text, "[a-zA-Z]").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_space = pc.count_substring_regex(text, " ").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+    stop = _stop_counts(text).astype(np.float64)
+    denom_c = np.maximum(n_chars, 1.0)
+    denom_t = np.maximum(n_tokens, 1.0)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(round_half_away(n_alpha / denom_c, 6)),
+            pa.array(round_half_away(n_space / denom_c, 6)),
+            pa.array(round_half_away(stop / denom_t, 6)),
+            pa.array(round_half_away((n_chars - n_space) / denom_t, 6)),
+        ],
+        names=["doc_id", "alpha_ratio", "space_ratio", "stopword_ratio", "mean_token_len"],
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """N-gram-free heuristic language ID: stopword-ratio gate (deterministic,
+    mirrors the oracle SQL CASE expression)."""
+    text = batch.column("text")
+    n_tokens = np.maximum(
+        pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+    )
+    ratio = _stop_counts(text).astype(np.float64) / n_tokens
+    pred = np.where(ratio >= LANG_STOP_THRESHOLD, "en", "unk")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(pred), pa.array(round_half_away(ratio, 6))],
+        names=["doc_id", "pred_lang", "stop_ratio"],
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Stable document fingerprint: md5 of the lowercased text (hex)."""
+    texts = pc.utf8_lower(batch.column("text")).to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(digests, pa.string())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def quality_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

@@ -93,6 +93,26 @@ def expected_flat_table(
     )
 
 
+def expected_plain_table(
+    n_docs: int, seed: int = 42, profile: str = "mixed", cfg: Optional[ExtractConfig] = None
+) -> pa.Table:
+    """Golden plain-text output via the single-doc oracle (no Ray)."""
+    from pdftext_ray.kernel.document import plain_text, process_document
+
+    cfg = cfg or ExtractConfig()
+    doc_ids, texts = [], []
+    for i in range(n_docs):
+        doc = generate_document(i, seed, profile)
+        payloads = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+        pages = process_document(payloads, cfg)
+        doc_ids.append(doc["doc_id"])
+        texts.append(plain_text(pages, sort=cfg.sort, hyphens=cfg.hyphens))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()), pa.array(texts, pa.string())],
+        schema=schemas.PLAIN_TEXT_SCHEMA,
+    )
+
+
 def materialize_expected(path: str, n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
     """Write the golden flat table as one parquet file (idempotent/atomic)."""
     if os.path.exists(path):
@@ -100,5 +120,15 @@ def materialize_expected(path: str, n_docs: int, seed: int = 42, profile: str = 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(expected_flat_table(n_docs, seed, profile), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def materialize_expected_plain(path: str, n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(expected_plain_table(n_docs, seed, profile), tmp)
     os.replace(tmp, path)
     return path

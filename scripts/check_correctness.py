@@ -1,0 +1,119 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs each __ray_entry__.queries()[name](sf_dir) and, when an oracle exists,
+the matching oracle_sql() in DuckDB (tables pre-registered as views), then
+compares row count + column names + order-insensitive values.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
+    issues = []
+    if sorted(got.columns) != sorted(want.columns):
+        issues.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
+        return issues
+    if len(got) != len(want):
+        issues.append(f"rows {len(got)} != {len(want)}")
+        return issues
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
+            ok = np.allclose(gv.astype(float), wv.astype(float), rtol=0, atol=0, equal_nan=True)
+            exact = (gv.astype(float).values == wv.astype(float).values) | (
+                pd.isna(gv).values & pd.isna(wv).values
+            )
+            if not exact.all():
+                bad = int(np.argmin(exact))
+                issues.append(f"col {c} value mismatch at {bad}: {gv.iloc[bad]!r} != {wv.iloc[bad]!r}")
+        else:
+            eq = gv.values == wv.values
+            if not eq.all():
+                bad = int(np.argmin(eq))
+                issues.append(f"col {c} value mismatch at {bad}: {gv.iloc[bad]!r} != {wv.iloc[bad]!r}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.getcwd())
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            want = con.execute(oracles[name]).df()
+            issues = compare(name, got, want)
+            if issues:
+                print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(issues))
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({dt:.1f}s): {len(got)} rows vs oracle")
+                n_pass += 1
+        else:
+            print(f"PASS {name} ({dt:.1f}s): {len(got)} rows (rows-only, no oracle)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

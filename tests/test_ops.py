@@ -1,0 +1,122 @@
+"""Tests for the training-data operators: planted duplicates must be found,
+approximate search must hit high recall vs brute force, media plumbing must
+round-trip deterministically."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pdftext_ray.ops import dedup, media, similarity, textstats
+
+
+def _doc_table(rows):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(rows))), "text": rows})
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "where a stream flows past tall trees under a bright morning sky"
+)
+
+
+def test_exact_dedup_groups_identical_texts():
+    ds = _doc_table([BASE, BASE, BASE + " extra", "totally different words here"])
+    out = dedup.exact_dedup(ds).to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
+    assert len(out) == 3
+    grp = out[out["keep_doc_id"] == 0].iloc[0]
+    assert grp["dup_count"] == 2
+
+
+def test_minhash_finds_planted_near_dups():
+    near = BASE.replace("morning", "evening")  # one token changed
+    ds = _doc_table([BASE, near, "completely unrelated text about ray data pipelines and arrow"])
+    out = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 1) in pairs
+    assert all(p in {(0, 1)} for p in pairs)
+    ja = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]["jaccard"].iloc[0]
+    assert 0.5 <= ja < 1.0
+
+
+def test_simhash_finds_planted_near_dups():
+    near = BASE + " tail"
+    ds = _doc_table([BASE, near, "completely unrelated text about spark flink beam and presto engines"])
+    out = dedup.simhash_pairs(ds, max_hamming=6).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 1) in pairs
+
+
+def test_embedding_lsh_finds_planted_dups():
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16))
+    dup = base[3] + rng.standard_normal(16) * 0.01  # near-identical to row 3
+    vecs = np.vstack([base, dup[None, :]])
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(21)), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = dedup.embedding_dup_pairs(ds, threshold=0.99, n_planes=8).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert (3, 20) in pairs
+
+
+def test_embedding_bruteforce_matches_numpy():
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((50, 8))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(50)), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = dedup.embedding_pairs_bruteforce(ds, threshold=0.5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ia, ib = np.triu_indices(50, k=1)
+    want = {(int(a), int(b)) for a, b in zip(ia[sims[ia, ib] >= 0.5], ib[sims[ia, ib] >= 0.5])}
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert got == want
+
+
+def test_ivf_recall_vs_brute_force():
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((400, 32))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(400)), "embedding": [v.tolist() for v in vecs]})
+    )
+    q = vecs[7]
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()
+    approx = similarity.ivf_topk(ds, q, k=10, n_centroids=8, n_probe=4, sample_fraction=0.5).to_pandas()
+    assert exact.iloc[0]["vec_id"] == 7 and exact.iloc[0]["score"] == 1.0
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_textstats_token_semantics():
+    ds = _doc_table(["the  quick\tfox", ""])
+    out = textstats.token_counts(ds).to_pandas().sort_values("doc_id")
+    assert list(out["n_tokens"]) == [3, 0]
+    q = textstats.quality_scores(ds).to_pandas().sort_values("doc_id")
+    assert 0 < q.iloc[0]["alpha_ratio"] <= 1
+    assert q.iloc[1]["alpha_ratio"] == 0
+
+
+def test_media_featurize_deterministic_and_shaped():
+    t = media.synth_media_table(12)
+    ds = ray.data.from_arrow(t)
+    a = media.featurize_media(ds, out_size=16).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    b = media.featurize_media(ray.data.from_arrow(t), out_size=16).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert len(a) == 12
+    assert (a["out_width"] == 16).all()
+    # video rows sample multiple frames
+    vids = a[a["media_type"] == "video"]
+    assert (vids["frames_sampled"] >= 1).all() and vids["frames_sampled"].max() > 1
+    for fa, fb in zip(a["feature"], b["feature"]):
+        assert np.allclose(fa, fb)
+    # features are normalized histograms
+    assert all(abs(sum(f) - 1.0) < 1e-3 for f in a["feature"])
+
+
+def test_real_codec_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        media.RealCodec().decode(b"x", 4, 4)
