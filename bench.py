@@ -1,0 +1,196 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the headline pipeline at two parallelism levels
+(num_cpus=8 and num_cpus=32) in FRESH processes on the same input and reports
+both throughputs plus scaling efficiency (the in-sandbox evidence for the
+north rule's N-vs-4N cluster criterion; see BASELINE.md).
+
+Corpus: the deterministic interleaved-document corpus (seed 42), sized
+BENCH_DOC_MULT × the sf dir's documents row count (sf0.1 → 50,000 docs).
+Generation is cached on disk and excluded from timings; one untimed read
+warms the page cache before the timed run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "10"))
+SEED = 42
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from pdftext_ray.pipelines import corpus_io, extract as P
+    from pdftext_ray.ops import dedup, relational, similarity, textstats
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows * DOC_MULT
+    corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v3"
+    corpus_io.materialize_corpus(corpus_path, n_docs, SEED)
+
+    # untimed warm read of the full payload column (page cache + worker startup)
+    ray.data.read_parquet(corpus_path).count()
+
+    only = set(os.environ.get("BENCH_QUERIES", "").split(",")) - {""}
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    out_dir = "/tmp/pdftext_ray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries = {}
+    extras = {}
+
+    def timed(name, fn):
+        if not want(name):
+            return
+        t0 = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: flagship skew-aware extraction (ingest-time size buckets →
+    # predicate-pushdown reads per branch), consumed by a partitioned write
+    def q_extract():
+        out = P.extract_corpus_skew_aware(corpus_path, explode_threshold=256 * 1024)
+        out.write_parquet(os.path.join(out_dir, "spans"))
+
+    timed("extract_flagship", q_extract)
+    if "extract_flagship" in queries:
+        extras["docs_per_sec"] = round(n_docs / queries["extract_flagship"], 1)
+    extras["n_docs"] = n_docs
+
+    # sampled exact-match rate vs the single-doc oracle (seeded 200-doc sample)
+    def q_verify():
+        import numpy as np
+        import pyarrow.compute as pc
+
+        rng = np.random.RandomState(7)
+        sample_ids = sorted(rng.choice(n_docs, size=min(200, n_docs), replace=False).tolist())
+        id_set = {f"doc-{i:08d}" for i in sample_ids}
+        got = {}
+        spans_ds = ray.data.read_parquet(os.path.join(out_dir, "spans"))
+        flat = P.flat_spans(spans_ds.filter(lambda r: r["doc_id"] in id_set))
+        for b in flat.iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                got.setdefault(r["doc_id"], []).append((r["order"], r["kind"], r["text"], r["media_ref"]))
+        from pdftext_ray.corpus import generate_document
+        from pdftext_ray.kernel.document import extract_document
+
+        matches = 0
+        for i in sample_ids:
+            doc = generate_document(i, SEED)
+            res = extract_document([s["text"] for s in doc["spans"] if s["kind"] == "text"])
+            want = [(s["order"], s["kind"], s["text"], s["media_ref"]) for s in res["spans"]]
+            if sorted(got.get(doc["doc_id"], [])) == sorted(want):
+                matches += 1
+        extras["exact_match_rate"] = round(matches / len(sample_ids), 4)
+
+    timed("verify_sample", q_verify)
+
+    def docs_ds():
+        return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                     columns=["doc_id", "text"])
+
+    timed("plain_text", lambda: P.extract_plain_text(P.read_documents(corpus_path))
+          .write_parquet(os.path.join(out_dir, "plain")))
+    timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs_ds(), threshold=0.5).count())
+    timed("dedup_exact", lambda: dedup.exact_dedup(docs_ds()).count())
+    timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
+
+    def q_similarity():
+        emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"])
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        import numpy as np
+
+        q = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        similarity.brute_force_topk(emb, q, k=10).to_pandas()
+
+    timed("similarity_topk", q_similarity)
+
+    timed("pricing_summary", lambda: relational.lineitem_pricing_summary(
+        ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+                              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                       "l_extendedprice", "l_discount"])).to_pandas())
+    timed("events_hourly", lambda: relational.events_hourly_window(
+        ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                              columns=["event_id", "ts", "event_type", "value"])).count())
+
+    ray.shutdown()
+    return {
+        "metric": "pdftext_ray bench total (headline: interleaved-doc span extraction)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 and num_cpus=32 in fresh processes."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_QUERIES="extract_flagship,verify_sample")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)  # also warms the corpus cache for the hi run
+    hi = run(hi_cpus)
+    t_lo = lo["queries"]["extract_flagship"]
+    t_hi = hi["queries"]["extract_flagship"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (extract_flagship, fresh ray.init at 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "exact_match_rate": hi.get("exact_match_rate"),
+        "sf": lo["sf"],
+        "n_docs": lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

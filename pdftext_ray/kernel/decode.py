@@ -60,6 +60,8 @@ def _scale_rect(rect, x_start, y_start, page_width, page_height, page_rotation, 
 
 
 def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
+    import numpy as np
+
     raw: RawPage = parse_payload(payload)
     out = DecodedPage()
     out.page_idx = raw.page_idx
@@ -72,27 +74,45 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     out.width = page_width
     out.height = page_height
 
-    fonts = raw.fonts
-    chars = out.chars
-    for i, (cp, fid, rot, box) in enumerate(raw.chars):
-        ch = chr(cp)
-        loose = (rot == 0) and (ch != "'" or quote_loosebox)
-        if loose:
-            cx1, cy1, cx2, cy2 = box
-        else:
+    n = len(raw.cp)
+    if n:
+        # the whole S3 coordinate transform runs vectorized (float64 numpy ops
+        # are bit-identical to the scalar Python arithmetic they replace)
+        cb = raw.cb
+        cx1, cy1, cx2, cy2 = cb[:, 0].copy(), cb[:, 1].copy(), cb[:, 2], cb[:, 3].copy()
+        tight = ~((raw.cr == 0) & ((raw.cp != 39) | quote_loosebox))  # 39 == "'"
+        if tight.any():
             # deterministic synthetic tight box: bottom raised by 10% height
-            cx1, cy1, cx2, cy2 = box[0], box[1] + 0.1 * (box[3] - box[1]), box[2], box[3]
-        cx1 -= x_start
-        cx2 -= x_start
-        cy1 -= y_start
-        cy2 -= y_start
-        ty1 = page_height - cy1
-        ty2 = page_height - cy2
-        bbox = g.rotate(
-            [min(cx1, cx2), min(ty1, ty2), max(cx1, cx2), max(ty1, ty2)],
-            page_width, page_height, raw.rotation,
+            cy1 = np.where(tight, cy1 + 0.1 * (cy2 - cy1), cy1)
+        cx1 = cx1 - x_start
+        cx2 = cx2 - x_start
+        ty1 = page_height - (cy1 - y_start)
+        ty2 = page_height - (cy2 - y_start)
+        bx1 = np.minimum(cx1, cx2)
+        by1 = np.minimum(ty1, ty2)
+        bx2 = np.maximum(cx1, cx2)
+        by2 = np.maximum(ty1, ty2)
+        boxes = np.stack([bx1, by1, bx2, by2], axis=1)
+        if raw.rotation:
+            rot = raw.rotation
+            if rot == 90:
+                boxes = np.stack([page_height - by2, bx1, page_height - by1, bx2], axis=1)
+            elif rot == 180:
+                boxes = np.stack([page_width - bx2, page_height - by2, page_width - bx1, page_height - by1], axis=1)
+            elif rot == 270:
+                boxes = np.stack([by1, page_width - bx2, by2, page_width - bx1], axis=1)
+            else:
+                raise ValueError("Rotation must be one of [0, 90, 180, 270] degrees.")
+        fonts = raw.fonts
+        out.chars = list(
+            zip(
+                map(chr, raw.cp.tolist()),
+                boxes.tolist(),
+                raw.cr.tolist(),
+                [fonts[f] for f in raw.cf.tolist()],
+                range(n),
+            )
         )
-        chars.append((ch, bbox, rot, fonts[fid], i))
 
     out.media = raw.media
     out.tables = raw.tables

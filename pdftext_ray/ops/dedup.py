@@ -21,7 +21,10 @@ import ray.data
 
 from pdftext_ray.ops import round_half_away
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: a, b, x < p keeps a*x + b < 2^63, so the minhash
+# permutations h_i(x) = (a_i·x + b_i) mod p run fully vectorized in uint64 —
+# no object-dtype bigint fallback in the hot path.
+_MERSENNE = (1 << 31) - 1
 
 
 def _md5_hex(values: List[str]) -> List[str]:
@@ -105,8 +108,8 @@ class MinHasher:
         if len(sh) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         # h_i(x) = (a_i * x + b_i) mod p, vectorized (num_perm × n_shingles)
-        prod = (self.a[:, None].astype(object) * sh[None, :].astype(object) + self.b[:, None].astype(object)) % _MERSENNE
-        return np.min(prod.astype(np.uint64), axis=1)
+        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return np.min(prod, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
@@ -164,35 +167,77 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup candidate generation + exact Jaccard verification.
 
-    shingle→minhash (actor pool) → band explode → groupby(band, hash) →
-    within-bucket pairs verified on true shingle Jaccard. Output:
+    shingle→minhash (actor pool) → band explode (bucket keys ONLY — the
+    shuffle carries (bucket, doc_id) pairs, never shingle arrays) →
+    list-collecting aggregate per bucket → candidate pairs → exact Jaccard
+    verification against a broadcast shingle store. Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
+
+    Scale note: the broadcast shingle store is O(corpus shingles) — right up
+    to ~10⁷ docs per run; beyond that, shard this op by a corpus partition
+    key and hash-join pairs back to shingles instead of broadcasting.
     """
+    import ray as _ray
+    from ray.data.aggregate import AggregateFn, Max
+
     rows = num_perm // bands
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs)
-    banded = sigs.map_batches(lambda b: _band_rows(b, bands, rows, id_col), batch_format="pyarrow")
+    # signatures computed once, pinned (small table: ids + 64 ints + shingle
+    # hashes per doc), consumed twice: store build + banding
+    sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs).materialize()
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        g = group.sort_values(id_col).reset_index(drop=True)
+    # broadcast the shingle store once (verification side data)
+    shingle_map = {}
+    for b in sigs.select_columns([id_col, "shingles"]).iter_batches(batch_format="pyarrow"):
+        for did, sh in zip(b.column(id_col).to_pylist(), b.column("shingles").to_pylist()):
+            shingle_map[did] = np.asarray(sh, dtype=np.int64)
+    store_ref = _ray.put(shingle_map)
+
+    # band explode, bucket keys only: (band-qualified hash, doc_id)
+    def band_keys(batch: pa.Table) -> pa.Table:
+        o_bucket, o_id = [], []
+        for did, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows:(b + 1) * rows])
+                o_bucket.append(f"{b}:{hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest()}")
+                o_id.append(did)
+        return pa.table({"bucket": o_bucket, id_col: o_id})
+
+    banded = sigs.map_batches(band_keys, batch_format="pyarrow")
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_row=lambda acc, row: acc + [row[id_col]],
+        name="docs",
+    )
+    buckets = banded.groupby("bucket").aggregate(collect)
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                ja = _jaccard_sorted(np.asarray(g["shingles"][i]), np.asarray(g["shingles"][j]))
-                if ja >= threshold:
-                    out_a.append(g[id_col][i])
-                    out_b.append(g[id_col][j])
-                    out_j.append(float(round_half_away(ja, 6)))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+        store = _ray.get(store_ref)
+        seen = set()
+        for docs in batch.column("docs").to_pylist():
+            if len(docs) < 2:
+                continue
+            docs = sorted(set(docs))
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    key = (docs[i], docs[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    ja = _jaccard_sorted(store[docs[i]], store[docs[j]])
+                    if ja >= threshold:
+                        out_a.append(docs[i])
+                        out_b.append(docs[j])
+                        out_j.append(float(round_half_away(ja, 6)))
+        return pa.table({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands — dedup on (doc_a, doc_b)
-    from ray.data.aggregate import Max
-
+    pairs = buckets.map_batches(emit_pairs, batch_format="pyarrow", batch_size=8192)
+    # a pair can surface from several bands/blocks — dedup on (doc_a, doc_b)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
 
 

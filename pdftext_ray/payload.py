@@ -7,25 +7,31 @@ BASELINE.json ``input_hint``) carries one ``kind='text'`` span per page whose
 (kernel/decode.py) parses this payload and applies the same coordinate
 transforms pdftext applies to pdfium output (pdftext/pdf/chars.py:10-55).
 
-Line-oriented records, ``|``-separated fields; chars are encoded as integer
-codepoints so no raw control character ever appears in the payload:
+Line-oriented records; the char stream is COLUMNAR (one CSV array per field)
+so the decoder parses with ``np.fromstring`` at C speed instead of a Python
+loop per char:
 
     P|page_idx|x1,y1,x2,y2|rotation      page header (raw pdfium-space bbox)
     F|name|flags|size|weight             font declaration (id = appearance order)
-    C|cp|fid|rot|x1,y1,x2,y2             char: codepoint, font id, char angle,
-                                         RAW charbox (pre-shift / pre-flip)
+    CS|cp,cp,...                         char codepoints (ints)
+    CF|fid,fid,...                       per-char font ids
+    CR|rot,rot,...                       per-char angles (floats)
+    CB|x1,y1,x2,y2, x1,y1,x2,y2, ...     RAW charboxes (pre-shift/pre-flip), 4N floats
     M|ref|x1,y1,x2,y2|offset             media item (top-left page coords)
     L|x1,y1,x2,y2|dest_page|dx,dy|url    link annotation (raw rect + dest)
     T|x1,y1,x2,y2                        table bbox (image coords)
     I|w,h                                image size for table extraction
 
 Floats are serialized with ``repr`` so encode→decode round-trips exactly.
+Chars are integer codepoints, so no control character ever appears raw.
 """
 
 from __future__ import annotations
 
 from typing import List, Optional, Sequence
 from urllib.parse import quote, unquote
+
+import numpy as np
 
 
 def _f(vals: Sequence[float]) -> str:
@@ -36,8 +42,14 @@ class PayloadWriter:
     """Builds one page payload string."""
 
     def __init__(self, page_idx: int, page_bbox: Sequence[float], rotation: int = 0):
-        self.lines: List[str] = [f"P|{page_idx}|{_f(page_bbox)}|{rotation}"]
+        self.header = f"P|{page_idx}|{_f(page_bbox)}|{rotation}"
         self._fonts: dict = {}
+        self._font_lines: List[str] = []
+        self._cp: List[int] = []
+        self._cf: List[int] = []
+        self._cr: List[float] = []
+        self._cb: List[float] = []
+        self.extra: List[str] = []
 
     def _font_id(self, name: str, flags: int, size: float, weight: float) -> int:
         key = (name, int(flags), float(size), float(weight))
@@ -45,15 +57,19 @@ class PayloadWriter:
         if fid is None:
             fid = len(self._fonts)
             self._fonts[key] = fid
-            self.lines.append(f"F|{quote(name, safe='')}|{int(flags)}|{repr(float(size))}|{repr(float(weight))}")
+            self._font_lines.append(
+                f"F|{quote(name, safe='')}|{int(flags)}|{repr(float(size))}|{repr(float(weight))}"
+            )
         return fid
 
     def add_char(self, ch: str, bbox: Sequence[float], font: Sequence, rotation: float = 0.0) -> None:
-        fid = self._font_id(font[0], font[1], font[2], font[3])
-        self.lines.append(f"C|{ord(ch)}|{fid}|{repr(float(rotation))}|{_f(bbox)}")
+        self._cp.append(ord(ch))
+        self._cf.append(self._font_id(font[0], font[1], font[2], font[3]))
+        self._cr.append(float(rotation))
+        self._cb.extend((float(bbox[0]), float(bbox[1]), float(bbox[2]), float(bbox[3])))
 
     def add_media(self, media_ref: str, bbox: Sequence[float], offset: int) -> None:
-        self.lines.append(f"M|{quote(media_ref, safe='')}|{_f(bbox)}|{int(offset)}")
+        self.extra.append(f"M|{quote(media_ref, safe='')}|{_f(bbox)}|{int(offset)}")
 
     def add_link(
         self,
@@ -65,63 +81,80 @@ class PayloadWriter:
         dp = "" if dest_page is None else str(int(dest_page))
         pos = "" if dest_pos is None else _f(dest_pos)
         u = "" if url is None else quote(url, safe="")
-        self.lines.append(f"L|{_f(rect)}|{dp}|{pos}|{u}")
+        self.extra.append(f"L|{_f(rect)}|{dp}|{pos}|{u}")
 
     def add_table(self, bbox: Sequence[float]) -> None:
-        self.lines.append(f"T|{_f(bbox)}")
+        self.extra.append(f"T|{_f(bbox)}")
 
     def set_img_size(self, size: Sequence[float]) -> None:
-        self.lines.append(f"I|{_f(size)}")
+        self.extra.append(f"I|{_f(size)}")
 
     def build(self) -> str:
-        return "\n".join(self.lines)
+        lines = [self.header]
+        lines.extend(self._font_lines)
+        if self._cp:
+            lines.append("CS|" + ",".join(map(str, self._cp)))
+            lines.append("CF|" + ",".join(map(str, self._cf)))
+            lines.append("CR|" + ",".join(map(repr, self._cr)))
+            lines.append("CB|" + ",".join(map(repr, self._cb)))
+        lines.extend(self.extra)
+        return "\n".join(lines)
 
 
 class RawPage:
-    """Parsed (undecoded) payload: raw coordinates exactly as serialized."""
+    """Parsed (undecoded) payload: raw numpy columns exactly as serialized."""
 
-    __slots__ = ("page_idx", "page_bbox", "rotation", "chars", "media", "links", "tables", "img_size", "fonts")
+    __slots__ = ("page_idx", "page_bbox", "rotation", "cp", "cf", "cr", "cb",
+                 "media", "links", "tables", "img_size", "fonts")
 
     def __init__(self):
         self.page_idx = 0
         self.page_bbox = [0.0, 0.0, 0.0, 0.0]
         self.rotation = 0
-        # (cp:int, fid:int, rot:float, bbox:[4])
-        self.chars: List[tuple] = []
-        # (media_ref:str, bbox:[4], offset:int)
-        self.media: List[tuple] = []
-        # dicts: {rect, dest_page, dest_pos, url}
-        self.links: List[dict] = []
+        self.cp = np.empty(0, dtype=np.int64)        # codepoints
+        self.cf = np.empty(0, dtype=np.int64)        # font ids
+        self.cr = np.empty(0, dtype=np.float64)      # char angles
+        self.cb = np.empty((0, 4), dtype=np.float64)  # raw charboxes
+        self.media: List[tuple] = []                  # (ref, bbox[4], offset)
+        self.links: List[dict] = []                   # {rect, dest_page, dest_pos, url}
         self.tables: List[List[float]] = []
         self.img_size: Optional[List[float]] = None
-        self.fonts: List[tuple] = []  # type: ignore[assignment]
+        self.fonts: List[tuple] = []
+
+
+def _csv(s: str) -> np.ndarray:
+    return np.fromstring(s, dtype=np.float64, sep=",") if s else np.empty(0)
 
 
 def parse_payload(payload: str) -> RawPage:
     page = RawPage()
     fonts: List[tuple] = []
-    chars = page.chars
     for line in payload.split("\n"):
         if not line:
             continue
-        tag = line[0]
-        if tag == "C":
-            _, cp, fid, rot, box = line.split("|")
-            x1, y1, x2, y2 = box.split(",")
-            chars.append((int(cp), int(fid), float(rot), [float(x1), float(y1), float(x2), float(y2)]))
+        tag = line[: line.index("|")]
+        body = line[len(tag) + 1:]
+        if tag == "CS":
+            page.cp = _csv(body).astype(np.int64)
+        elif tag == "CF":
+            page.cf = _csv(body).astype(np.int64)
+        elif tag == "CR":
+            page.cr = _csv(body)
+        elif tag == "CB":
+            page.cb = _csv(body).reshape(-1, 4)
         elif tag == "F":
-            _, name, flags, size, weight = line.split("|")
+            name, flags, size, weight = body.split("|")
             fonts.append((unquote(name), int(flags), float(size), float(weight)))
         elif tag == "P":
-            _, idx, box, rot = line.split("|")
+            idx, box, rot = body.split("|")
             page.page_idx = int(idx)
             page.page_bbox = [float(v) for v in box.split(",")]
             page.rotation = int(rot)
         elif tag == "M":
-            _, ref, box, off = line.split("|")
+            ref, box, off = body.split("|")
             page.media.append((unquote(ref), [float(v) for v in box.split(",")], int(off)))
         elif tag == "L":
-            _, rect, dp, pos, url = line.split("|")
+            rect, dp, pos, url = body.split("|")
             page.links.append(
                 {
                     "rect": [float(v) for v in rect.split(",")],
@@ -131,8 +164,8 @@ def parse_payload(payload: str) -> RawPage:
                 }
             )
         elif tag == "T":
-            page.tables.append([float(v) for v in line[2:].split(",")])
+            page.tables.append([float(v) for v in body.split(",")])
         elif tag == "I":
-            page.img_size = [float(v) for v in line[2:].split(",")]
+            page.img_size = [float(v) for v in body.split(",")]
     page.fonts = fonts
     return page

@@ -24,13 +24,23 @@ from pdftext_ray.kernel.document import ExtractConfig, extract_document
 from pdftext_ray.stages import schemas
 
 
+CORPUS_FORMAT_VERSION = 2  # bump when the corpus schema/layout changes
+
+
 def _rows_to_input_table(rows) -> pa.Table:
+    # n_bytes is an ingest-time size column: the skew plan's branch filters
+    # push it down to parquet row groups instead of re-scanning the payload
+    # column to size documents (SURVEY.md §4 skew; at 100 TB you bucket at
+    # ingest, not with a second full read).
     return pa.Table.from_arrays(
         [
             pa.array([r["doc_id"] for r in rows], pa.string()),
             pa.array([r["spans"] for r in rows], pa.list_(schemas.INPUT_SPAN)),
+            pa.array(
+                [sum(len(s["text"]) for s in r["spans"]) for r in rows], pa.int64()
+            ),
         ],
-        schema=schemas.INPUT_SCHEMA,
+        names=["doc_id", "spans", "n_bytes"],
     )
 
 

@@ -78,6 +78,32 @@ def extract_spans_skew_aware(
     return small_out.union(large_out)
 
 
+def extract_corpus_skew_aware(
+    path: str,
+    cfg: Optional[ExtractConfig] = None,
+    explode_threshold: int = 512 * 1024,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Skew-bucketed plan over a corpus whose ingest wrote an ``n_bytes`` size
+    column: each branch reads with a parquet predicate pushdown on n_bytes,
+    so no second full scan of the payload column is needed to size documents
+    (unlike :func:`extract_spans_skew_aware`, which sizes in-flight). This is
+    the 100 TB-correct layout — bucket sizes at ingest, prune at the read.
+    """
+    import pyarrow.compute as pc
+
+    cfg = cfg or ExtractConfig()
+    small = ray.data.read_parquet(
+        path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") <= explode_threshold)
+    )
+    large = ray.data.read_parquet(
+        path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") > explode_threshold)
+    )
+    small_out = extract_spans(small, cfg, batch_size=batch_size)
+    large_out = extract_spans_exploded(large, cfg, page_batch_size=32)
+    return small_out.union(large_out)
+
+
 def flat_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Span-sequence rows → one row per span (driver-comparable shape)."""
     return ds.map_batches(X.flatten_spans, batch_format="pyarrow")
