@@ -1,0 +1,168 @@
+"""Command-line entry point — mirrors the reference CLI surface
+(pdftext/scripts/extract_text.py:22-70) on the Ray engine.
+
+    python -m pdftext_ray extract  --input DIR --output DIR [--mode spans|plain|dict|tables]
+                                   [--sort/--no-sort] [--keep-hyphens] [--disable-links]
+                                   [--pages 0,5-10] [--workers N] [--checkpoint] [--partitions K]
+    python -m pdftext_ray gen      --output DIR --n-docs N [--seed S] [--profile mixed|plain]
+    python -m pdftext_ray bench    [...]   (delegates to bench.py envs)
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def parse_range_str(range_str: str) -> List[int]:
+    """"0,5-10,12" → sorted deduped page list (scripts/extract_text.py:10-20)."""
+    range_lst = range_str.split(",")
+    page_lst = []
+    for page_tok in range_lst:
+        if "-" in page_tok:
+            start, end = page_tok.split("-")
+            page_lst += list(range(int(start), int(end) + 1))
+        else:
+            page_lst.append(int(page_tok))
+    return sorted(set(page_lst))
+
+
+def _ray_session(num_cpus: Optional[int]):
+    import ray
+
+    kwargs = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _filter_pages(ds, pages: Optional[List[int]]):
+    """Page-range selection (M11/M12): drop text spans for unlisted pages.
+
+    The reference filters the pdfium page range (extraction.py:46-47); here a
+    vectorized map_batches drops payload spans whose position is outside the
+    range (media spans follow their page).
+    """
+    if pages is None:
+        return ds
+    import pyarrow as pa
+
+    page_set = set(pages)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rows = batch.column("spans").to_pylist()
+        out = []
+        for cell in rows:
+            kept, text_pos = [], 0
+            for s in cell or []:
+                if s["kind"] == "text":
+                    this_page = text_pos
+                    text_pos += 1
+                    if this_page in page_set:
+                        kept.append(s)
+                elif kept:
+                    kept.append(s)  # media rides with its preceding kept page
+            out.append(kept)
+        from pdftext_ray.stages import schemas
+
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.list_(schemas.INPUT_SPAN))],
+            names=["doc_id", "spans"],
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cmd_extract(args) -> int:
+    _ray_session(args.workers)
+    from pdftext_ray.kernel.document import ExtractConfig
+    from pdftext_ray.pipelines import checkpoint, extract as P
+    from pdftext_ray.storage import write_table
+
+    cfg = ExtractConfig(
+        sort=args.sort,
+        hyphens=args.keep_hyphens,
+        disable_links=args.disable_links,
+        keep_chars=args.keep_chars,
+    )
+    pages = parse_range_str(args.pages) if args.pages else None
+
+    if args.checkpoint:
+        if args.mode != "spans":
+            print("--checkpoint supports mode=spans", file=sys.stderr)
+            return 2
+        res = checkpoint.run_checkpointed(args.input, args.output, cfg, num_partitions=args.partitions)
+        print(res)
+        return 0
+
+    ds = _filter_pages(P.read_documents(args.input), pages)
+    if args.mode == "spans":
+        out = P.extract_spans_skew_aware(ds, cfg)
+    elif args.mode == "plain":
+        out = P.extract_plain_text(ds, cfg)
+    elif args.mode == "dict":
+        out = P.extract_dictionary(ds, cfg)
+    elif args.mode == "tables":
+        out = P.extract_tables(ds, cfg)
+    else:
+        print(f"unknown mode {args.mode}", file=sys.stderr)
+        return 2
+    write_table(out, args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_gen(args) -> int:
+    _ray_session(args.workers)
+    from pdftext_ray.pipelines import corpus_io
+
+    corpus_io.materialize_corpus(args.output, args.n_docs, args.seed, args.profile, overwrite=True)
+    print(f"wrote {args.output} ({args.n_docs} docs, seed {args.seed})")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="pdftext_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run an extraction pipeline")
+    pe.add_argument("--input", required=True, help="input document table (parquet/lance dir)")
+    pe.add_argument("--output", required=True, help="output directory")
+    pe.add_argument("--mode", default="spans", choices=["spans", "plain", "dict", "tables"])
+    pe.add_argument("--pages", default=None, help='page range like "0,5-10,12"')
+    pe.add_argument("--sort", action=argparse.BooleanOptionalAction, default=True)
+    pe.add_argument("--keep-hyphens", action="store_true")
+    pe.add_argument("--disable-links", action="store_true")
+    pe.add_argument("--keep-chars", action="store_true")
+    pe.add_argument("--workers", type=int, default=None, help="ray num_cpus")
+    pe.add_argument("--checkpoint", action="store_true", help="resumable partitioned run")
+    pe.add_argument("--partitions", type=int, default=8)
+    pe.set_defaults(fn=cmd_extract)
+
+    pg = sub.add_parser("gen", help="generate a deterministic corpus")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--n-docs", type=int, required=True)
+    pg.add_argument("--seed", type=int, default=42)
+    pg.add_argument("--profile", default="mixed", choices=["mixed", "plain"])
+    pg.add_argument("--workers", type=int, default=None)
+    pg.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
