@@ -283,6 +283,105 @@ def _q_filter_project(sf_dir: str):
     )
 
 
+def _q_join_orders_customer(sf_dir: str):
+    """Broadcast join: orders (large) ⋈ customer (small side, ray.put once)
+    → per-market-segment totals with partial pre-aggregation."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdftext_ray.ops import joins, round_half_away
+    from ray.data.aggregate import Sum
+
+    small = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
+    joined = joins.broadcast_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), small, "o_custkey", "c_custkey"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price")
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        df["total_price"] = round_half_away(df["total_price"], 2)
+        return df[["c_mktsegment", "n_orders", "total_price"]]
+
+    return agg.map_batches(shape, batch_format="pandas")
+
+
+def _q_join_lineitem_orders(sf_dir: str):
+    """Partitioned hash join (both sides large, one co-partitioned shuffle)
+    → revenue per order priority."""
+    import pandas as pd
+
+    from pdftext_ray.ops import joins, round_half_away
+    from ray.data.aggregate import Sum
+
+    joined = joins.partitioned_hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_orderpriority": [], "n_items": [], "revenue": []})
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev", "size"), revenue=("rev", "sum")
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("o_orderpriority").aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue")
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_items"] = df["n_items"].astype("int64")
+        df["revenue"] = round_half_away(df["revenue"], 2)
+        return df[["o_orderpriority", "n_items", "revenue"]]
+
+    return agg.map_batches(shape, batch_format="pandas")
+
+
+def _q_events_asof(sf_dir: str):
+    from pdftext_ray.ops import joins
+
+    return joins.asof_join_events(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    )
+
+
+def _q_top_users(sf_dir: str):
+    """Top-k: partial per-batch sums → groupby → sort desc → limit."""
+    import pandas as pd
+
+    from pdftext_ray.ops import round_half_away
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"))
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
+        Sum("total_value", alias_name="total_value")
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = round_half_away(df["total_value"], 2)
+        return df[["user_id", "total_value"]]
+
+    return agg.map_batches(shape, batch_format="pandas").sort(
+        ["total_value", "user_id"], descending=[True, False]
+    ).limit(10)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -317,6 +416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "distinct_event_types": _q_distinct_event_types,
         "filter_project": _q_filter_project,
+        "join_orders_customer": _q_join_orders_customer,
+        "join_lineitem_orders": _q_join_lineitem_orders,
+        "events_asof": _q_events_asof,
+        "top_users": _q_top_users,
         "media_features": _q_media_features,
     }
 
@@ -392,5 +495,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "join_orders_customer": (
+            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "join_lineitem_orders": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "events_asof": (
+            "SELECT p.event_id, p.user_id, p.ts, p.value, "
+            "c.event_id AS matched_event_id, c.ts AS matched_ts, c.value AS matched_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "top_users": (
+            "SELECT user_id, round(sum(value), 2) AS total_value FROM events "
+            "GROUP BY user_id ORDER BY round(sum(value), 2) DESC, user_id ASC LIMIT 10"
+        ),
         "filter_project": "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
     }

@@ -1,0 +1,125 @@
+"""Join operators — the lookup patterns a corpus pipeline needs.
+
+The reference has no relational joins (SURVEY.md §2.4: only the per-page
+spatial argmax join J1/J2 and the positional zip J5); these are the
+engine-side additions, built on the two scale-correct plans from the Ray
+guide:
+
+* **broadcast join** — small side shipped ONCE via ``ray.put`` and merged
+  per batch inside ``map_batches``; zero shuffle. Right whenever one side
+  fits in a worker's heap (dimension tables, vocabularies, blocklists).
+* **partitioned hash join** — both sides large: add ``bucket = hash(key) % B``
+  to each side, ``groupby(bucket)`` and join bucket-pairs inside
+  ``map_groups``. One shuffle per side, keyed by the SAME bucket column (pick
+  one partitioning key and reuse it). Salt hot keys into sub-buckets when a
+  single key exceeds a worker's memory.
+* **as-of join** — sort-within-bucket + ``pd.merge_asof`` per key group
+  (backward: greatest right.ts ≤ left.ts), the streaming-log lookup pattern.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(
+    large: ray.data.Dataset,
+    small: pa.Table,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Join a large Dataset against a small in-memory table (broadcast once)."""
+    small_df = small.to_pandas()
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, left_on=left_key, right_on=right_key, how=how)
+
+    return large.map_batches(merge, batch_format="pandas")
+
+
+def partitioned_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    left_cols: Optional[List[str]] = None,
+    right_cols: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Inner hash join of two large Datasets.
+
+    Uses Ray Data's native hash-partitioned ``Dataset.join`` (Ray ≥ 2.46):
+    both sides are pre-projected so the shuffle carries only the needed
+    columns, then co-partitioned on the key into ``num_buckets`` partitions.
+    (On Ray versions without ``Dataset.join``, the portable pattern is:
+    tag both sides with ``bucket = hash(key) % B`` over a COMMON schema,
+    union, and merge per bucket in ``map_groups``.)
+    """
+    if left_cols:
+        left = left.select_columns(list(left_cols))
+    if right_cols:
+        right = right.select_columns(list(right_cols))
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_buckets,
+        on=(left_key,),
+        right_on=(right_key,),
+    )
+
+
+def asof_join_events(
+    ds: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> ray.data.Dataset:
+    """As-of join inside one event log: for each ``left_type`` event, the
+    most recent ``right_type`` event by the same key at-or-before its
+    timestamp (backward inclusive; unmatched left rows dropped — inner
+    semantics, mirroring SQL ASOF JOIN).
+
+    Plan: filter to the two types (vectorized), groupby(key), per-group
+    pandas ``merge_asof`` over ts-sorted frames. The shuffle carries only the
+    filtered, projected event columns. Output columns: event_id, user_id, ts,
+    value, matched_event_id, matched_ts, matched_value.
+    """
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"), value_set=pa.array([left_type, right_type]))
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["event_type"] == left_type].sort_values(ts)
+        rhs = group[group["event_type"] == right_type].sort_values(ts)
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame(
+                columns=["event_id", key, ts, "value", "matched_event_id", "matched_ts", "matched_value"]
+            )
+        merged = pd.merge_asof(
+            lhs[["event_id", key, ts, "value"]],
+            rhs[["event_id", ts, "value"]].rename(
+                columns={"event_id": "matched_event_id", ts: "matched_ts", "value": "matched_value"}
+            ),
+            left_on=ts,
+            right_on="matched_ts",
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["matched_event_id"])
+        merged["matched_event_id"] = merged["matched_event_id"].astype("int64")
+        return merged
+
+    return filtered.groupby(key).map_groups(per_key, batch_format="pandas")
