@@ -54,14 +54,35 @@ def generate_corpus_ds(n_docs: int, seed: int = 42, profile: str = "mixed") -> r
     return base.map_batches(gen, batch_format="pyarrow")
 
 
+# docs above this payload size land in the `large` ingest bucket; must match
+# the default explode_threshold of the skew-aware read plan
+SIZE_BUCKET_THRESHOLD = 256 * 1024
+
+
 def materialize_corpus(
     path: str, n_docs: int, seed: int = 42, profile: str = "mixed", overwrite: bool = False
 ) -> str:
-    """Write the corpus to ``path`` (idempotent: atomic rename, skip if done)."""
+    """Write the corpus to ``path`` (idempotent: atomic rename, skip if done).
+
+    The layout is hive-partitioned by ``size_bucket`` (small/large on
+    ``n_bytes``): the skew-aware extraction plan reads each bucket's
+    directory directly, so routing heavy documents costs zero extra scans
+    (bucket at ingest — the 100 TB answer to skew)."""
     if os.path.isdir(path) and not overwrite:
         return path
     tmp = f"{path}.tmp.{os.getpid()}"
-    generate_corpus_ds(n_docs, seed, profile).write_parquet(tmp)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bucket = pc.if_else(
+            pc.greater(batch.column("n_bytes"), SIZE_BUCKET_THRESHOLD), "large", "small"
+        )
+        return batch.append_column("size_bucket", bucket)
+
+    generate_corpus_ds(n_docs, seed, profile).map_batches(
+        bucketize, batch_format="pyarrow"
+    ).write_parquet(tmp, partition_cols=["size_bucket"])
     if os.path.isdir(path):  # lost a race or overwrite: replace
         import shutil
 

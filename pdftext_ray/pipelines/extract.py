@@ -28,16 +28,33 @@ def read_documents(path: str, columns=("doc_id", "spans")) -> ray.data.Dataset:
     return read_table(path, columns=list(columns))
 
 
+def _default_pool_size(reserve: int = 2) -> int:
+    """Actor-pool size: node CPUs minus headroom for read/write stages, so
+    the pool doesn't starve the rest of the pipeline (a pool reserving every
+    CPU serializes the stages)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus - reserve)
+
+
 def extract_spans(
     ds: ray.data.Dataset,
     cfg: Optional[ExtractConfig] = None,
     batch_size: int = 64,
     concurrency: Optional[int] = None,
 ) -> ray.data.Dataset:
-    """Flagship doc-parallel span-sequence extraction (no shuffle)."""
+    """Flagship doc-parallel span-sequence extraction (no shuffle).
+
+    A FIXED-size actor pool beats the autoscaling default here: autoscaling
+    ramps up over the first seconds of the run, which costs ~10% wall on a
+    short job and re-warms actors on a long one.
+    """
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs["concurrency"] = concurrency if concurrency is not None else _default_pool_size()
     return ds.map_batches(X.DocumentExtractor(cfg), **kwargs)
 
 
@@ -84,22 +101,41 @@ def extract_corpus_skew_aware(
     explode_threshold: int = 512 * 1024,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
-    """Skew-bucketed plan over a corpus whose ingest wrote an ``n_bytes`` size
-    column: each branch reads with a parquet predicate pushdown on n_bytes,
-    so no second full scan of the payload column is needed to size documents
-    (unlike :func:`extract_spans_skew_aware`, which sizes in-flight). This is
-    the 100 TB-correct layout — bucket sizes at ingest, prune at the read.
+    """Skew-bucketed plan over an ingested corpus: heavy documents take the
+    page-exploded branch, the bulk takes the fused doc-parallel branch.
+
+    If the corpus was written with hive ``size_bucket=small|large``
+    partitions (pdftext_ray ingest does this), each branch reads ONLY its
+    bucket's directory - routing costs zero extra scans. Otherwise both
+    branches read with a parquet predicate pushdown on the ``n_bytes``
+    ingest column. This is the 100 TB-correct layout - bucket at ingest,
+    prune at the read (SURVEY.md §4 skew).
     """
+    import os
+
     import pyarrow.compute as pc
 
     cfg = cfg or ExtractConfig()
-    small = ray.data.read_parquet(
-        path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") <= explode_threshold)
-    )
-    large = ray.data.read_parquet(
-        path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") > explode_threshold)
-    )
+    small_dir = os.path.join(path, "size_bucket=small")
+    large_dir = os.path.join(path, "size_bucket=large")
+    if os.path.isdir(small_dir):
+        small = ray.data.read_parquet(small_dir, columns=["doc_id", "spans"])
+        large = (
+            ray.data.read_parquet(large_dir, columns=["doc_id", "spans"])
+            if os.path.isdir(large_dir)
+            else None
+        )
+    else:
+        small = ray.data.read_parquet(
+            path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") <= explode_threshold)
+        )
+        large = ray.data.read_parquet(
+            path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") > explode_threshold)
+        )
     small_out = extract_spans(small, cfg, batch_size=batch_size)
+    if large is None:
+        return small_out
+    # heavy bucket: small page batches so one batch never holds two monsters
     large_out = extract_spans_exploded(large, cfg, page_batch_size=32)
     return small_out.union(large_out)
 
