@@ -214,6 +214,14 @@ def _q_dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """MinHash near-dup pairs → connected components → cluster ids."""
+    from pdftext_ray.ops import cluster, dedup
+
+    pairs = dedup.minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4)
+    return cluster.connected_components_local(pairs)
+
+
 def _q_dedup_embedding(sf_dir: str):
     from pdftext_ray.ops import dedup
 
@@ -408,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": _q_dedup_prefix,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "embedding_pairs": _q_embedding_pairs,
         "similarity_topk": _q_similarity_topk,

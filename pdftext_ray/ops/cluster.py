@@ -1,0 +1,132 @@
+"""Connected components over near-dup pair tables → cluster ids.
+
+Two plans:
+
+* ``connected_components_local`` — union-find on the driver. Near-dup pair
+  sets are sparse (≪ corpus size), so this is the right default when the
+  pair table provably fits driver memory (ray_guide: "union-find on the
+  driver only if the candidate set is provably small").
+* ``connected_components_distributed`` — iterative min-label propagation:
+  each round, every node takes the min label among itself and its
+  neighbors (one groupby per round); converges in O(diameter) rounds.
+  Right when the pair table itself is too large to collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def connected_components_local(pairs: ray.data.Dataset, a_col: str = "doc_a", b_col: str = "doc_b") -> pa.Table:
+    """Union-find on the collected pair table. Output: (doc_id, cluster_id)
+    with cluster_id = min member id; singleton nodes are omitted."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins as the root → cluster_id = min member
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    for batch in pairs.select_columns([a_col, b_col]).iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column(a_col).to_pylist(), batch.column(b_col).to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+
+    nodes = sorted(parent)
+    return pa.table({"doc_id": nodes, "cluster_id": [find(n) for n in nodes]})
+
+
+def _edge_fingerprint(ds: ray.data.Dataset) -> int:
+    """Order-insensitive content hash of an edge table (convergence probe) —
+    a map_batches partial + tiny Sum aggregate, no join, no collect."""
+    import hashlib
+
+    MOD = (1 << 61) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        total = 0
+        for a, b in zip(batch.column("node").to_pylist(), batch.column("peer").to_pylist()):
+            h = hashlib.blake2b(repr((a, b)).encode(), digest_size=8).digest()
+            total = (total + int.from_bytes(h, "big")) % MOD
+        return pa.table({"h": [total]})
+
+    # modular sum per batch, final mod-sum over the tiny partials table —
+    # insensitive to row order AND block partitioning
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return sum(r["h"] for r in parts) % MOD
+
+
+def connected_components_distributed(
+    pairs: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 12,
+) -> ray.data.Dataset:
+    """Star-contraction connected components: one groupby per round, no joins.
+
+    Each round every node's neighborhood (plus itself) is contracted onto its
+    minimum member: group the bidirectional edge list by node and emit
+    ``(min, x)`` for every other member. The edge set converges to stars
+    rooted at each component's min id in O(log n) rounds (MapReduce
+    connected-components star contraction); convergence is detected by an
+    order-insensitive edge-set fingerprint (cheap aggregate, no join).
+    Output: (doc_id, cluster_id=min member id), singletons omitted.
+    """
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).combine_chunks()
+        b = batch.column(b_col).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])})
+
+    def contract(group: pd.DataFrame) -> pd.DataFrame:
+        node = group["node"].iloc[0]
+        members = set(group["peer"]) | {node}
+        m = min(members)
+        others = sorted(members - {m})
+        return pd.DataFrame({"node": [m] * len(others) + others,
+                             "peer": others + [m] * len(others)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    prev_fp = None
+    for _ in range(max_rounds):
+        edges = (
+            edges.groupby("node")
+            .map_groups(contract, batch_format="pandas")
+            .groupby(["node", "peer"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .materialize()
+        )
+        fp = _edge_fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.greater(batch.column("peer"), batch.column("node")))
+        return pa.table({"doc_id": keep.column("peer"), "cluster_id": keep.column("node")})
+
+    labels = edges.map_batches(emit, batch_format="pyarrow")
+    roots = labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("cluster_id").unique(),
+                            "cluster_id": t.column("cluster_id").unique()}),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Min
+
+    return labels.union(roots).groupby("doc_id").aggregate(Min("cluster_id", alias_name="cluster_id"))

@@ -161,3 +161,22 @@ def extract_tables(
     ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
 ) -> ray.data.Dataset:
     return ds.map_batches(X.TableCellExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_tables_with_inputs(
+    ds: ray.data.Dataset,
+    table_inputs,  # pa.Table: doc_id, page, tables list<bbox4>, img_size list2
+    cfg: Optional[ExtractConfig] = None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """J5 keyed broadcast join: external detector regions broadcast once."""
+    import ray as _ray
+
+    ref = _ray.put(table_inputs)
+    return ds.map_batches(
+        X.TableCellExtractorWithInputs,
+        fn_constructor_args=(ref, cfg),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_default_pool_size(),
+    )

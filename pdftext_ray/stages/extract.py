@@ -199,6 +199,60 @@ class TableCellExtractor:
         )
 
 
+class TableCellExtractorWithInputs:
+    """T1 with EXTERNAL table inputs (reference ``table_output(pdf_path,
+    table_inputs)``, pdftext/extraction.py:134-155, J5): the detector's table
+    regions come as a separate small table keyed (doc_id, page) that is
+    broadcast via ``ray.put`` once and looked up per page inside the actor —
+    a keyed broadcast join instead of the reference's positional zip
+    (``assert len(pages) == len(table_inputs)``, extraction.py:147)."""
+
+    def __init__(self, inputs_ref, cfg: ExtractConfig = None):
+        import ray as _ray
+
+        cfg = cfg or ExtractConfig()
+        self.cfg = cfg if cfg.keep_chars else ExtractConfig(**{**cfg.__dict__, "keep_chars": True})
+        # {(doc_id, page): (tables, img_size)} — built once per actor
+        inputs = _ray.get(inputs_ref)
+        self.lookup = {
+            (d, p): (t, s)
+            for d, p, t, s in zip(
+                inputs.column("doc_id").to_pylist(),
+                inputs.column("page").to_pylist(),
+                inputs.column("tables").to_pylist(),
+                inputs.column("img_size").to_pylist(),
+            )
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdftext_ray.kernel.tables import table_cell_text
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        o_doc, o_page, o_tbl, o_cells = [], [], [], []
+        for doc_id, cell in zip(doc_ids, spans_col):
+            pages = process_document(_doc_payloads(cell or []), self.cfg)
+            for page in pages:
+                hit = self.lookup.get((doc_id, page["page"]))
+                if not hit:
+                    continue
+                tables, img_size = hit
+                for t_idx, cells in enumerate(table_cell_text(tables, page, img_size)):
+                    o_doc.append(doc_id)
+                    o_page.append(page["page"])
+                    o_tbl.append(t_idx)
+                    o_cells.append(cells)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, pa.string()),
+                pa.array(o_page, pa.int32()),
+                pa.array(o_tbl, pa.int32()),
+                pa.array(o_cells, pa.list_(schemas.TABLE_CELL)),
+            ],
+            schema=schemas.TABLE_SCHEMA,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Page-exploded path (heavy documents)
 # ---------------------------------------------------------------------------

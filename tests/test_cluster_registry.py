@@ -1,0 +1,86 @@
+"""Tests: connected components (both plans), stage registry, external
+table-inputs broadcast join."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from pdftext_ray.kernel.document import ExtractConfig
+from pdftext_ray.ops import cluster
+from pdftext_ray.pipelines import extract as P
+from pdftext_ray.pipelines.registry import REGISTRY, build_pipeline
+
+
+def _pairs(edges):
+    return ray.data.from_arrow(
+        pa.table({"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]})
+    )
+
+
+EDGES = [(1, 2), (2, 3), (5, 6), (9, 1), (10, 11)]
+WANT = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_local():
+    t = cluster.connected_components_local(_pairs(EDGES))
+    assert dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist())) == WANT
+
+
+def test_connected_components_distributed_matches_local():
+    df = cluster.connected_components_distributed(_pairs(EDGES)).to_pandas()
+    assert dict(zip(df["doc_id"], df["cluster_id"])) == WANT
+
+
+def test_connected_components_chain_converges():
+    chain = [(i, i + 1) for i in range(15)]
+    df = cluster.connected_components_distributed(_pairs(chain)).to_pandas()
+    assert set(df["cluster_id"]) == {0} and len(df) == 16
+
+
+def test_registry_compose_and_replace():
+    from pdftext_ray.pipelines import corpus_io
+
+    ds = ray.data.from_arrow(corpus_io.generate_corpus_table(8))
+    out = build_pipeline(["extract_spans", "drop_errors", "flatten"], ds)
+    assert out.count() > 0
+    assert set(out.schema().names) == {"doc_id", "order", "kind", "text", "media_ref"}
+
+    @REGISTRY.register("head3")
+    def head3(d, cfg):
+        return d.limit(3)
+
+    assert "head3" in REGISTRY.names()
+    assert build_pipeline(["extract_spans", "head3"], ds).count() == 3
+    with pytest.raises(KeyError):
+        REGISTRY.get("nope")
+
+
+def test_external_table_inputs_broadcast_join():
+    """Same page as the payload-annotation path, but regions supplied via a
+    separate keyed table (reference table_output's TableInputs argument)."""
+    from tests.test_links_tables import _table_page
+
+    payload = _table_page(1.0)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d0", "d1"],
+                "spans": [
+                    [{"kind": "text", "text": payload, "media_ref": "", "offset": 0}],
+                    [{"kind": "text", "text": payload, "media_ref": "", "offset": 0}],
+                ],
+            }
+        )
+    )
+    inputs = pa.table(
+        {
+            "doc_id": ["d0"],  # only d0 has detected tables
+            "page": [0],
+            "tables": [[[50.0, 90.0, 250.0, 150.0]]],
+            "img_size": [[612.0, 792.0]],
+        }
+    )
+    out = P.extract_tables_with_inputs(docs, inputs).to_pandas()
+    assert set(out["doc_id"]) == {"d0"}
+    cells = out.iloc[0]["cells"]
+    assert [c["text"] for c in cells] == ["c00", "c01", "c02", "c10", "c11", "c12"]
