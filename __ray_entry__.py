@@ -36,6 +36,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "corpus": os.path.join(base, "corpus"),
         "expected_flat": os.path.join(base, "expected_flat.parquet"),
         "expected_plain": os.path.join(base, "expected_plain.parquet"),
+        "expected_paginated": os.path.join(base, "expected_paginated.parquet"),
     }
 
 
@@ -51,6 +52,7 @@ def _ensure_corpus(sf_dir: str) -> dict:
     corpus_io.materialize_corpus(paths["corpus"], n, CORPUS_SEED)
     corpus_io.materialize_expected(paths["expected_flat"], n, CORPUS_SEED)
     corpus_io.materialize_expected_plain(paths["expected_plain"], n, CORPUS_SEED)
+    corpus_io.materialize_expected_paginated(paths["expected_paginated"], n, CORPUS_SEED)
     return paths
 
 
@@ -103,6 +105,13 @@ def _q_extract_plain_text(sf_dir: str):
 
     paths = _ensure_corpus(sf_dir)
     return P.extract_plain_text(P.read_documents(paths["corpus"]))
+
+
+def _q_extract_paginated(sf_dir: str):
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    return P.extract_paginated_plain_text(P.read_documents(paths["corpus"]))
 
 
 def _q_extract_tables(sf_dir: str):
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_exploded": _q_extract_spans_exploded,
         "extract_spans_skew_aware": _q_extract_spans_skew,
         "extract_plain_text": _q_extract_plain_text,
+        "extract_paginated_text": _q_extract_paginated,
         "extract_tables": _q_extract_tables,
         "extract_dictionary": _q_extract_dictionary,
         "token_count": _q_token_count,
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOPLIST_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 _EXPECTED_FLAT = _corpus_paths(SF001_DOCS)["expected_flat"]
 _EXPECTED_PLAIN = _corpus_paths(SF001_DOCS)["expected_plain"]
+_EXPECTED_PAGINATED = _corpus_paths(SF001_DOCS)["expected_paginated"]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -451,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_exploded": f"SELECT doc_id, \"order\", kind, text, media_ref FROM read_parquet('{_EXPECTED_FLAT}')",
         "extract_spans_skew_aware": f"SELECT doc_id, \"order\", kind, text, media_ref FROM read_parquet('{_EXPECTED_FLAT}')",
         "extract_plain_text": f"SELECT doc_id, text FROM read_parquet('{_EXPECTED_PLAIN}')",
+        "extract_paginated_text": f"SELECT doc_id, page, text FROM read_parquet('{_EXPECTED_PAGINATED}')",
         "token_count": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "

@@ -144,6 +144,37 @@ def expected_plain_table(
     )
 
 
+def expected_paginated_table(
+    n_docs: int, seed: int = 42, profile: str = "mixed", cfg: Optional[ExtractConfig] = None
+) -> pa.Table:
+    """Golden per-page plain text via the single-doc oracle (no Ray)."""
+    from pdftext_ray.kernel.document import merge_text, process_document
+
+    cfg = cfg or ExtractConfig()
+    doc_ids, pages_o, texts = [], [], []
+    for i in range(n_docs):
+        doc = generate_document(i, seed, profile)
+        payloads = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+        for pg in process_document(payloads, cfg):
+            doc_ids.append(doc["doc_id"])
+            pages_o.append(pg["page"])
+            texts.append(merge_text(pg, sort=cfg.sort, hyphens=cfg.hyphens).strip())
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()), pa.array(pages_o, pa.int32()), pa.array(texts, pa.string())],
+        names=["doc_id", "page", "text"],
+    )
+
+
+def materialize_expected_paginated(path: str, n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(expected_paginated_table(n_docs, seed, profile), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def materialize_expected(path: str, n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
     """Write the golden flat table as one parquet file (idempotent/atomic)."""
     if os.path.exists(path):

@@ -151,6 +151,14 @@ def extract_plain_text(
     return ds.map_batches(X.PlainTextExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)
 
 
+def extract_paginated_plain_text(
+    ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        X.PaginatedPlainTextExtractor(cfg), batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def extract_dictionary(
     ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
 ) -> ray.data.Dataset:

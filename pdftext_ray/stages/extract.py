@@ -142,6 +142,32 @@ class PlainTextExtractor:
         )
 
 
+class PaginatedPlainTextExtractor:
+    """Reference ``paginated_plain_text_output`` parity
+    (pdftext/extraction.py:77-81): one row per (doc, page) with the page's
+    merged text, stripped."""
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdftext_ray.kernel.document import merge_text
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        o_doc, o_page, o_text = [], [], []
+        for doc_id, cell in zip(doc_ids, spans_col):
+            pages = process_document(_doc_payloads(cell or []), self.cfg)
+            for pg in pages:
+                o_doc.append(doc_id)
+                o_page.append(pg["page"])
+                o_text.append(merge_text(pg, sort=self.cfg.sort, hyphens=self.cfg.hyphens).strip())
+        return pa.Table.from_arrays(
+            [pa.array(o_doc, pa.string()), pa.array(o_page, pa.int32()), pa.array(o_text, pa.string())],
+            names=["doc_id", "page", "text"],
+        )
+
+
 class DictionaryExtractor:
     """M9 parity: full nested dictionary output as Arrow list<struct> pages."""
 
