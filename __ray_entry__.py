@@ -455,6 +455,13 @@ _EXPECTED_PAGINATED = _corpus_paths(SF001_DOCS)["expected_paginated"]
 
 
 def oracle_sql() -> dict[str, str]:
+    # the extraction oracles read golden parquet produced by the single-doc
+    # oracle; materialize it here too (idempotent) so the oracle side works
+    # regardless of whether the driver runs queries or oracles first
+    try:
+        _ensure_corpus("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return {
         # extraction oracles: golden parquet written by the independent
         # single-doc reference oracle (plain pyarrow path, no Ray)

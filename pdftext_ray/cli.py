@@ -104,6 +104,8 @@ def cmd_extract(args) -> int:
         return 0
 
     ds = _filter_pages(P.read_documents(args.input), pages)
+    if args.limit:
+        ds = ds.limit(args.limit)
     if args.mode == "spans":
         out = P.extract_spans_skew_aware(ds, cfg)
     elif args.mode == "plain":
@@ -115,6 +117,16 @@ def cmd_extract(args) -> int:
     else:
         print(f"unknown mode {args.mode}", file=sys.stderr)
         return 2
+    if args.stdout:
+        # reference CLI prints to stdout by default (scripts/extract_text.py:66-70)
+        for row in out.iter_rows():
+            if args.mode == "plain":
+                print(row["text"])
+            else:
+                import json
+
+                print(json.dumps(row, default=str))
+        return 0
     write_table(out, args.output)
     print(f"wrote {args.output}")
     return 0
@@ -135,7 +147,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     pe = sub.add_parser("extract", help="run an extraction pipeline")
     pe.add_argument("--input", required=True, help="input document table (parquet/lance dir)")
-    pe.add_argument("--output", required=True, help="output directory")
+    pe.add_argument("--output", default=None, help="output directory (omit with --stdout)")
     pe.add_argument("--mode", default="spans", choices=["spans", "plain", "dict", "tables"])
     pe.add_argument("--pages", default=None, help='page range like "0,5-10,12"')
     pe.add_argument("--sort", action=argparse.BooleanOptionalAction, default=True)
@@ -143,6 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pe.add_argument("--disable-links", action="store_true")
     pe.add_argument("--keep-chars", action="store_true")
     pe.add_argument("--workers", type=int, default=None, help="ray num_cpus")
+    pe.add_argument("--limit", type=int, default=None, help="max docs (reference --max)")
+    pe.add_argument("--stdout", action="store_true", help="print results instead of writing")
     pe.add_argument("--checkpoint", action="store_true", help="resumable partitioned run")
     pe.add_argument("--partitions", type=int, default=8)
     pe.set_defaults(fn=cmd_extract)
