@@ -35,7 +35,7 @@ CH, BBOX, ROT, FONT, IDX = 0, 1, 2, 3, 4
 class DecodedPage:
     __slots__ = (
         "page_idx", "page_bbox", "width", "height", "rotation",
-        "chars", "media", "links", "tables", "img_size",
+        "chars", "media", "links", "tables", "img_size", "_arrays",
     )
 
     def __init__(self):
@@ -44,6 +44,7 @@ class DecodedPage:
         self.links: List[dict] = []
         self.tables: List[List[float]] = []
         self.img_size: Optional[List[float]] = None
+        self._arrays = None
 
 
 def _scale_rect(rect, x_start, y_start, page_width, page_height, page_rotation, do_round):
@@ -113,11 +114,82 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
                 range(n),
             )
         )
+        out._arrays = (raw, boxes)
 
     out.media = raw.media
     out.tables = raw.tables
     out.img_size = raw.img_size
+    return _finish_links(out, raw, x_start, y_start, page_width, page_height)
 
+
+def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
+    """decode_page fused with vectorized M1 word dedup.
+
+    The reference's word fold (pdftext/pdf/chars.py:58-115) breaks a word when
+    its last char is \\n/space/\\x02 or the font/rotation changes — all
+    conditions on ADJACENT chars, so word boundaries compute in one numpy pass
+    over the decoded arrays; word bboxes via ``minimum/maximum.reduceat``;
+    texts by slicing one joined string. Only the keep-first key dedup is a
+    (short) Python loop over words. Equivalent to decode_page +
+    cluster.deduplicate_chars (property-tested on every corpus case)."""
+    import numpy as np
+
+    page = decode_page(payload, quote_loosebox)
+    chars = page.chars
+    n = len(chars)
+    if n == 0:
+        return page
+    raw, boxes = page._arrays
+    page._arrays = None
+
+    cp, cf, cr = raw.cp, raw.cf, raw.cr
+    # canonicalize font ids so equal font tuples compare equal even if the
+    # payload declared them twice (mirrors the reference's field-wise compare)
+    fonts = raw.fonts
+    if len(set(fonts)) != len(fonts):
+        canon = {}
+        remap = np.empty(len(fonts), dtype=np.int64)
+        for i, f in enumerate(fonts):
+            remap[i] = canon.setdefault(f, i)
+        cf = remap[cf]
+
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    prev_cp = cp[:-1]
+    brk[1:] = (
+        (prev_cp == 10) | (prev_cp == 32) | (prev_cp == 2)
+        | (cf[1:] != cf[:-1])
+        | (cr[1:] != cr[:-1])
+    )
+    starts = np.nonzero(brk)[0]
+    ends = np.append(starts[1:], n)
+
+    mins = np.minimum.reduceat(boxes[:, :2], starts, axis=0)
+    maxs = np.maximum.reduceat(boxes[:, 2:], starts, axis=0)
+
+    full = "".join(c[0] for c in chars)
+    seen = set()
+    kept_ranges = []
+    any_dropped = False
+    for w in range(len(starts)):
+        s0, e0 = int(starts[w]), int(ends[w])
+        key = (
+            round(float(mins[w, 0]), 0), round(float(mins[w, 1]), 0),
+            round(float(maxs[w, 0]), 0), round(float(maxs[w, 1]), 0),
+            full[s0:e0], float(cr[s0]), int(cf[s0]),
+        )
+        if key not in seen:
+            seen.add(key)
+            kept_ranges.append((s0, e0))
+        else:
+            any_dropped = True
+
+    if any_dropped:
+        page.chars = [c for s0, e0 in kept_ranges for c in chars[s0:e0]]
+    return page
+
+
+def _finish_links(out, raw, x_start, y_start, page_width, page_height):
     for ln in raw.links:
         bbox = _scale_rect(ln["rect"], x_start, y_start, page_width, page_height, raw.rotation, do_round=True)
         dest_pos = None

@@ -18,7 +18,7 @@ from dataclasses import dataclass
 from typing import List, Optional
 
 from pdftext_ray.kernel import cluster, links as klinks
-from pdftext_ray.kernel.decode import DecodedPage, decode_page
+from pdftext_ray.kernel.decode import DecodedPage, decode_page, decode_page_dedup
 from pdftext_ray.kernel.tables import table_cell_text
 from pdftext_ray.textops import handle_hyphens, postprocess_text, sort_blocks
 
@@ -41,9 +41,9 @@ class ExtractConfig:
 DEFAULT_CONFIG = ExtractConfig()
 
 
-def process_page(decoded: DecodedPage, cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
+def process_page(decoded: DecodedPage, cfg: ExtractConfig = DEFAULT_CONFIG, pre_deduped: bool = False) -> dict:
     """Run the per-page clustering chain (pdftext/pdf/pages.py:270-301)."""
-    chars = cluster.deduplicate_chars(decoded.chars)
+    chars = decoded.chars if pre_deduped else cluster.deduplicate_chars(decoded.chars)
     spans = cluster.get_spans(
         chars,
         superscript_height_threshold=cfg.superscript_height_threshold,
@@ -72,7 +72,10 @@ def process_page(decoded: DecodedPage, cfg: ExtractConfig = DEFAULT_CONFIG) -> d
 
 def process_document(payloads: List[str], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[dict]:
     """Decode + cluster every page, then resolve links document-wide."""
-    pages = [process_page(decode_page(p, cfg.quote_loosebox), cfg) for p in payloads]
+    pages = [
+        process_page(decode_page_dedup(p, cfg.quote_loosebox), cfg, pre_deduped=True)
+        for p in payloads
+    ]
     if not cfg.disable_links:
         klinks.add_links_and_refs(pages, [pg["links"] for pg in pages])
     else:

@@ -80,9 +80,15 @@ def materialize_corpus(
         )
         return batch.append_column("size_bucket", bucket)
 
+    # many smallish files → the read stage fans out to every core (a read
+    # with fewer file-tasks than CPUs starves the extract actor pool)
+    rows_per_file = max(200, n_docs // 96)
     generate_corpus_ds(n_docs, seed, profile).map_batches(
         bucketize, batch_format="pyarrow"
-    ).write_parquet(tmp, partition_cols=["size_bucket"])
+    ).write_parquet(
+        tmp, partition_cols=["size_bucket"],
+        min_rows_per_file=rows_per_file, max_rows_per_file=rows_per_file,
+    )
     if os.path.isdir(path):  # lost a race or overwrite: replace
         import shutil
 
