@@ -60,7 +60,8 @@ SIZE_BUCKET_THRESHOLD = 256 * 1024
 
 
 def materialize_corpus(
-    path: str, n_docs: int, seed: int = 42, profile: str = "mixed", overwrite: bool = False
+    path: str, n_docs: int, seed: int = 42, profile: str = "mixed", overwrite: bool = False,
+    rows_per_file: Optional[int] = None,
 ) -> str:
     """Write the corpus to ``path`` (idempotent: atomic rename, skip if done).
 
@@ -82,7 +83,8 @@ def materialize_corpus(
 
     # many smallish files → the read stage fans out to every core (a read
     # with fewer file-tasks than CPUs starves the extract actor pool)
-    rows_per_file = max(200, n_docs // 96)
+    if rows_per_file is None:
+        rows_per_file = max(200, n_docs // 96)
     generate_corpus_ds(n_docs, seed, profile).map_batches(
         bucketize, batch_format="pyarrow"
     ).write_parquet(

@@ -32,7 +32,7 @@ def test_corpus_deterministic_across_paths(tmp_path):
 def test_checkpoint_resume_and_lineage(tmp_path):
     corpus = str(tmp_path / "corpus")
     out = str(tmp_path / "out")
-    corpus_io.materialize_corpus(corpus, 40)
+    corpus_io.materialize_corpus(corpus, 40, rows_per_file=8)  # several files -> several partitions
     r1 = checkpoint.run_checkpointed(corpus, out, num_partitions=3)
     assert r1["processed"] == 3 and r1["rows"] == 40
     r2 = checkpoint.run_checkpointed(corpus, out, num_partitions=3)
