@@ -10,7 +10,7 @@ both throughputs plus scaling efficiency (the in-sandbox evidence for the
 north rule's N-vs-4N cluster criterion; see BASELINE.md).
 
 Corpus: the deterministic interleaved-document corpus (seed 42), sized
-BENCH_DOC_MULT × the sf dir's documents row count (sf0.1 → 50,000 docs).
+BENCH_DOC_MULT × the sf dir's documents row count (sf0.1 → 100,000 docs).
 Generation is cached on disk and excluded from timings; one untimed read
 warms the page cache before the timed run.
 """
@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "10"))
+DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "20"))
 SEED = 42
 
 
@@ -99,8 +99,17 @@ def run_bench() -> dict:
         sample_ids = sorted(rng.choice(n_docs, size=min(200, n_docs), replace=False).tolist())
         id_set = {f"doc-{i:08d}" for i in sample_ids}
         got = {}
+        import pyarrow as pa
+
+        id_arr = pa.array(sorted(id_set))
         spans_ds = ray.data.read_parquet(os.path.join(out_dir, "spans"))
-        flat = P.flat_spans(spans_ds.filter(lambda r: r["doc_id"] in id_set))
+        # vectorized filter: a row-based filter(lambda) would rebuild blocks
+        # with schema inference (an all-empty block infers list<null>)
+        sampled = spans_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_arr)),
+            batch_format="pyarrow",
+        )
+        flat = P.flat_spans(sampled)
         for b in flat.iter_batches(batch_format="pyarrow"):
             for r in b.to_pylist():
                 got.setdefault(r["doc_id"], []).append((r["order"], r["kind"], r["text"], r["media_ref"]))

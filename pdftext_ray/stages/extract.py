@@ -107,6 +107,9 @@ def flatten_spans(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans").combine_chunks()
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.chunk(0) if spans.num_chunks else pa.array([], pa.list_(schemas.OUTPUT_SPAN))
+    if pa.types.is_null(spans.type.value_type):
+        # a degenerate all-empty/null column (e.g. schema-inferred upstream)
+        return schemas.FLAT_SPAN_SCHEMA.empty_table()
     counts = pa.compute.list_value_length(spans).fill_null(0).to_numpy(zero_copy_only=False)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     rep_ids = np.repeat(doc_ids, counts)
