@@ -223,6 +223,14 @@ def _q_dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
 def _q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pairs → connected components → cluster ids."""
     from pdftext_ray.ops import cluster, dedup
@@ -427,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "embedding_pairs": _q_embedding_pairs,
         "similarity_topk": _q_similarity_topk,
@@ -505,6 +514,16 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+            "ELSE [] END) grams FROM toks) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5"
         ),
         "similarity_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

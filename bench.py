@@ -125,6 +125,20 @@ def run_bench() -> dict:
                 matches += 1
         extras["exact_match_rate"] = round(matches / len(sample_ids), 4)
 
+        # alignment score (reference benchmark's rapidfuzz metric stand-in,
+        # pdftext benchmark/benchmark.py:96-99): mean difflib ratio between
+        # pipeline and oracle text on the sample
+        import difflib
+
+        ratios = []
+        for i in sample_ids[:50]:
+            doc = generate_document(i, SEED)
+            res = extract_document([s["text"] for s in doc["spans"] if s["kind"] == "text"])
+            want_text = "".join(s["text"] for s in res["spans"])
+            got_text = "".join(t[2] for t in sorted(got.get(doc["doc_id"], [])))
+            ratios.append(difflib.SequenceMatcher(None, got_text, want_text).ratio())
+        extras["alignment_score"] = round(100 * sum(ratios) / max(len(ratios), 1), 2)
+
     timed("verify_sample", q_verify)
 
     def docs_ds():

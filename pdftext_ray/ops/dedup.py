@@ -315,6 +315,59 @@ def simhash_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact word-n-gram Jaccard similarity self-join (pairs ≥ threshold).
+
+    Semantics mirror the SQL oracle exactly: tokens = \\S+ runs; grams only
+    when the doc has ≥ n tokens; distinct gram sets; jaccard = |∩| / |∪|.
+    The distinct-gram sets (small side data) are broadcast once via
+    ``ray.put``; each batch compares its docs against all docs with id
+    greater than its own, so every pair is emitted exactly once, no shuffle.
+    """
+    import re
+
+    import ray as _ray
+
+    tok_re = re.compile(r"\S+")
+
+    def grams_of(text: str) -> frozenset:
+        t = tok_re.findall(text)
+        if len(t) < n:
+            return frozenset()
+        return frozenset(" ".join(t[i:i + n]) for i in range(len(t) - n + 1))
+
+    full = ds.select_columns([id_col, text_col]).take_all()
+    gram_map = {r[id_col]: grams_of(r[text_col]) for r in full}
+    all_ids = sorted(gram_map)
+    ref = _ray.put((all_ids, gram_map))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b = batch.column(id_col).to_pylist()
+        o_a, o_b, o_j = [], [], []
+        a_ids, store = _ray.get(ref)
+        for ida in ids_b:
+            ga = store[ida]
+            for idb in a_ids:
+                if idb <= ida:
+                    continue
+                gb = store[idb]
+                union = len(ga | gb)
+                j = len(ga & gb) / max(union, 1)
+                if j >= threshold:
+                    o_a.append(ida)
+                    o_b.append(idb)
+                    o_j.append(float(round_half_away(j, 6)))
+        return pa.table({"id_a": o_a, "id_b": o_b, "jaccard": o_j})
+
+    return ds.select_columns([id_col]).map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
 def embedding_pairs_bruteforce(
     ds: ray.data.Dataset,
     threshold: float = 0.45,
