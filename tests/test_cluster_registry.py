@@ -84,3 +84,18 @@ def test_external_table_inputs_broadcast_join():
     assert set(out["doc_id"]) == {"d0"}
     cells = out.iloc[0]["cells"]
     assert [c["text"] for c in cells] == ["c00", "c01", "c02", "c10", "c11", "c12"]
+
+
+def test_multimodal_loop_closure():
+    """Extraction's media spans drive the featurizer via media_ref."""
+    import ray.data
+    from pdftext_ray.pipelines import corpus_io, multimodal
+
+    ds = ray.data.from_arrow(corpus_io.generate_corpus_table(2 * 20).select(["doc_id", "spans"]))
+    seq = P.extract_spans(ds)
+    payloads = multimodal.synth_payloads_for_corpus(seq)
+    assert payloads.num_rows > 0
+    feats = multimodal.featurize_referenced_media(seq, payloads).to_pandas()
+    assert len(feats) == payloads.num_rows
+    assert set(feats.columns) >= {"media_ref", "media_type", "feature", "frames_sampled"}
+    assert all(len(f) == 48 for f in feats["feature"])
