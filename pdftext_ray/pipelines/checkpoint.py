@@ -48,18 +48,29 @@ def run_checkpointed(
 ) -> dict:
     """Run (or resume) a full extraction over ``input_path``.
 
-    Returns {"partitions": n, "processed": k, "skipped": m, "rows": total}.
+    Skew handling composes with checkpointing through the ingest layout: if
+    the input is hive-partitioned by ``size_bucket`` (pdftext_ray ingest),
+    files from the ``large`` bucket form their own partitions and take the
+    page-exploded plan; everything else takes the fused doc-parallel plan —
+    each partition reads its files exactly once. Returns
+    {"partitions": n, "processed": k, "skipped": m, "rows": total}.
     """
     cfg = cfg or ExtractConfig()
     files = _input_files(input_path)
-    num_partitions = min(num_partitions, len(files))
-    chunks = [files[i::num_partitions] for i in range(num_partitions)]
+    small_files = [f for f in files if f"size_bucket=large{os.sep}" not in f]
+    large_files = [f for f in files if f"size_bucket=large{os.sep}" in f]
+
+    n_small = min(max(1, num_partitions - (1 if large_files else 0)), max(len(small_files), 1))
+    chunks = [(small_files[i::n_small], "small") for i in range(n_small) if small_files]
+    if large_files:
+        chunks.append((large_files, "large"))
+    num_partitions = len(chunks)
 
     manifest_dir = os.path.join(output_dir, "_manifest")
     os.makedirs(manifest_dir, exist_ok=True)
 
     processed = skipped = total_rows = 0
-    for i, chunk in enumerate(chunks):
+    for i, (chunk, bucket) in enumerate(chunks):
         mpath = os.path.join(manifest_dir, f"part-{i}.json")
         fp = _fingerprint(chunk)
         if os.path.exists(mpath):
@@ -77,7 +88,13 @@ def run_checkpointed(
             shutil.rmtree(tmp_dir)
 
         ds = ray.data.read_parquet(chunk, columns=["doc_id", "spans"])
-        out = P.extract_spans_skew_aware(ds, cfg) if skew_aware else P.extract_spans(ds, cfg)
+        if bucket == "large":
+            out = P.extract_spans_exploded(ds, cfg, page_batch_size=32)
+        elif skew_aware and not any("size_bucket=" in f for f in chunk):
+            # un-bucketed input: size in flight (second pass over the chunk)
+            out = P.extract_spans_skew_aware(ds, cfg)
+        else:
+            out = P.extract_spans(ds, cfg)
         out.write_parquet(tmp_dir)
 
         # per-partition metrics ride in the manifest (lineage + observability)
@@ -94,6 +111,7 @@ def run_checkpointed(
                 {
                     "status": "done",
                     "partition": i,
+                    "bucket": bucket,
                     "fingerprint": fp,
                     "rows": rows,
                     "errors": errors,
