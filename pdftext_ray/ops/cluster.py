@@ -14,7 +14,7 @@ Two plans:
 
 from __future__ import annotations
 
-import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import ray.data

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from pdftext_ray.ops.media import MEDIA_SCHEMA, featurize_media, synth_media_table
+from pdftext_ray.ops.media import MEDIA_SCHEMA, featurize_media
 
 
 def referenced_media(span_seq: ray.data.Dataset) -> ray.data.Dataset:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pickle
 import traceback
-from typing import Iterable, List
+from typing import List
 
 import numpy as np
 import pyarrow as pa

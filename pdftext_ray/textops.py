@@ -14,7 +14,7 @@ documented quirks that the exact-match invariant depends on:
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 # Character classes — pdftext/pdf/utils.py:8-11.
 LINE_BREAKS = ("\n", "\u000D", "\u000A")
