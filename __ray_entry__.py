@@ -407,6 +407,13 @@ def _q_top_users(sf_dir: str):
     ).limit(10)
 
 
+def _q_clean_corpus(sf_dir: str):
+    """Composed training-data flow: quality/lang gates → exact dedup."""
+    from pdftext_ray.pipelines import clean
+
+    return clean.clean_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -448,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_lineitem_orders": _q_join_lineitem_orders,
         "events_asof": _q_events_asof,
         "top_users": _q_top_users,
+        "clean_corpus": _q_clean_corpus,
         "media_features": _q_media_features,
     }
 
@@ -557,6 +565,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "clean_corpus": (
+            "WITH g AS (SELECT doc_id, md5(text) AS text_hash, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / greatest(length(text), 1) AS alpha_raw, "
+            f"CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop_raw "
+            "FROM documents), "
+            "kept AS (SELECT * FROM g WHERE n_tokens >= 20 AND alpha_raw >= 0.5 AND stop_raw >= 0.02) "
+            "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, "
+            "round(min(alpha_raw), 6) AS alpha_ratio, round(min(stop_raw), 6) AS stop_ratio "
+            "FROM kept GROUP BY text_hash"
         ),
         "top_users": (
             "SELECT user_id, round(sum(value), 2) AS total_value FROM events "

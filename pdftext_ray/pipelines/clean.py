@@ -1,0 +1,76 @@
+"""Composed corpus-cleaning pipeline: the canonical training-data flow.
+
+    documents → quality/lang gates (vectorized, no shuffle)
+              → exact dedup (hash groupby keeps min doc_id)
+              → kept rows
+
+All stages are the already-verified operators from pdftext_ray.ops composed
+into one lazy Dataset graph — the filters run BEFORE the dedup shuffle so the
+exchange only carries surviving (hash, doc_id) pairs. Thresholds are explicit
+arguments mirrored exactly by the DuckDB oracle in __ray_entry__.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from pdftext_ray.ops import round_half_away
+from pdftext_ray.ops.textstats import TOKEN_RE, _stop_counts
+
+
+def clean_corpus(
+    ds: ray.data.Dataset,
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+    min_stop_ratio: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Returns (doc_id, n_tokens, alpha_ratio, stop_ratio) for every KEPT doc:
+    passes the quality/lang gates AND is the min-id representative of its
+    exact-duplicate group."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n_tokens = pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_alpha = pc.count_substring_regex(text, "[a-zA-Z]").to_numpy(zero_copy_only=False).astype(np.float64)
+        stop = _stop_counts(text).astype(np.float64)
+        alpha_ratio = n_alpha / np.maximum(n_chars, 1.0)
+        stop_ratio = stop / np.maximum(n_tokens, 1.0)
+        keep = (n_tokens >= min_tokens) & (alpha_ratio >= min_alpha_ratio) & (stop_ratio >= min_stop_ratio)
+        texts = text.to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        out = pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(digests, pa.string()),
+                pa.array(n_tokens.astype(np.int64)),
+                pa.array(round_half_away(alpha_ratio, 6)),
+                pa.array(round_half_away(stop_ratio, 6)),
+            ],
+            names=[id_col, "text_hash", "n_tokens", "alpha_ratio", "stop_ratio"],
+        )
+        return out.filter(pa.array(keep))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    # dedup among survivors: keep the min doc_id per content hash; carry the
+    # doc-level stats via min-aggregates (identical within a hash group)
+    from ray.data.aggregate import Min
+
+    return (
+        gated.groupby("text_hash")
+        .aggregate(
+            Min(id_col, alias_name=id_col),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("alpha_ratio", alias_name="alpha_ratio"),
+            Min("stop_ratio", alias_name="stop_ratio"),
+        )
+        .drop_columns(["text_hash"])
+    )

@@ -99,3 +99,24 @@ def test_multimodal_loop_closure():
     assert len(feats) == payloads.num_rows
     assert set(feats.columns) >= {"media_ref", "media_type", "feature", "frames_sampled"}
     assert all(len(f) == 48 for f in feats["feature"])
+
+
+def test_clean_corpus_gates_and_dedups():
+    import pandas as pd
+    from pdftext_ray.pipelines.clean import clean_corpus
+
+    base = ("the quick brown fox and a dog ran over to the stream in the woods "
+            "where a tall tree stood and the sun rose over the hills far away")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            base,              # good
+            base,              # exact dup of 1 -> dropped
+            "short text",      # too few tokens -> dropped
+            "1234 5678 " * 20, # no alpha -> dropped
+            base + " extra",   # good, distinct
+        ],
+    })
+    out = clean_corpus(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 5]
+    assert (out["n_tokens"] >= 20).all()
