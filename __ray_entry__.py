@@ -407,6 +407,21 @@ def _q_top_users(sf_dir: str):
     ).limit(10)
 
 
+def _q_events_sessions(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.sessionize_events(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]), gap_minutes=30
+    )
+
+
+def _q_events_topk_per_type(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return relational.grouped_topk(ds, "event_type", "value", k=3)
+
+
 def _q_clean_corpus(sf_dir: str):
     """Composed training-data flow: quality/lang gates → exact dedup."""
     from pdftext_ray.pipelines import clean
@@ -455,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_lineitem_orders": _q_join_lineitem_orders,
         "events_asof": _q_events_asof,
         "top_users": _q_top_users,
+        "events_sessions": _q_events_sessions,
+        "events_topk_per_type": _q_events_topk_per_type,
         "clean_corpus": _q_clean_corpus,
         "media_features": _q_media_features,
     }
@@ -565,6 +582,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT user_id, ts, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session FROM o) "
+            "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value, "
+            "CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec "
+            "FROM s GROUP BY user_id, session"
+        ),
+        "events_topk_per_type": (
+            "SELECT event_id, event_type, value, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT event_id, event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank "
+            "FROM events) WHERE rank <= 3"
         ),
         "clean_corpus": (
             "WITH g AS (SELECT doc_id, md5(text) AS text_hash, "

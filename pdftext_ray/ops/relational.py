@@ -89,6 +89,60 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
     return final.map_batches(shape, batch_format="pyarrow")
 
 
+def sessionize_events(
+    ds: ray.data.Dataset,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> ray.data.Dataset:
+    """Session windows per key: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes`` (SURVEY.md §2.10 engine-side
+    streaming shape — implemented as groupby(key).map_groups over ts-sorted
+    groups; ordering assumption: all events of one key fit one group).
+
+    Output: user_id, session_start, n_events, sum_value, duration_sec.
+    """
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts).reset_index(drop=True)
+        gap = g[ts].diff() > pd.Timedelta(minutes=gap_minutes)
+        session = gap.cumsum()
+        agg = g.groupby(session).agg(
+            session_start=(ts, "min"),
+            session_end=(ts, "max"),
+            n_events=(ts, "size"),
+            sum_value=("value", "sum"),
+        )
+        agg[key] = g[key].iloc[0]
+        # whole-second boundary difference (matches SQL date_diff('second',...))
+        agg["duration_sec"] = (
+            (agg["session_end"].dt.floor("s") - agg["session_start"].dt.floor("s"))
+            .dt.total_seconds()
+            .astype("int64")
+        )
+        agg["n_events"] = agg["n_events"].astype("int64")
+        agg["sum_value"] = round_half_away(agg["sum_value"], 2)
+        return agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Top-k rows per group by value (ties broken by id asc) — the window
+    row_number() pattern as a per-group local sort, never a global sort."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values([value_col, id_col], ascending=[False, True]).head(k).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
 def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
     """Distinct values of one column via batch-level pre-dedup + groupby
     (shuffle carries unique values per block, not all rows)."""
