@@ -44,6 +44,30 @@ def _doc_payloads(spans_cell: list) -> List[str]:
     return [s["text"] for s in spans_cell if s["kind"] == "text"]
 
 
+def _batch_payloads(batch: pa.Table) -> List[List[str]]:
+    """Per-row payload lists, converting ONLY the text strings + a kind mask
+    (cheaper than materializing every span struct as a Python dict)."""
+    spans = batch.column("spans").combine_chunks()
+    if len(spans) == 0 or pa.types.is_null(spans.type.value_type):
+        return [[] for _ in range(len(batch))]
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    # flatten() skips null list entries; realign offsets for that case
+    if spans.null_count:
+        valid = pa.compute.is_valid(spans).to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets) * valid
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+    else:
+        offsets = offsets - offsets[0]
+    is_text = pa.compute.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+    texts = flat.field("text").to_pylist()
+    out = []
+    for i in range(len(spans)):
+        s, e = offsets[i], offsets[i + 1]
+        out.append([texts[j] for j in range(s, e) if is_text[j]])
+    return out
+
+
 def payload_sizes(batch: pa.Table) -> pa.Table:
     """Pre-pass: per-doc payload byte size for skew bucketing (north rule).
 
@@ -76,11 +100,10 @@ class DocumentExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         out_spans, n_pages, n_chars, errors = [], [], [], []
-        for spans_cell in spans_col:
+        for payloads in _batch_payloads(batch):
             try:
-                res = extract_document(_doc_payloads(spans_cell or []), self.cfg)
+                res = extract_document(payloads, self.cfg)
                 out_spans.append(res["spans"])
                 n_pages.append(res["n_pages"])
                 n_chars.append(res["n_chars"])
