@@ -49,9 +49,17 @@ def extract_spans(
 ) -> ray.data.Dataset:
     """Flagship doc-parallel span-sequence extraction (no shuffle).
 
-    A FIXED-size actor pool beats the autoscaling default here: autoscaling
-    ramps up over the first seconds of the run, which costs ~10% wall on a
-    short job and re-warms actors on a long one.
+    A FIXED-size pool beats the autoscaling default here: autoscaling ramps
+    up over the first seconds of the run (~10% wall on a short job).
+
+    Note on the pool form: we pass a constructed INSTANCE, which Ray runs as
+    a task pool (the callable pickles per task — cheap: it holds only the
+    config dataclass). The expensive warm state (imports, unicode tables,
+    compiled regexes) lives at module level and persists in Ray's reused
+    worker processes either way. The class+fn_constructor_args actor-pool
+    form was measured too: it pins `concurrency` CPUs per stage, which
+    starves multi-branch plans (skew union + groupby) on small nodes, for
+    <5% throughput difference on this workload.
     """
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     kwargs["concurrency"] = concurrency if concurrency is not None else _default_pool_size()
