@@ -191,6 +191,25 @@ def _q_lang_id(sf_dir: str):
     return textstats.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_bpe_token_count(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    import pyarrow as pa
+
+    from pdftext_ray.ops import textstats
+
+    ds = textstats.winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    # flatten list column for a stable rows-only summary
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"), "n_fingerprints": t.column("n_fingerprints")}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from pdftext_ray.ops import textstats
 
@@ -452,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "bpe_token_count": _q_bpe_token_count,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "dedup_minhash": _q_dedup_minhash,
@@ -524,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"

@@ -105,6 +105,82 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — a
+# pattern both Python re and DuckDB's RE2 evaluate identically
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens — count of BPE-ish pre-tokens (brief: 'token
+    counting (whitespace + a BPE-ish regex)'; whitespace counting is
+    token_count_batch)."""
+    text = batch.column("text")
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(pc.count_substring_regex(text, BPE_RE), pa.int64()),
+        ],
+        names=["doc_id", "n_bpe_tokens"],
+    )
+
+
+def winnow_fingerprints_batch(
+    batch: pa.Table, k: int = 5, window: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.,
+    SIGMOD'03): Rabin-Karp rolling hash over character k-grams, then the
+    minimum hash of each sliding window (rightmost min) — the standard
+    near-copy fingerprint set. Output: doc_id, fingerprints list<int64>,
+    n_fingerprints.
+    """
+    import numpy as np
+
+    B, M = 257, (1 << 31) - 1
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    o_fp, o_n = [], []
+    for t in texts:
+        data = t.encode("utf-8", "ignore")
+        n = len(data)
+        if n < k:
+            o_fp.append([])
+            o_n.append(0)
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        # rolling hash of every k-gram: h[i] = sum(b[i+j] * B^(k-1-j)) mod M
+        powers = np.array([pow(B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
+        # vectorized via strided windows (n small per doc)
+        idx = np.arange(n - k + 1)[:, None] + np.arange(k)[None, :]
+        hashes = (arr[idx] * powers[None, :]).sum(axis=1) % M
+        if len(hashes) <= window:
+            sel = {int(hashes.min())}
+        else:
+            widx = np.arange(len(hashes) - window + 1)[:, None] + np.arange(window)[None, :]
+            wmin = hashes[widx].min(axis=1)
+            sel = set(int(v) for v in np.unique(wmin))
+        fps = sorted(sel)
+        o_fp.append(fps)
+        o_n.append(len(fps))
+    return pa.Table.from_arrays(
+        [
+            batch.column(id_col),
+            pa.array(o_fp, pa.list_(pa.int64())),
+            pa.array(o_n, pa.int32()),
+        ],
+        names=[id_col, "fingerprints", "n_fingerprints"],
+    )
+
+
+def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds: ray.data.Dataset, k: int = 5, window: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: winnow_fingerprints_batch(b, k, window), batch_format="pyarrow"
+    )
+
+
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 

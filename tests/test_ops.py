@@ -120,3 +120,26 @@ def test_media_featurize_deterministic_and_shaped():
 def test_real_codec_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         media.RealCodec().decode(b"x", 4, 4)
+
+
+def test_winnow_fingerprints_detect_shared_content():
+    """Winnowing fingerprint sets overlap heavily for near-identical docs and
+    barely for unrelated docs (the MOSS-style copy-detection property)."""
+    from pdftext_ray.ops.textstats import winnow_fingerprints
+
+    near = BASE.replace("morning", "evening")
+    ds = _doc_table([BASE, near, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"])
+    out = winnow_fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    f0, f1, f2 = (set(out["fingerprints"][i]) for i in range(3))
+    sim01 = len(f0 & f1) / len(f0 | f1)
+    sim02 = len(f0 & f2) / len(f0 | f2)
+    assert sim01 > 0.6 and sim02 < 0.1
+    assert (out["n_fingerprints"] > 0).all()
+
+
+def test_bpe_token_count_semantics():
+    from pdftext_ray.ops.textstats import bpe_token_counts
+
+    ds = _doc_table(["don't stop-me now 42x", ""])
+    out = bpe_token_counts(ds).to_pandas().sort_values("doc_id")
+    assert list(out["n_bpe_tokens"]) == [9, 0]
