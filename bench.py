@@ -55,7 +55,7 @@ def run_bench() -> dict:
     from pdftext_ray.ops import dedup, relational, similarity, textstats
 
     n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows * DOC_MULT
-    corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v3"
+    corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v4"
     corpus_io.materialize_corpus(corpus_path, n_docs, SEED)
 
     # untimed warm read of the full payload column (page cache + worker startup)

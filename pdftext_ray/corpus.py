@@ -66,6 +66,8 @@ CASES = [
     "crlf",
     "quote_char",
     "char_rotation",
+    "combo",          # links + media + superscript + soft hyphen in one doc
+    "rotated_media",  # 90° rotation with interleaved media
 ]
 NUM_CASES = len(CASES)
 
@@ -201,7 +203,8 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
     if profile == "mixed" and index % 97 == 7:
         n_pages = 12  # pathological size outlier → skew/repartition path
 
-    rotation = {"rotated_90": 90, "rotated_180": 180, "rotated_270": 270}.get(case, 0)
+    rotation = {"rotated_90": 90, "rotated_180": 180, "rotated_270": 270,
+                "rotated_media": 90}.get(case, 0)
 
     spans: List[dict] = []
     offset = 0
@@ -230,6 +233,12 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
                 kwargs = {}
                 if case == "font_switch" and li == 0:
                     kwargs["alt_font_word"] = 1
+                if case == "combo":
+                    if li == 0:
+                        kwargs["sup_after_word"] = 1
+                        kwargs["sup_char"] = "3"
+                    if li == 1:
+                        kwargs["soft_hyphen_split"] = ("inter", "leave")
                 if case == "superscript" and li == 0:
                     kwargs["sup_after_word"] = 1
                     kwargs["sup_char"] = str(rng.randrange(1, 10))
@@ -259,7 +268,9 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
                 if case == "multi_column":
                     kwargs["x"] = 50.0 if para < 2 else 320.0
                 lay.line(words, font_idx=0, **kwargs)
-            if case == "media_heavy" or (case in ("plain", "links") and rng.random() < 0.25):
+            if case in ("media_heavy", "combo", "rotated_media") or (
+                case in ("plain", "links") and rng.random() < 0.25
+            ):
                 ref = f"media://{doc_id}/{media_count}"
                 # reserve the offset slot: media comes after this page's text span
                 page_media.append((ref, media_count))
@@ -267,7 +278,7 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
                 media_count += 1
             lay.paragraph_gap()
 
-        if case == "links" and n_paras:
+        if case in ("links", "combo") and n_paras:
             # external URI over the first word region + internal GoTo links
             w.add_link(lay.word_bbox_raw(50.0, 40.0, 4), url="https://example.com/a")
             w.add_link(lay.word_bbox_raw(50.0, 40.0 + 15.6, 4), dest_page=(p + 1) % n_pages,
