@@ -169,6 +169,22 @@ def run_bench() -> dict:
     timed("events_hourly", lambda: relational.events_hourly_window(
         ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
                               columns=["event_id", "ts", "event_type", "value"])).count())
+    timed("events_sessions", lambda: relational.sessionize_events(
+        ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                              columns=["event_id", "ts", "user_id", "value"])).count())
+
+    def q_hash_join():
+        from pdftext_ray.ops import joins
+
+        joins.partitioned_hash_join(
+            ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+                                  columns=["l_orderkey", "l_quantity"]),
+            ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
+                                  columns=["o_orderkey", "o_orderpriority"]),
+            "l_orderkey", "o_orderkey",
+        ).count()
+
+    timed("hash_join", q_hash_join)
 
     ray.shutdown()
     return {
