@@ -181,7 +181,7 @@ def run_bench() -> dict:
                                   columns=["l_orderkey", "l_quantity"]),
             ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
                                   columns=["o_orderkey", "o_orderpriority"]),
-            "l_orderkey", "o_orderkey",
+            "l_orderkey", "o_orderkey", num_buckets=8,
         ).count()
 
     timed("hash_join", q_hash_join)

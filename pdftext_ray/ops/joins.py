@@ -51,7 +51,7 @@ def partitioned_hash_join(
     right: ray.data.Dataset,
     left_key: str,
     right_key: str,
-    num_buckets: int = 32,
+    num_buckets: int = 8,
     left_cols: Optional[List[str]] = None,
     right_cols: Optional[List[str]] = None,
 ) -> ray.data.Dataset:
