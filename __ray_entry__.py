@@ -31,7 +31,9 @@ SF001_DOCS = 500
 
 
 def _corpus_paths(n_docs: int) -> dict:
-    base = os.path.join(CORPUS_ROOT, f"n{n_docs}_s{CORPUS_SEED}_v4")
+    from pdftext_ray.pipelines.corpus_io import CORPUS_FORMAT_VERSION
+
+    base = os.path.join(CORPUS_ROOT, f"n{n_docs}_s{CORPUS_SEED}_v{CORPUS_FORMAT_VERSION}")
     return {
         "corpus": os.path.join(base, "corpus"),
         "expected_flat": os.path.join(base, "expected_flat.parquet"),

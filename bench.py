@@ -55,7 +55,9 @@ def run_bench() -> dict:
     from pdftext_ray.ops import dedup, relational, similarity, textstats
 
     n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows * DOC_MULT
-    corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v4"
+    from pdftext_ray.pipelines.corpus_io import CORPUS_FORMAT_VERSION
+
+    corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v{CORPUS_FORMAT_VERSION}"
     corpus_io.materialize_corpus(corpus_path, n_docs, SEED)
 
     # untimed warm read of the full payload column (page cache + worker startup)
@@ -181,7 +183,7 @@ def run_bench() -> dict:
                                   columns=["l_orderkey", "l_quantity"]),
             ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
                                   columns=["o_orderkey", "o_orderpriority"]),
-            "l_orderkey", "o_orderkey", num_buckets=8,
+            "l_orderkey", "o_orderkey",
         ).count()
 
     timed("hash_join", q_hash_join)

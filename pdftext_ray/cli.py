@@ -61,15 +61,15 @@ def _filter_pages(ds, pages: Optional[List[int]]):
         rows = batch.column("spans").to_pylist()
         out = []
         for cell in rows:
-            kept, text_pos = [], 0
+            kept, text_pos, prev_page_kept = [], 0, False
             for s in cell or []:
                 if s["kind"] == "text":
-                    this_page = text_pos
+                    prev_page_kept = text_pos in page_set
                     text_pos += 1
-                    if this_page in page_set:
+                    if prev_page_kept:
                         kept.append(s)
-                elif kept:
-                    kept.append(s)  # media rides with its preceding kept page
+                elif prev_page_kept:
+                    kept.append(s)  # media rides with ITS OWN preceding page
             out.append(kept)
         from pdftext_ray.stages import schemas
 

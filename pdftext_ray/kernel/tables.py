@@ -64,8 +64,14 @@ def table_cell_text(tables: List[List[float]], page: dict, img_size: List[float]
     assert len(img_size) == 2, "img_size must be [w, h]"
 
     space_thresh = max(space_thresh, get_dynamic_gap_thresh(page, img_size, default_thresh=space_thresh))
+    # the reference runs on dictionary_output pages where rotation 90/270 has
+    # already swapped width/height (pdftext/extraction.py:128-130) before
+    # Bbox.rescale divides by them — mirror that swap here since we operate
+    # on the unshaped working pages
     pw, ph = page["width"], page["height"]
     rotation = page["rotation"]
+    if rotation in (90, 270):
+        pw, ph = ph, pw
     out: List[List[dict]] = []
     for table in tables:
         cells: List[dict] = []

@@ -128,25 +128,6 @@ class MinHasher:
         )
 
 
-def _band_rows(batch: pa.Table, bands: int, rows: int, id_col: str) -> pa.Table:
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    shingles = batch.column("shingles").to_pylist()
-    o_band, o_hash, o_id, o_sh = [], [], [], []
-    for did, sig, sh in zip(ids, sigs, shingles):
-        for b in range(bands):
-            chunk = tuple(sig[b * rows:(b + 1) * rows])
-            h = hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest()
-            o_band.append(b)
-            o_hash.append(h)
-            o_id.append(did)
-            o_sh.append(sh)
-    return pa.Table.from_arrays(
-        [pa.array(o_band, pa.int32()), pa.array(o_hash, pa.string()), pa.array(o_id), pa.array(o_sh, pa.list_(pa.int64()))],
-        names=["band_id", "band_hash", id_col, "shingles"],
-    )
-
-
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     if len(a) == 0 and len(b) == 0:
         return 1.0

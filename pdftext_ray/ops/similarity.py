@@ -50,7 +50,9 @@ def brute_force_topk(
                                         names=[id_col, "score"])
         scores = round_half_away(_unit(vecs) @ qv, 6)
         take = min(k, len(ids))
-        idx = np.argpartition(-scores, take - 1)[:take]
+        # lexsort (not argpartition): boundary TIES must keep the smallest
+        # ids so the local top-k agrees with ORDER BY score DESC, id ASC
+        idx = np.lexsort((ids, -scores))[:take]
         return pa.Table.from_arrays(
             [pa.array(ids[idx], pa.int64()), pa.array(scores[idx], pa.float64())],
             names=[id_col, "score"],
@@ -100,6 +102,9 @@ def ivf_topk(
     set prunes most rows before scoring).
     """
     sample = ds.random_sample(sample_fraction, seed=seed).take_all()
+    if len(sample) < 2:
+        # an unlucky/empty sample on a tiny dataset: fall back to a prefix
+        sample = ds.limit(max(4 * n_centroids, 64)).take_all()
     index = IVFIndex(np.asarray([r[vec_col] for r in sample]), n_centroids, seed=seed)
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -124,7 +129,7 @@ def ivf_topk(
                                         names=[id_col, "score"])
         scores = round_half_away(_unit(vecs) @ qv, 6)
         take = min(k, len(ids))
-        sel = np.argpartition(-scores, take - 1)[:take]
+        sel = np.lexsort((ids, -scores))[:take]
         return pa.Table.from_arrays(
             [pa.array(ids[sel], pa.int64()), pa.array(scores[sel], pa.float64())],
             names=[id_col, "score"],

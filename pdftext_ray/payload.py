@@ -122,8 +122,12 @@ class RawPage:
         self.fonts: List[tuple] = []
 
 
-def _csv(s: str) -> np.ndarray:
-    return np.fromstring(s, dtype=np.float64, sep=",") if s else np.empty(0)
+if hasattr(np, "fromstring"):
+    def _csv(s: str) -> np.ndarray:
+        return np.fromstring(s, dtype=np.float64, sep=",") if s else np.empty(0)
+else:  # numpy >= 2.0 removed fromstring; same semantics, slightly slower
+    def _csv(s: str) -> np.ndarray:
+        return np.array(s.split(","), dtype=np.float64) if s else np.empty(0)
 
 
 def parse_payload(payload: str) -> RawPage:

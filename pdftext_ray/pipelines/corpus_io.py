@@ -24,7 +24,8 @@ from pdftext_ray.kernel.document import ExtractConfig, extract_document
 from pdftext_ray.stages import schemas
 
 
-CORPUS_FORMAT_VERSION = 2  # bump when the corpus schema/layout changes
+CORPUS_FORMAT_VERSION = 4  # bump when payload format / generator / oracle semantics change;
+# cache paths derive their v{N} suffix from this (see __ray_entry__, bench.py)
 
 
 def _rows_to_input_table(rows) -> pa.Table:

@@ -77,13 +77,15 @@ def payload_sizes(batch: pa.Table) -> pa.Table:
     sizes = np.zeros(len(batch), dtype=np.int64)
     pos = 0
     for chunk in spans.chunks if isinstance(spans, pa.ChunkedArray) else [spans]:
-        offsets = chunk.offsets.to_numpy(zero_copy_only=False)
-        texts = chunk.values.field("text")
-        # byte length of every span text, then segment-sum per row
-        tl = pa.compute.binary_length(texts).to_numpy(zero_copy_only=False)
+        # flatten() yields exactly this chunk's (slice-adjusted, null-skipped)
+        # values — chunk.values/offsets would be the UNSLICED backing arrays
+        flat = chunk.flatten()
+        lengths = pa.compute.list_value_length(chunk).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = pa.compute.binary_length(flat.field("text")).to_numpy(zero_copy_only=False)
         csum = np.concatenate([[0], np.cumsum(tl)])
-        base = offsets - offsets[0]
-        sizes[pos:pos + len(chunk)] = csum[base[1:]] - csum[base[:-1]]
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        sizes[pos:pos + len(chunk)] = csum[ends] - csum[starts]
         pos += len(chunk)
     return batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
 
@@ -337,14 +339,20 @@ class PageExtractor:
         self.cfg = cfg or ExtractConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from pdftext_ray.kernel.decode import decode_page
+        from pdftext_ray.kernel.decode import decode_page_dedup
         from pdftext_ray.kernel.document import process_page
 
         payloads = batch.column("payload").to_pylist()
         states = []
         for p in payloads:
-            page = process_page(decode_page(p, self.cfg.quote_loosebox), self.cfg)
-            states.append(pickle.dumps(page, protocol=pickle.HIGHEST_PROTOCOL))
+            try:
+                page = process_page(decode_page_dedup(p, self.cfg.quote_loosebox), self.cfg, pre_deduped=True)
+                states.append(pickle.dumps(page, protocol=pickle.HIGHEST_PROTOCOL))
+            except Exception:
+                # per-page error isolation, mirroring DocumentExtractor: the
+                # marker surfaces as the doc's error column at reassembly
+                states.append(pickle.dumps({"__error__": traceback.format_exc(limit=3)},
+                                           protocol=pickle.HIGHEST_PROTOCOL))
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
@@ -365,6 +373,19 @@ def assemble_document(group: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
     order = np.argsort(pos, kind="stable")
     states = group.column("page_state").to_pylist()
     pages = [pickle.loads(states[i]) for i in order]
+    doc_errors = [p["__error__"] for p in pages if "__error__" in p]
+    if doc_errors:
+        doc_id = group.column("doc_id")[0].as_py()
+        return pa.Table.from_arrays(
+            [
+                pa.array([doc_id], pa.string()),
+                pa.array([[]], pa.list_(schemas.OUTPUT_SPAN)),
+                pa.array([0], pa.int32()),
+                pa.array([0], pa.int64()),
+                pa.array([doc_errors[0]], pa.string()),
+            ],
+            schema=schemas.SPAN_SEQ_SCHEMA,
+        )
     if not cfg.disable_links:
         klinks.add_links_and_refs(pages, [pg["links"] for pg in pages])
     else:

@@ -52,7 +52,6 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
     for c in g.columns:
         gv, wv = g[c], w[c]
         if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
-            ok = np.allclose(gv.astype(float), wv.astype(float), rtol=0, atol=0, equal_nan=True)
             exact = (gv.astype(float).values == wv.astype(float).values) | (
                 pd.isna(gv).values & pd.isna(wv).values
             )
