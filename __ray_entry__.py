@@ -517,8 +517,10 @@ def oracle_sql() -> dict[str, str]:
     # regardless of whether the driver runs queries or oracles first
     try:
         _ensure_corpus("/root/testdata/sf0.01")
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 - surface, don't fail the listing
+        import sys
+
+        print(f"warning: could not materialize extraction goldens: {e}", file=sys.stderr)
     return {
         # extraction oracles: golden parquet written by the independent
         # single-doc reference oracle (plain pyarrow path, no Ray)

@@ -72,6 +72,8 @@ CASES = [
 NUM_CASES = len(CASES)
 
 PAGE_W, PAGE_H = 612.0, 792.0
+# raw pdfium-space page origin offsets (exercise the decoder shift on every page)
+ORIGIN_X, ORIGIN_Y = -2.0, 3.0
 
 
 def doc_case(index: int) -> str:
@@ -81,18 +83,16 @@ def doc_case(index: int) -> str:
 class _PageLayout:
     """Renders logical lines of words into char boxes (top-left coords)."""
 
-    def __init__(self, writer: PayloadWriter, rng: random.Random, rotation: int):
+    def __init__(self, writer: PayloadWriter, rotation: int):
         self.w = writer
-        self.rng = rng
         self.rotation = rotation
         self.y = 40.0
-        self.media: List[Tuple[str, List[float], int]] = []
 
     def _emit(self, ch: str, box: List[float], font, char_rot: float = 0.0) -> None:
         # layout (top-left) coords → raw pdfium payload coords; inverse of the
         # decoder's shift+flip (pdftext/pdf/chars.py:26-34)
-        x0, y0 = -2.0, 3.0  # page origin offsets exercised by every page
-        raw = [box[0] + x0, (PAGE_H - box[1]) + y0, box[2] + x0, (PAGE_H - box[3]) + y0]
+        raw = [box[0] + ORIGIN_X, (PAGE_H - box[1]) + ORIGIN_Y,
+               box[2] + ORIGIN_X, (PAGE_H - box[3]) + ORIGIN_Y]
         self.w.add_char(ch, raw, font, rotation=char_rot)
 
     def line(
@@ -177,18 +177,18 @@ class _PageLayout:
         self.y += size * 1.6  # > 1.5 × median line gap → block break (pages.py:188)
 
     def add_media(self, media_ref: str, offset: int, height: float = 60.0) -> List[float]:
+        # pre-rotation top-left layout coords; the DECODER applies the page
+        # rotation, same as for char boxes
         box = [50.0, self.y, 550.0, self.y + height]
-        final = g.rotate(box, PAGE_W, PAGE_H, self.rotation) if self.rotation else box
-        self.w.add_media(media_ref, final, offset)
-        self.media.append((media_ref, final, offset))
+        self.w.add_media(media_ref, box, offset)
         self.y += height + 12.0
-        return final
+        return box
 
     def word_bbox_raw(self, x: float, y: float, n_chars: int, size: float = 12.0) -> List[float]:
         """Raw-coordinate rect over a word region (for link annotations)."""
-        x0, y0 = -2.0, 3.0
         cw = 0.6 * size
-        return [x + x0, (PAGE_H - y) + y0, x + n_chars * cw + x0, (PAGE_H - (y + size)) + y0]
+        return [x + ORIGIN_X, (PAGE_H - y) + ORIGIN_Y,
+                x + n_chars * cw + ORIGIN_X, (PAGE_H - (y + size)) + ORIGIN_Y]
 
 
 def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dict:
@@ -210,9 +210,9 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
     offset = 0
     media_count = 0
     for p in range(n_pages):
-        page_bbox_raw = [-2.0, 3.0, PAGE_W - 2.0, PAGE_H + 3.0]
+        page_bbox_raw = [ORIGIN_X, ORIGIN_Y, PAGE_W + ORIGIN_X, PAGE_H + ORIGIN_Y]
         w = PayloadWriter(p, page_bbox_raw, rotation)
-        lay = _PageLayout(w, rng, rotation)
+        lay = _PageLayout(w, rotation)
         page_media: List[Tuple[str, int]] = []
 
         def rand_words(n):
@@ -272,8 +272,7 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
                 case in ("plain", "links") and rng.random() < 0.25
             ):
                 ref = f"media://{doc_id}/{media_count}"
-                # reserve the offset slot: media comes after this page's text span
-                page_media.append((ref, media_count))
+                page_media.append(ref)
                 lay.add_media(ref, media_count)
                 media_count += 1
             lay.paragraph_gap()
@@ -312,7 +311,7 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
 
         spans.append({"kind": "text", "text": w.build(), "media_ref": "", "offset": offset})
         offset += 1
-        for ref, _k in page_media:
+        for ref in page_media:
             spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
             offset += 1
 

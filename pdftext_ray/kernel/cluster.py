@@ -67,9 +67,10 @@ def deduplicate_chars(chars: List[tuple]) -> List[tuple]:
     """M1: cluster chars into words, drop exact duplicate words (keep first),
     re-flatten (pdftext/pdf/chars.py:58-115).
 
-    Dedup key = (bbox rounded to 0 decimals, text, rotation, font); tuple
-    equality here matches the reference's f-string key because ``round(x, 0)``
-    on floats yields canonical reprs.
+    Dedup key = (repr of bbox coords rounded to 0 decimals, text, rotation,
+    font). The coords are STRING reprs, not floats, to match the reference's
+    f-string key semantics exactly — the reference distinguishes "-0.0" from
+    "0.0" (float tuple equality would collapse them and over-dedup).
     """
     words: List[dict] = []
     for char in chars:
@@ -88,8 +89,8 @@ def deduplicate_chars(chars: List[tuple]) -> List[tuple]:
     out: List[tuple] = []
     for word in words:
         b = word["bbox"]
-        key = (round(b[0], 0), round(b[1], 0), round(b[2], 0), round(b[3], 0),
-               word["text"], word["rotation"], word["font"])
+        key = (repr(round(b[0], 0)), repr(round(b[1], 0)), repr(round(b[2], 0)),
+               repr(round(b[3], 0)), word["text"], word["rotation"], word["font"])
         if key not in seen:
             seen.add(key)
             out.extend(word["chars"])

@@ -76,6 +76,13 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     out.height = page_height
 
     n = len(raw.cp)
+    if n and (len(raw.cf) != n or len(raw.cr) != n or raw.cb.shape[0] != n):
+        # np.fromstring sep-mode silently truncates at a malformed token on
+        # numpy<2; surface corrupt payloads as errors instead of losing text
+        raise ValueError(
+            f"corrupt payload: char arrays disagree (cp={n}, cf={len(raw.cf)}, "
+            f"cr={len(raw.cr)}, cb={raw.cb.shape[0]})"
+        )
     if n:
         # the whole S3 coordinate transform runs vectorized (float64 numpy ops
         # are bit-identical to the scalar Python arithmetic they replace)
@@ -116,7 +123,16 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
         )
         out._arrays = (raw, boxes)
 
-    out.media = raw.media
+    # media boxes arrive in top-left PRE-rotation layout coords and get the
+    # same rotation treatment as char boxes (one coordinate convention for
+    # every payload producer)
+    if raw.rotation:
+        out.media = [
+            (ref, g.rotate(box, page_width, page_height, raw.rotation), off)
+            for ref, box, off in raw.media
+        ]
+    else:
+        out.media = raw.media
     out.tables = raw.tables
     out.img_size = raw.img_size
     return _finish_links(out, raw, x_start, y_start, page_width, page_height)
@@ -174,8 +190,10 @@ def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     for w in range(len(starts)):
         s0, e0 = int(starts[w]), int(ends[w])
         key = (
-            round(float(mins[w, 0]), 0), round(float(mins[w, 1]), 0),
-            round(float(maxs[w, 0]), 0), round(float(maxs[w, 1]), 0),
+            # string reprs, not floats: the reference's f-string key keeps
+            # "-0.0" distinct from "0.0"
+            repr(round(float(mins[w, 0]), 0)), repr(round(float(mins[w, 1]), 0)),
+            repr(round(float(maxs[w, 0]), 0)), repr(round(float(maxs[w, 1]), 0)),
             full[s0:e0], float(cr[s0]), int(cf[s0]),
         )
         if key not in seen:

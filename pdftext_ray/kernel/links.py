@@ -11,7 +11,8 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 from pdftext_ray import geometry as g
-from pdftext_ray.kernel.decode import BBOX, CH, FONT, IDX, ROT
+from pdftext_ray.kernel.cluster import _extend, _new_span
+from pdftext_ray.kernel.decode import BBOX
 
 
 class PageRefs:
@@ -63,24 +64,11 @@ def _split_span_by_links(orig_span: dict, links: List[dict]) -> List[dict]:
             current_url = intersections[0][1]["url"]
 
         if span is None or current_url != span["url"]:
-            span = {
-                "text": char[CH],
-                "bbox": list(cb),
-                "rotation": char[ROT],
-                "font": char[FONT],
-                "char_start_idx": char[IDX],
-                "char_end_idx": char[IDX],
-                "chars": [char],
-                "url": current_url,
-                "superscript": False,
-                "subscript": False,
-            }
+            span = _new_span(char)
+            span["url"] = current_url
             spans.append(span)
         else:
-            span["text"] += char[CH]
-            span["char_end_idx"] = char[IDX]
-            span["bbox"] = g.merge(span["bbox"], cb)
-            span["chars"].append(char)
+            _extend(span, char)
     return spans
 
 

@@ -17,7 +17,8 @@ loop per char:
     CF|fid,fid,...                       per-char font ids
     CR|rot,rot,...                       per-char angles (floats)
     CB|x1,y1,x2,y2, x1,y1,x2,y2, ...     RAW charboxes (pre-shift/pre-flip), 4N floats
-    M|ref|x1,y1,x2,y2|offset             media item (top-left page coords)
+    M|ref|x1,y1,x2,y2|offset             media item (top-left PRE-rotation coords;
+                                         the decoder applies page rotation)
     L|x1,y1,x2,y2|dest_page|dx,dy|url    link annotation (raw rect + dest)
     T|x1,y1,x2,y2                        table bbox (image coords)
     I|w,h                                image size for table extraction
@@ -69,6 +70,7 @@ class PayloadWriter:
         self._cb.extend((float(bbox[0]), float(bbox[1]), float(bbox[2]), float(bbox[3])))
 
     def add_media(self, media_ref: str, bbox: Sequence[float], offset: int) -> None:
+        # bbox: top-left PRE-rotation layout coords (decoder rotates)
         self.extra.append(f"M|{quote(media_ref, safe='')}|{_f(bbox)}|{int(offset)}")
 
     def add_link(

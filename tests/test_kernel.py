@@ -24,8 +24,8 @@ def test_dedup_drops_shadow_words():
     # chars.py:102-115 — identical (rounded bbox, text, rotation, font) words;
     # the shadow copy re-renders the word (incl. trailing space) at ~same coords
     chars = (
-        word("hi", 10, 10)
-        + [ch(" ", [22, 10, 25, 22], idx=2)]
+        word("hi", 10.0, 10.0)
+        + [ch(" ", [22.0, 10.0, 25.0, 22.0], idx=2)]
         + word("hi", 10.2, 10.3, start_idx=3)
         + [ch(" ", [22.2, 10.3, 25.2, 22.3], idx=5)]
     )
