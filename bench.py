@@ -60,8 +60,13 @@ def run_bench() -> dict:
     corpus_path = f"/tmp/pdftext_ray_corpus/bench_n{n_docs}_s{SEED}_v{CORPUS_FORMAT_VERSION}"
     corpus_io.materialize_corpus(corpus_path, n_docs, SEED)
 
-    # untimed warm read of the full payload column (page cache + worker startup)
-    ray.data.read_parquet(corpus_path).count()
+    # untimed warm read that actually decodes the payload column (a bare
+    # .count() answers from parquet metadata without reading data)
+    import pyarrow as _pa
+
+    ray.data.read_parquet(corpus_path).map_batches(
+        lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+    ).count()
 
     only = set(os.environ.get("BENCH_QUERIES", "").split(",")) - {""}
 
@@ -84,7 +89,7 @@ def run_bench() -> dict:
     # headline: flagship skew-aware extraction (ingest-time size buckets →
     # predicate-pushdown reads per branch), consumed by a partitioned write
     def q_extract():
-        out = P.extract_corpus_skew_aware(corpus_path, explode_threshold=256 * 1024)
+        out = P.extract_corpus_skew_aware(corpus_path)
         out.write_parquet(os.path.join(out_dir, "spans"))
 
     timed("extract_flagship", q_extract)
@@ -141,7 +146,8 @@ def run_bench() -> dict:
             ratios.append(difflib.SequenceMatcher(None, got_text, want_text).ratio())
         extras["alignment_score"] = round(100 * sum(ratios) / max(len(ratios), 1), 2)
 
-    timed("verify_sample", q_verify)
+    if os.path.isdir(os.path.join(out_dir, "spans")):
+        timed("verify_sample", q_verify)
 
     def docs_ds():
         return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),

@@ -117,7 +117,7 @@ class MinHasher:
         sigs, shingles = [], []
         for t in texts:
             sigs.append(self.signature(t).astype(np.int64).tolist())
-            shingles.append(np.sort(_shingle_hashes(t, self.ngram)).astype(np.int64).tolist())
+            shingles.append(np.unique(_shingle_hashes(t, self.ngram)).astype(np.int64).tolist())
         return pa.Table.from_arrays(
             [
                 pa.array(ids),
@@ -129,9 +129,12 @@ class MinHasher:
 
 
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Set Jaccard over UNIQUE sorted shingle hashes (MinHasher stores
+    np.unique output; mixing multiset lengths with unique intersections
+    under-scores docs with repeated shingles — even identical docs)."""
     if len(a) == 0 and len(b) == 0:
         return 1.0
-    inter = len(np.intersect1d(a, b, assume_unique=False))
+    inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
 
@@ -397,7 +400,9 @@ def embedding_pairs_bruteforce(
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
     if mat.size == 0:
         return mat
-    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    from pdftext_ray.ops.similarity import _unit
+
+    return _unit(mat)
 
 
 # ---------------------------------------------------------------------------
@@ -429,8 +434,7 @@ def embedding_dup_pairs(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.list_(pa.float64()))],
                 names=["bucket", id_col, vec_col],
             )
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.maximum(norms, 1e-12)
+        unit = _unit_rows(vecs)
         codes = (unit @ planes > 0).astype(np.uint32)
         base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
         o_bucket, o_id, o_vec = [], [], []

@@ -35,7 +35,13 @@ def broadcast_join(
     right_key: str,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Join a large Dataset against a small in-memory table (broadcast once)."""
+    """Join a large Dataset against a small in-memory table (broadcast once).
+
+    Only inner/left are valid under per-batch broadcast semantics: a right or
+    outer merge would re-emit every unmatched right-side row once per batch.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports how='inner'|'left', got {how!r}")
     small_df = small.to_pandas()
     ref = ray.put(small_df)
 

@@ -35,8 +35,10 @@ def _input_files(input_path: str) -> List[str]:
     return files
 
 
-def _fingerprint(files: List[str]) -> dict:
-    return {os.path.basename(f): os.path.getsize(f) for f in files}
+def _fingerprint(files: List[str], root: str) -> dict:
+    # key by path relative to the input root: hive layouts repeat basenames
+    # across partition dirs, and basename keys would collide/mask changes
+    return {os.path.relpath(f, root): os.path.getsize(f) for f in files}
 
 
 def run_checkpointed(
@@ -72,7 +74,7 @@ def run_checkpointed(
     processed = skipped = total_rows = 0
     for i, (chunk, bucket) in enumerate(chunks):
         mpath = os.path.join(manifest_dir, f"part-{i}.json")
-        fp = _fingerprint(chunk)
+        fp = _fingerprint(chunk, input_path)
         if os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)

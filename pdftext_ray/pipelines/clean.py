@@ -44,19 +44,19 @@ def clean_corpus(
         alpha_ratio = n_alpha / np.maximum(n_chars, 1.0)
         stop_ratio = stop / np.maximum(n_tokens, 1.0)
         keep = (n_tokens >= min_tokens) & (alpha_ratio >= min_alpha_ratio) & (stop_ratio >= min_stop_ratio)
-        texts = text.to_pylist()
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        out = pa.Table.from_arrays(
+        kept = pa.Table.from_arrays(
             [
                 batch.column(id_col),
-                pa.array(digests, pa.string()),
+                text,
                 pa.array(n_tokens.astype(np.int64)),
                 pa.array(round_half_away(alpha_ratio, 6)),
                 pa.array(round_half_away(stop_ratio, 6)),
             ],
-            names=[id_col, "text_hash", "n_tokens", "alpha_ratio", "stop_ratio"],
-        )
-        return out.filter(pa.array(keep))
+            names=[id_col, "__text", "n_tokens", "alpha_ratio", "stop_ratio"],
+        ).filter(pa.array(keep))
+        # hash only the survivors (gates reject most docs in real cleaning)
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in kept.column("__text").to_pylist()]
+        return kept.drop_columns(["__text"]).append_column("text_hash", pa.array(digests, pa.string()))
 
     gated = ds.map_batches(gate, batch_format="pyarrow")
 

@@ -24,7 +24,7 @@ from pdftext_ray.kernel.document import ExtractConfig, extract_document
 from pdftext_ray.stages import schemas
 
 
-CORPUS_FORMAT_VERSION = 5  # bump when payload format / generator / oracle semantics change;
+CORPUS_FORMAT_VERSION = 6  # bump when payload format / generator / oracle semantics change;
 # cache paths derive their v{N} suffix from this (see __ray_entry__, bench.py)
 
 
@@ -38,7 +38,10 @@ def _rows_to_input_table(rows) -> pa.Table:
             pa.array([r["doc_id"] for r in rows], pa.string()),
             pa.array([r["spans"] for r in rows], pa.list_(schemas.INPUT_SPAN)),
             pa.array(
-                [sum(len(s["text"]) for s in r["spans"]) for r in rows], pa.int64()
+                # UTF-8 BYTES, matching stages.extract.payload_sizes (char
+                # counts would route multi-byte docs differently per path)
+                [sum(len(s["text"].encode("utf-8")) for s in r["spans"]) for r in rows],
+                pa.int64(),
             ),
         ],
         names=["doc_id", "spans", "n_bytes"],
@@ -55,8 +58,10 @@ def generate_corpus_ds(n_docs: int, seed: int = 42, profile: str = "mixed") -> r
     return base.map_batches(gen, batch_format="pyarrow")
 
 
-# docs above this payload size land in the `large` ingest bucket; must match
-# the default explode_threshold of the skew-aware read plan
+# docs above this payload size (UTF-8 bytes) land in the `large` ingest
+# bucket; the skew-aware plans default their explode_threshold to this
+# constant so routing is identical whether sizing happens at ingest or in
+# flight
 SIZE_BUCKET_THRESHOLD = 256 * 1024
 
 

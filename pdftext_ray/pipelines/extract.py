@@ -89,11 +89,20 @@ def extract_spans_exploded(
 def extract_spans_skew_aware(
     ds: ray.data.Dataset,
     cfg: Optional[ExtractConfig] = None,
-    explode_threshold: int = 512 * 1024,
+    explode_threshold: Optional[int] = None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
-    """Size-bucketed plan: small docs fused, huge docs page-exploded, union."""
+    """Size-bucketed plan: small docs fused, huge docs page-exploded, union.
+
+    NOTE: sizes in flight — the shared lineage (read + size pre-pass) executes
+    once per branch. Prefer :func:`extract_corpus_skew_aware` over an
+    ingest-bucketed corpus, which reads each branch's files exactly once.
+    """
     cfg = cfg or ExtractConfig()
+    if explode_threshold is None:
+        from pdftext_ray.pipelines.corpus_io import SIZE_BUCKET_THRESHOLD
+
+        explode_threshold = SIZE_BUCKET_THRESHOLD
     sized = ds.map_batches(X.payload_sizes, batch_format="pyarrow")
     small = sized.filter(expr=f"payload_bytes <= {explode_threshold}").drop_columns(["payload_bytes"])
     large = sized.filter(expr=f"payload_bytes > {explode_threshold}").drop_columns(["payload_bytes"])
@@ -106,7 +115,7 @@ def extract_spans_skew_aware(
 def extract_corpus_skew_aware(
     path: str,
     cfg: Optional[ExtractConfig] = None,
-    explode_threshold: int = 512 * 1024,
+    explode_threshold: Optional[int] = None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Skew-bucketed plan over an ingested corpus: heavy documents take the
@@ -124,6 +133,10 @@ def extract_corpus_skew_aware(
     import pyarrow.compute as pc
 
     cfg = cfg or ExtractConfig()
+    if explode_threshold is None:
+        from pdftext_ray.pipelines.corpus_io import SIZE_BUCKET_THRESHOLD
+
+        explode_threshold = SIZE_BUCKET_THRESHOLD
     small_dir = os.path.join(path, "size_bucket=small")
     large_dir = os.path.join(path, "size_bucket=large")
     if os.path.isdir(small_dir):

@@ -25,7 +25,8 @@ from pdftext_ray.ops.media import MEDIA_SCHEMA, featurize_media
 
 
 def referenced_media(span_seq: ray.data.Dataset) -> ray.data.Dataset:
-    """Span-sequence rows → distinct (doc_id, media_ref) rows (vectorized)."""
+    """Span-sequence rows → (doc_id, media_ref) rows, one per media span
+    (vectorized; a doc referencing the same media twice yields two rows)."""
     def refs(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans").combine_chunks()
         if len(spans) == 0 or pa.types.is_null(spans.type.value_type):
@@ -53,14 +54,14 @@ def featurize_referenced_media(
     """Features for every media item referenced by the extracted spans."""
     refs = referenced_media(span_seq)
     if isinstance(media_payloads, pa.Table):
-        payload_ref = ray.put(media_payloads)
-
-        def join_payloads(batch: pa.Table) -> pa.Table:
-            table: pa.Table = ray.get(payload_ref)
-            mask = pc.is_in(table.column("media_ref"), value_set=batch.column("media_ref").combine_chunks())
-            return table.filter(mask)
-
-        media = refs.map_batches(join_payloads, batch_format="pyarrow")
+        # collect the DISTINCT ref set once (small: ids only), filter the
+        # payload table once — a per-batch filter would re-emit a payload for
+        # every refs batch that mentions it (duplicates, partition-dependent)
+        distinct = set()
+        for b in refs.select_columns(["media_ref"]).iter_batches(batch_format="pyarrow"):
+            distinct.update(b.column("media_ref").to_pylist())
+        mask = pc.is_in(media_payloads.column("media_ref"), value_set=pa.array(sorted(distinct)))
+        media = ray.data.from_arrow(media_payloads.filter(mask))
     else:
         media = refs.join(
             media_payloads, join_type="inner", num_partitions=16, on=("media_ref",)
