@@ -107,3 +107,12 @@ def test_table_cells_on_rotated_page():
     pages = process_document([w.build()], ExtractConfig(disable_links=True))
     cells = table_output(pages)[0][0]
     assert {c["text"] for c in cells} == {"c00", "c01", "c02", "c10", "c11", "c12"}
+
+
+def test_empty_dataset_through_pipelines():
+    """A 0-row input must flow through every pipeline without crashing."""
+    empty = corpus_io.generate_corpus_table(0).select(["doc_id", "spans"])
+    ds = ray.data.from_arrow(empty)
+    assert P.extract_spans(ds).count() == 0
+    assert P.flat_spans(P.extract_spans(ds)).count() == 0
+    assert P.extract_plain_text(ds).count() == 0
