@@ -403,6 +403,39 @@ def _q_events_asof(sf_dir: str):
     )
 
 
+def _heavy_buyer_ids(sf_dir: str):
+    """Users with more than 20 purchase events (a proper subset, so both the
+    semi and anti joins return non-empty results)."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"])
+    purchases = t.filter(pc.equal(t.column("event_type"), "purchase")).column("user_id").to_pylist()
+    counts = Counter(purchases)
+    return sorted(u for u, c in counts.items() if c > 20)
+
+
+def _q_events_semi_join(sf_dir: str):
+    """Semi join: events of heavy purchasers (broadcast key set)."""
+    from pdftext_ray.ops import joins
+
+    return joins.semi_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"]),
+        _heavy_buyer_ids(sf_dir), "user_id"
+    )
+
+
+def _q_events_anti_join(sf_dir: str):
+    """Anti join: events of users who are NOT heavy purchasers."""
+    from pdftext_ray.ops import joins
+
+    return joins.semi_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"]),
+        _heavy_buyer_ids(sf_dir), "user_id", anti=True
+    )
+
+
 def _q_top_users(sf_dir: str):
     """Top-k: partial per-batch sums → groupby → sort desc → limit."""
     import pandas as pd
@@ -492,6 +525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": _q_join_orders_customer,
         "join_lineitem_orders": _q_join_lineitem_orders,
         "events_asof": _q_events_asof,
+        "events_semi_join": _q_events_semi_join,
+        "events_anti_join": _q_events_anti_join,
         "top_users": _q_top_users,
         "events_sessions": _q_events_sessions,
         "events_topk_per_type": _q_events_topk_per_type,
@@ -638,6 +673,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, "
             "round(min(alpha_raw), 6) AS alpha_ratio, round(min(stop_raw), 6) AS stop_ratio "
             "FROM kept GROUP BY text_hash"
+        ),
+        "events_semi_join": (
+            "SELECT event_id, user_id, event_type, value FROM events WHERE user_id IN "
+            "(SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) > 20)"
+        ),
+        "events_anti_join": (
+            "SELECT event_id, user_id, event_type, value FROM events WHERE user_id NOT IN "
+            "(SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) > 20)"
         ),
         "top_users": (
             "SELECT user_id, round(sum(value), 2) AS total_value FROM events "

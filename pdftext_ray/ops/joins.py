@@ -83,6 +83,70 @@ def partitioned_hash_join(
     )
 
 
+class BloomFilter:
+    """Plain numpy Bloom filter — the broadcast side for semi/anti joins when
+    the exact key set is too large to ship (guide: 'broadcast the key set
+    (or a Bloom filter of it)'). Deterministic double hashing; false-positive
+    rate ≈ (1 - e^{-kn/m})^k."""
+
+    def __init__(self, keys, bits_per_key: int = 12, num_hashes: int = 4):
+        import hashlib
+
+        n = max(len(keys), 1)
+        self.m = n * bits_per_key
+        self.k = num_hashes
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        for key in keys:
+            for pos in self._positions(key):
+                self.bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+
+    def _positions(self, key):
+        import hashlib
+
+        d = hashlib.blake2b(repr(key).encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [((h1 + i * h2) % self.m) for i in range(self.k)]
+
+    def __contains__(self, key) -> bool:
+        return all(
+            self.bits[p >> 6] & np.uint64(1 << (p & 63)) for p in self._positions(key)
+        )
+
+
+def semi_join(
+    large: ray.data.Dataset,
+    keys,
+    key_col: str,
+    anti: bool = False,
+    use_bloom: bool = False,
+) -> ray.data.Dataset:
+    """Semi (or anti) join: keep large-side rows whose key is (not) in the
+    broadcast key set. Exact by default; ``use_bloom=True`` ships a Bloom
+    filter instead — semi joins then admit ~FP-rate extra rows and anti joins
+    drop them, so bloom mode is a PRE-filter to follow with an exact pass at
+    true scale (documented tradeoff)."""
+    import pyarrow.compute as pc
+
+    key_list = sorted(set(keys))
+    side = BloomFilter(key_list) if use_bloom else set(key_list)
+    ref = ray.put(side)
+
+    if use_bloom:
+        def fn(batch: pa.Table) -> pa.Table:
+            bloom = ray.get(ref)
+            mask = [(k in bloom) != anti for k in batch.column(key_col).to_pylist()]
+            return batch.filter(pa.array(mask))
+    else:
+        value_set = pa.array(key_list)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch.column(key_col), value_set=value_set)
+            return batch.filter(pc.invert(hit) if anti else hit)
+
+    return large.map_batches(fn, batch_format="pyarrow")
+
+
 def asof_join_events(
     ds: ray.data.Dataset,
     left_type: str = "purchase",

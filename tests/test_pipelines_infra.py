@@ -92,3 +92,22 @@ def test_asof_join_matches_merge_asof():
                          on="ts", direction="backward").dropna(subset=["m"])
     got_u = out[out["user_id"] == 1].sort_values("ts")
     assert list(got_u["matched_event_id"]) == [int(x) for x in want["m"]]
+
+
+def test_bloom_semi_join_prefilter():
+    """Bloom mode: semi join admits no false negatives; anti join may drop a
+    few FP rows — it's a pre-filter (exact mode is the reference)."""
+    from pdftext_ray.ops.joins import BloomFilter, semi_join
+
+    rng = np.random.RandomState(3)
+    keys = list(range(0, 1000, 7))
+    ds = ray.data.from_pandas(pd.DataFrame({"k": np.arange(1000), "v": rng.rand(1000)}))
+    exact = set(semi_join(ds, keys, "k").to_pandas()["k"])
+    bloom = set(semi_join(ds, keys, "k", use_bloom=True).to_pandas()["k"])
+    assert exact == set(keys)
+    assert exact <= bloom  # no false negatives
+    fp_rate = (len(bloom) - len(exact)) / 1000
+    assert fp_rate < 0.05, fp_rate
+    # membership sanity
+    bf = BloomFilter(keys)
+    assert all(k in bf for k in keys)
