@@ -159,10 +159,9 @@ class PlainTextExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         texts = []
-        for cell in spans_col:
-            pages = process_document(_doc_payloads(cell or []), self.cfg)
+        for payloads in _batch_payloads(batch):
+            pages = process_document(payloads, self.cfg)
             texts.append(plain_text(pages, sort=self.cfg.sort, hyphens=self.cfg.hyphens))
         return pa.Table.from_arrays(
             [pa.array(doc_ids, pa.string()), pa.array(texts, pa.string())],
@@ -182,10 +181,9 @@ class PaginatedPlainTextExtractor:
         from pdftext_ray.kernel.document import merge_text
 
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         o_doc, o_page, o_text = [], [], []
-        for doc_id, cell in zip(doc_ids, spans_col):
-            pages = process_document(_doc_payloads(cell or []), self.cfg)
+        for doc_id, payloads in zip(doc_ids, _batch_payloads(batch)):
+            pages = process_document(payloads, self.cfg)
             for pg in pages:
                 o_doc.append(doc_id)
                 o_page.append(pg["page"])
@@ -205,10 +203,9 @@ class DictionaryExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         pages_out = []
-        for cell in spans_col:
-            pages = process_document(_doc_payloads(cell or []), self.cfg)
+        for payloads in _batch_payloads(batch):
+            pages = process_document(payloads, self.cfg)
             pages_out.append(shape_dictionary(pages, self.cfg))
         return pa.Table.from_arrays(
             [
@@ -231,10 +228,9 @@ class TableCellExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         o_doc, o_page, o_tbl, o_cells = [], [], [], []
-        for doc_id, cell in zip(doc_ids, spans_col):
-            pages = process_document(_doc_payloads(cell or []), self.cfg)
+        for doc_id, payloads in zip(doc_ids, _batch_payloads(batch)):
+            pages = process_document(payloads, self.cfg)
             per_page = table_output(pages)
             for page, tables in zip(pages, per_page):
                 for t_idx, cells in enumerate(tables):
@@ -282,10 +278,9 @@ class TableCellExtractorWithInputs:
         from pdftext_ray.kernel.tables import table_cell_text
 
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         o_doc, o_page, o_tbl, o_cells = [], [], [], []
-        for doc_id, cell in zip(doc_ids, spans_col):
-            pages = process_document(_doc_payloads(cell or []), self.cfg)
+        for doc_id, payloads in zip(doc_ids, _batch_payloads(batch)):
+            pages = process_document(payloads, self.cfg)
             for page in pages:
                 hit = self.lookup.get((doc_id, page["page"]))
                 if not hit:
