@@ -44,7 +44,7 @@ def _default_pool_size(reserve: int = 2) -> int:
 def extract_spans(
     ds: ray.data.Dataset,
     cfg: Optional[ExtractConfig] = None,
-    batch_size: int = 64,
+    batch_size: int = 128,
     concurrency: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Flagship doc-parallel span-sequence extraction (no shuffle).
@@ -116,7 +116,7 @@ def extract_corpus_skew_aware(
     path: str,
     cfg: Optional[ExtractConfig] = None,
     explode_threshold: Optional[int] = None,
-    batch_size: int = 64,
+    batch_size: int = 128,
 ) -> ray.data.Dataset:
     """Skew-bucketed plan over an ingested corpus: heavy documents take the
     page-exploded branch, the bulk takes the fused doc-parallel branch.
