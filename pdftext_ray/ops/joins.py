@@ -90,8 +90,6 @@ class BloomFilter:
     rate ≈ (1 - e^{-kn/m})^k."""
 
     def __init__(self, keys, bits_per_key: int = 12, num_hashes: int = 4):
-        import hashlib
-
         n = max(len(keys), 1)
         self.m = n * bits_per_key
         self.k = num_hashes
@@ -128,20 +126,22 @@ def semi_join(
     true scale (documented tradeoff)."""
     import pyarrow.compute as pc
 
-    key_list = sorted(set(keys))
-    side = BloomFilter(key_list) if use_bloom else set(key_list)
-    ref = ray.put(side)
+    # normalize numpy scalars etc. to plain Python values so Bloom hashing of
+    # repr(key) matches the probe values (to_pylist yields Python scalars)
+    key_list = sorted({k.item() if hasattr(k, "item") else k for k in keys})
 
     if use_bloom:
+        ref = ray.put(BloomFilter(key_list))
+
         def fn(batch: pa.Table) -> pa.Table:
             bloom = ray.get(ref)
             mask = [(k in bloom) != anti for k in batch.column(key_col).to_pylist()]
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(mask, type=pa.bool_()))
     else:
-        value_set = pa.array(key_list)
+        ref = ray.put(pa.array(key_list))
 
         def fn(batch: pa.Table) -> pa.Table:
-            hit = pc.is_in(batch.column(key_col), value_set=value_set)
+            hit = pc.is_in(batch.column(key_col), value_set=ray.get(ref))
             return batch.filter(pc.invert(hit) if anti else hit)
 
     return large.map_batches(fn, batch_format="pyarrow")

@@ -90,7 +90,7 @@ def extract_spans_skew_aware(
     ds: ray.data.Dataset,
     cfg: Optional[ExtractConfig] = None,
     explode_threshold: Optional[int] = None,
-    batch_size: int = 64,
+    batch_size: int = 128,
 ) -> ray.data.Dataset:
     """Size-bucketed plan: small docs fused, huge docs page-exploded, union.
 

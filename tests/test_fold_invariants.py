@@ -73,7 +73,20 @@ def test_fold_partition_invariants(chars):
 
 @given(char_streams())
 @settings(max_examples=100, deadline=None)
-def test_dedup_keeps_first_occurrences(chars):
+def test_dedup_idempotent(chars):
     out = cluster.deduplicate_chars(chars)
-    # idempotent and order-preserving
     assert cluster.deduplicate_chars(out) == out
+
+
+def test_dedup_keeps_first_occurrence_specifically():
+    """The SURVIVOR of a duplicate word must be the first-seen one (distinct
+    char_idx values distinguish the copies)."""
+    f = ("F", 0, 10.0, 400.0)
+    first = [("h", [10.0, 10.0, 16.0, 20.0], 0.0, f, 0),
+             ("i", [16.0, 10.0, 22.0, 20.0], 0.0, f, 1),
+             (" ", [22.0, 10.0, 25.0, 20.0], 0.0, f, 2)]
+    copy = [("h", [10.0, 10.0, 16.0, 20.0], 0.0, f, 3),
+            ("i", [16.0, 10.0, 22.0, 20.0], 0.0, f, 4),
+            (" ", [22.0, 10.0, 25.0, 20.0], 0.0, f, 5)]
+    out = cluster.deduplicate_chars(first + copy)
+    assert [c[4] for c in out] == [0, 1, 2]  # first copy's indices survive
