@@ -461,6 +461,14 @@ def _q_top_users(sf_dir: str):
     ).limit(10)
 
 
+def _q_events_sliding(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.events_sliding_window(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    )
+
+
 def _q_events_sessions(sf_dir: str):
     from pdftext_ray.ops import relational
 
@@ -528,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
         "top_users": _q_top_users,
+        "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_topk_per_type": _q_events_topk_per_type,
         "clean_corpus": _q_clean_corpus,
@@ -645,6 +654,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_sliding": (
+            "SELECT to_timestamp((floor(epoch(ts) / 900) * 900 - k.k * 900))::TIMESTAMP AS window_start, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k "
+            "GROUP BY 1, event_type"
         ),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, value, "

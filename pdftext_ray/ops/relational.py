@@ -89,6 +89,58 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
     return final.map_batches(shape, batch_format="pyarrow")
 
 
+def events_sliding_window(
+    ds: ray.data.Dataset,
+    width_sec: int = 3600,
+    slide_sec: int = 900,
+) -> ray.data.Dataset:
+    """Sliding windows (width 1h, slide 15m by default) per event_type.
+
+    Each event is expanded to its width/slide overlapping windows in a
+    vectorized map_batches (np.repeat over the k window offsets), partially
+    aggregated per batch, then reduced with one small groupby — the sliding
+    variant of the tumbling-window plan. Output: window_start, event_type,
+    n_events, sum_value.
+    """
+    assert width_sec % slide_sec == 0, "width must be a multiple of slide"
+    k = width_sec // slide_sec
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({"window_start": pd.Series([], dtype="datetime64[us]"),
+                             "event_type": pd.Series([], dtype="object"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "sum_value": pd.Series([], dtype="float64")})
+        epoch = df["ts"].astype("int64") // 1_000_000  # us -> s
+        base = (epoch // slide_sec) * slide_sec
+        offs = np.arange(k) * slide_sec
+        starts = np.repeat(base.to_numpy(), k) - np.tile(offs, len(df))
+        g = pd.DataFrame(
+            {
+                "window_start": pd.to_datetime(starts, unit="s"),
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "value": np.repeat(df["value"].to_numpy(), k),
+            }
+        ).groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = round_half_away(df["sum_value"], 2)
+        return df[["window_start", "event_type", "n_events", "sum_value"]]
+
+    return final.map_batches(shape, batch_format="pandas")
+
+
 def sessionize_events(
     ds: ray.data.Dataset,
     gap_minutes: int = 30,
