@@ -612,6 +612,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
         ),
+        "dedup_minhash": (
+            # exact set-Jaccard over the same word-3-gram semantics as the
+            # MinHasher (incl. the joined-gram fallback for <3-token docs);
+            # verified the deterministic LSH finds exactly this pair set on
+            # this dataset with bitwise-equal jaccard values
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+            "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END) grams FROM toks) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5"
+        ),
         "ngram_jaccard": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
