@@ -112,7 +112,8 @@ def events_sliding_window(
                              "event_type": pd.Series([], dtype="object"),
                              "n_events": pd.Series([], dtype="int64"),
                              "sum_value": pd.Series([], dtype="float64")})
-        epoch = df["ts"].astype("int64") // 1_000_000  # us -> s
+        # unit-agnostic floor to epoch seconds (inputs may be us or ns)
+        epoch = df["ts"].dt.floor("s").astype("datetime64[s]").astype("int64")
         base = (epoch // slide_sec) * slide_sec
         offs = np.arange(k) * slide_sec
         starts = np.repeat(base.to_numpy(), k) - np.tile(offs, len(df))
