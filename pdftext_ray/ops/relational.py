@@ -203,9 +203,12 @@ def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
         col = batch.column(column).unique()
         return pa.Table.from_arrays([col], names=[column])
 
-    return ds.select_columns([column]).map_batches(local, batch_format="pyarrow").groupby(
+    agg = ds.select_columns([column]).map_batches(local, batch_format="pyarrow").groupby(
         column
-    ).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    ).aggregate(Count(alias_name="_c"))
+    # select via map_batches (drop_columns after aggregate emits a
+    # schema-mismatch warning on empty blocks)
+    return agg.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
 
 
 def filter_project_documents(ds: ray.data.Dataset, min_chars: int = 200) -> ray.data.Dataset:

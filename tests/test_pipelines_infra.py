@@ -111,3 +111,37 @@ def test_bloom_semi_join_prefilter():
     # membership sanity
     bf = BloomFilter(keys)
     assert all(k in bf for k in keys)
+
+
+def test_sliding_window_membership():
+    """One event lands in exactly width/slide overlapping windows."""
+    from pdftext_ray.ops import relational
+
+    df = pd.DataFrame({"event_id": [0], "ts": pd.to_datetime(["2024-01-01 00:50:00"]),
+                       "event_type": ["click"], "value": [2.0]})
+    out = relational.events_sliding_window(ray.data.from_pandas(df)).to_pandas().sort_values("window_start")
+    assert [str(w) for w in out["window_start"]] == [
+        "2024-01-01 00:00:00", "2024-01-01 00:15:00",
+        "2024-01-01 00:30:00", "2024-01-01 00:45:00",
+    ]
+    assert list(out["n_events"]) == [1, 1, 1, 1]
+    with pytest.raises(AssertionError):
+        relational.events_sliding_window(ray.data.from_pandas(df), slide_sec=700)
+
+
+def test_sessionize_and_grouped_topk():
+    from pdftext_ray.ops import relational
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 5, 10, 120, 125], unit="m")
+    df = pd.DataFrame({"event_id": range(5), "ts": ts, "user_id": [1] * 5,
+                       "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    s = relational.sessionize_events(ray.data.from_pandas(df), gap_minutes=30).to_pandas()
+    assert len(s) == 2 and sorted(s["n_events"]) == [2, 3]
+
+    df2 = pd.DataFrame({"event_id": range(6), "event_type": ["a"] * 3 + ["b"] * 3,
+                        "value": [3.0, 1.0, 2.0, 9.0, 9.0, 8.0]})
+    t = relational.grouped_topk(ray.data.from_pandas(df2), "event_type", "value", k=2).to_pandas()
+    a = t[t["event_type"] == "a"].sort_values("rank")
+    assert list(a["value"]) == [3.0, 2.0]
+    b = t[t["event_type"] == "b"].sort_values("rank")
+    assert list(b["event_id"]) == [3, 4]  # value tie broken by id asc
