@@ -300,6 +300,17 @@ def _q_similarity_ivf(sf_dir: str):
     )
 
 
+def _q_similarity_ivf_exact(sf_dir: str):
+    """IVF with n_probe == n_centroids probes every list → EXACT top-k,
+    SQL-verifiable like the brute-force path."""
+    from pdftext_ray.ops import similarity
+
+    return similarity.ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir),
+        k=10, n_centroids=8, n_probe=8,
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from pdftext_ray.ops import relational
 
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": _q_embedding_pairs,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf": _q_similarity_ivf,
+        "similarity_ivf_exact": _q_similarity_ivf_exact,
         "pricing_summary": _q_pricing_summary,
         "events_hourly": _q_events_hourly,
         "distinct_event_types": _q_distinct_event_types,
@@ -637,6 +649,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5"
         ),
         "similarity_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
+            "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "similarity_ivf_exact": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
