@@ -92,3 +92,11 @@ def test_deterministic_across_runs(corpus_ds):
     a = a.sort_values(["doc_id", "order"]).reset_index(drop=True)
     b = b.sort_values(["doc_id", "order"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_equality_holds_at_unseen_seed():
+    """The invariant is seed-independent: fresh layouts, same exactness."""
+    table = corpus_io.generate_corpus_table(60, seed=7)
+    ds = ray.data.from_arrow(table.select(["doc_id", "spans"]))
+    got = _collect(P.flat_spans(P.extract_spans(ds, batch_size=13)))
+    _assert_equal(got, corpus_io.expected_flat_table(60, seed=7))
