@@ -149,9 +149,15 @@ def run_bench() -> dict:
     if os.path.isdir(os.path.join(out_dir, "spans")):
         timed("verify_sample", q_verify)
 
+    from pdftext_ray.storage import read_table
+
+    def sf_read(name, columns):
+        # read_table strips parquet pandas schema metadata (unhashable dict
+        # that defeats Ray's schema dedup in downstream hash shuffles)
+        return read_table(os.path.join(SF_DIR, f"{name}.parquet"), columns=columns)
+
     def docs_ds():
-        return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                                     columns=["doc_id", "text"])
+        return sf_read("documents", ["doc_id", "text"])
 
     timed("plain_text", lambda: P.extract_plain_text(P.read_documents(corpus_path))
           .write_parquet(os.path.join(out_dir, "plain")))
@@ -160,8 +166,7 @@ def run_bench() -> dict:
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
 
     def q_similarity():
-        emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
-                                    columns=["vec_id", "embedding"])
+        emb = sf_read("embeddings", ["vec_id", "embedding"])
         t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
         import numpy as np
 
@@ -171,24 +176,19 @@ def run_bench() -> dict:
     timed("similarity_topk", q_similarity)
 
     timed("pricing_summary", lambda: relational.lineitem_pricing_summary(
-        ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
-                              columns=["l_returnflag", "l_linestatus", "l_quantity",
-                                       "l_extendedprice", "l_discount"])).to_pandas())
+        sf_read("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly_window(
-        ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
-                              columns=["event_id", "ts", "event_type", "value"])).count())
+        sf_read("events", ["event_id", "ts", "event_type", "value"])).count())
     timed("events_sessions", lambda: relational.sessionize_events(
-        ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"),
-                              columns=["event_id", "ts", "user_id", "value"])).count())
+        sf_read("events", ["event_id", "ts", "user_id", "value"])).count())
 
     def q_hash_join():
         from pdftext_ray.ops import joins
 
         joins.partitioned_hash_join(
-            ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
-                                  columns=["l_orderkey", "l_quantity"]),
-            ray.data.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
-                                  columns=["o_orderkey", "o_orderpriority"]),
+            sf_read("lineitem", ["l_orderkey", "l_quantity"]),
+            sf_read("orders", ["o_orderkey", "o_orderpriority"]),
             "l_orderkey", "o_orderkey",
         ).count()
 
@@ -207,7 +207,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at num_cpus=8 and num_cpus=32 in fresh processes."""
+    """Same job at num_cpus=8 and num_cpus=32 in fresh processes.
+
+    Runs ``SCALING_REPEATS`` (default 3) INTERLEAVED 8/32-cpu pairs and
+    reports the median efficiency with the full spread — one pair on a noisy
+    shared machine can report an unphysical >1.0 value (VERDICT r1 item 6);
+    the median of interleaved pairs is the defensible number.
+    """
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_QUERIES="extract_flagship,verify_sample")
@@ -217,22 +225,30 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)  # also warms the corpus cache for the hi run
-    hi = run(hi_cpus)
-    t_lo = lo["queries"]["extract_flagship"]
-    t_hi = hi["queries"]["extract_flagship"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    pairs = []
+    for _ in range(repeats):
+        lo = run(lo_cpus)  # first pair also warms the corpus cache
+        hi = run(hi_cpus)
+        pairs.append((lo, hi))
+    effs = sorted(
+        (lo["queries"]["extract_flagship"] / hi["queries"]["extract_flagship"])
+        / (hi_cpus / lo_cpus)
+        for lo, hi in pairs
+    )
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    last_lo, last_hi = pairs[-1]
     return {
-        "metric": "scaling efficiency (extract_flagship, fresh ray.init at 8 vs 32 cpus)",
-        "value": round(eff, 3),
+        "metric": f"scaling efficiency (extract_flagship, median of {repeats} interleaved fresh-ray.init 8-vs-32-cpu pairs)",
+        "value": round(median_eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "exact_match_rate": hi.get("exact_match_rate"),
-        "sf": lo["sf"],
-        "n_docs": lo["n_docs"],
+        "efficiencies": [round(e, 3) for e in effs],
+        "sec_8": [round(lo["queries"]["extract_flagship"], 3) for lo, _ in pairs],
+        "sec_32": [round(hi["queries"]["extract_flagship"], 3) for _, hi in pairs],
+        "docs_per_sec_8": last_lo["docs_per_sec"],
+        "docs_per_sec_32": last_hi["docs_per_sec"],
+        "exact_match_rate": last_hi.get("exact_match_rate"),
+        "sf": last_lo["sf"],
+        "n_docs": last_lo["n_docs"],
     }
 
 

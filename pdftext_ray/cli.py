@@ -95,6 +95,13 @@ def cmd_extract(args) -> int:
     )
     pages = parse_range_str(args.pages) if args.pages else None
 
+    # --output is required for any write path (and always for --checkpoint):
+    # catch it up front instead of an opaque TypeError deep in write_table
+    if args.output is None and (args.checkpoint or not args.stdout):
+        print("error: --output is required unless --stdout is given "
+              "(and always with --checkpoint)", file=sys.stderr)
+        return 2
+
     if args.checkpoint:
         if args.mode != "spans":
             print("--checkpoint supports mode=spans", file=sys.stderr)

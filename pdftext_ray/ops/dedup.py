@@ -76,11 +76,16 @@ def prefix_dedup(
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Deterministic 61-bit hashes of word n-gram shingles."""
+def _shingle_hashes(text: str, n: int = 3, short_fallback: bool = True) -> np.ndarray:
+    """Deterministic 61-bit hashes of word n-gram shingles.
+
+    ``short_fallback=True`` (MinHash semantics) joins a <n-token doc into one
+    gram; ``False`` (exact n-gram Jaccard semantics, mirroring the SQL
+    oracle) yields an empty set for short docs.
+    """
     toks = text.split()
     if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
+        grams = [" ".join(toks)] if (toks and short_fallback) else []
     else:
         grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     out = np.empty(len(grams), dtype=np.uint64)
@@ -139,6 +144,217 @@ def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _bucket_candidate_pairs(buckets: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
+    """(bucket, docs list) rows → distinct candidate pairs (a < b).
+
+    The pair dedup is a keyed groupby (shuffle of id pairs only) — a pair
+    surfacing from several buckets/blocks is emitted once.
+    """
+    from ray.data.aggregate import Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        seen = set()
+        for docs in batch.column("docs").to_pylist():
+            if len(docs) < 2:
+                continue
+            docs = sorted(set(docs))
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    key = (docs[i], docs[j])
+                    if key not in seen:
+                        seen.add(key)
+                        out_a.append(docs[i])
+                        out_b.append(docs[j])
+        # explicit id type: an empty block would otherwise infer null-typed
+        # columns, which breaks key resolution in the downstream hash join
+        dt = batch.schema.field("docs").type
+        id_type = dt.value_type if pa.types.is_list(dt) or pa.types.is_large_list(dt) else None
+        return pa.table({a_col: pa.array(out_a, id_type), b_col: pa.array(out_b, id_type)})
+
+    pairs = buckets.map_batches(emit, batch_format="pyarrow", batch_size=8192)
+    deduped = pairs.groupby([a_col, b_col]).aggregate(Count(alias_name="_n"))
+    return deduped.map_batches(lambda t: t.drop_columns(["_n"]), batch_format="pyarrow")
+
+
+def _collect_docs_aggregate(id_col: str):
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_row=lambda acc, row: acc + [row[id_col]],
+        name="docs",
+    )
+
+
+def _shingle_bucket_candidates(
+    sigs: ray.data.Dataset, id_col: str, a_col: str, b_col: str,
+    max_doc_freq: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Inverted-shingle-index candidates: any pair sharing ≥1 shingle.
+
+    This generator has PERFECT recall for any Jaccard threshold > 0 (a pair
+    with nonzero Jaccard shares a shingle by definition), which makes the
+    verified output exact — the property the SQL oracle checks. Cost is
+    O(Σ bucket²); ``max_doc_freq`` prunes shingles hotter than N docs (a
+    scale knob that trades the exactness guarantee for bounded bucket work —
+    leave None for exact semantics).
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        o_sh, o_id = [], []
+        for did, sh in zip(batch.column(id_col).to_pylist(), batch.column("shingles").to_pylist()):
+            o_sh.extend(sh)
+            o_id.extend([did] * len(sh))
+        return pa.table({"bucket": pa.array(o_sh, pa.int64()), id_col: o_id})
+
+    buckets = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_collect_docs_aggregate(id_col))
+    )
+    if max_doc_freq is not None:
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less_equal(pc.list_value_length(t.column("docs")), max_doc_freq))
+
+        buckets = buckets.map_batches(prune, batch_format="pyarrow")
+    return _bucket_candidate_pairs(buckets, a_col, b_col)
+
+
+def _bucket_of(v, num_buckets: int) -> int:
+    """Deterministic bucket for co-partitioning (stable across sides/types)."""
+    return int.from_bytes(hashlib.blake2b(repr(v).encode(), digest_size=8).digest(), "big") % num_buckets
+
+
+def _attach_blobs(
+    pairs: ray.data.Dataset,
+    pair_cols,  # list[(name, pa.DataType)] — pairs' current columns
+    key_col: str,
+    sigs: ray.data.Dataset,
+    id_col: str,
+    blob_col: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Attach each signature blob to the pair rows referencing it via a
+    co-partitioned bucket merge: tag both sides with ``bucket = hash(key) %
+    B`` over a COMMON schema, union, and merge per bucket with one vectorized
+    ``pd.merge`` (the portable hash-join plan from ops/joins.py). Chosen over
+    ``Dataset.join`` because Acero-backed join partitions that receive zero
+    blocks build column-less tables and fail key resolution — this pattern is
+    robust to empty inputs, empty partitions and list/binary payloads.
+    """
+    names = [n for n, _ in pair_cols]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            name: pa.array(t.column(name).to_pylist(), typ) for name, typ in pair_cols
+        }
+        cols[blob_col] = pa.array([None] * n, pa.binary())
+        cols["_is_sig"] = pa.array([0] * n, pa.int8())
+        cols["_bucket"] = pa.array(
+            [_bucket_of(k, num_buckets) for k in t.column(key_col).to_pylist()], pa.int64()
+        )
+        return pa.table(cols)
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        keys = t.column(id_col).to_pylist()
+        n = len(t)
+        cols = {}
+        for name, typ in pair_cols:
+            # non-key pair columns get typed DUMMIES (not nulls: a null in an
+            # int64 column makes the pandas merge stage promote it to float64,
+            # corrupting id dtypes downstream); _is_sig filters them out
+            if name == key_col:
+                vals = keys
+            elif pa.types.is_binary(typ):
+                vals = [b""] * n
+            else:
+                vals = keys
+            cols[name] = pa.array(vals, typ)
+        cols[blob_col] = pa.array(
+            [np.asarray(sh, dtype="<i8").tobytes() for sh in t.column("shingles").to_pylist()],
+            pa.binary(),
+        )
+        cols["_is_sig"] = pa.array([1] * n, pa.int8())
+        cols["_bucket"] = pa.array([_bucket_of(k, num_buckets) for k in keys], pa.int64())
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["_is_sig"] == 1][[key_col, blob_col]]
+        prs = g[g["_is_sig"] == 0][names]
+        return prs.merge(sig, on=key_col, how="inner")
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sigs.select_columns([id_col, "shingles"]).map_batches(tag_sigs, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def _verify_pairs_exact_jaccard(
+    cands: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+    out_col: str = "jaccard",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Exact set-Jaccard verification of candidate pairs — fully distributed.
+
+    The candidate pair table is merged back to the (id, shingles) signature
+    table twice (once per side): two co-partitioned bucket shuffles of
+    pre-shrunk shingle-hash arrays, never a driver-side store (the round-1
+    broadcast shingle dict is gone). Shingle arrays ride the shuffle as
+    packed int64-LE binary blobs decoded zero-copy with np.frombuffer.
+    Output: (a, b, jaccard ≥ threshold).
+    """
+    if num_partitions is None:
+        try:
+            import ray as _ray
+
+            num_partitions = max(2, min(64, int(_ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            num_partitions = 8
+
+    _sch = sigs.schema()  # Ray Schema wrapper: parallel .names/.types lists
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    joined = _attach_blobs(
+        cands, [(a_col, id_type), (b_col, id_type)], a_col, sigs, id_col, "_sh_a", num_partitions
+    )
+    joined = _attach_blobs(
+        joined,
+        [(a_col, id_type), (b_col, id_type), ("_sh_a", pa.binary())],
+        b_col,
+        sigs,
+        id_col,
+        "_sh_b",
+        num_partitions,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        o_a, o_b, o_j = [], [], []
+        for a, b, sa, sb in zip(
+            batch.column(a_col).to_pylist(),
+            batch.column(b_col).to_pylist(),
+            batch.column("_sh_a").to_pylist(),
+            batch.column("_sh_b").to_pylist(),
+        ):
+            ja = _jaccard_sorted(np.frombuffer(sa, dtype="<i8"), np.frombuffer(sb, dtype="<i8"))
+            if ja >= threshold:
+                o_a.append(a)
+                o_b.append(b)
+                o_j.append(float(round_half_away(ja, 6)))
+        return pa.table({
+            a_col: pa.array(o_a, batch.schema.field(a_col).type),
+            b_col: pa.array(o_b, batch.schema.field(b_col).type),
+            out_col: pa.array(o_j, pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     num_perm: int = 64,
@@ -148,36 +364,32 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency: Optional[int] = None,
+    exact_recall: bool = False,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup candidate generation + exact Jaccard verification.
 
-    shingle→minhash (actor pool) → band explode (bucket keys ONLY — the
+    shingle→minhash (warm-state pool) → band explode (bucket keys ONLY — the
     shuffle carries (bucket, doc_id) pairs, never shingle arrays) →
-    list-collecting aggregate per bucket → candidate pairs → exact Jaccard
-    verification against a broadcast shingle store. Output:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
+    list-collecting aggregate per bucket → distinct candidate pairs →
+    distributed exact-Jaccard verification (hash join of pairs back to the
+    signature table — see ``_verify_pairs_exact_jaccard``; no driver-side
+    shingle store). Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    Scale note: the broadcast shingle store is O(corpus shingles) — right up
-    to ~10⁷ docs per run; beyond that, shard this op by a corpus partition
-    key and hash-join pairs back to shingles instead of broadcasting.
+    Candidate recall: with b bands × r rows, a pair at Jaccard j is banded
+    with probability 1-(1-j^r)^b (64 perms / 16 bands / r=4 → ~64% at j=0.5,
+    ~99.5% at j=0.8). ``exact_recall=True`` unions in candidates from the
+    shingle inverted index (any pair sharing ≥1 shingle — perfect recall for
+    j>0), making the verified output EXACTLY the ≥-threshold pair set; that's
+    the mode the gate's all-pairs SQL oracle compares against. Banding alone
+    is the probabilistic scale path.
     """
-    import ray as _ray
-    from ray.data.aggregate import AggregateFn, Max
-
-    rows = num_perm // bands
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
+    rows = num_perm // bands
     # signatures computed once, pinned (small table: ids + 64 ints + shingle
-    # hashes per doc), consumed twice: store build + banding
+    # hashes per doc), consumed by banding + the verification joins
     sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs).materialize()
-
-    # broadcast the shingle store once (verification side data)
-    shingle_map = {}
-    for b in sigs.select_columns([id_col, "shingles"]).iter_batches(batch_format="pyarrow"):
-        for did, sh in zip(b.column(id_col).to_pylist(), b.column("shingles").to_pylist()):
-            shingle_map[did] = np.asarray(sh, dtype=np.int64)
-    store_ref = _ray.put(shingle_map)
 
     # band explode, bucket keys only: (band-qualified hash, doc_id)
     def band_keys(batch: pa.Table) -> pa.Table:
@@ -189,40 +401,21 @@ def minhash_lsh_pairs(
                 o_id.append(did)
         return pa.table({"bucket": o_bucket, id_col: o_id})
 
-    banded = sigs.map_batches(band_keys, batch_format="pyarrow")
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        accumulate_row=lambda acc, row: acc + [row[id_col]],
-        name="docs",
+    buckets = (
+        sigs.map_batches(band_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_collect_docs_aggregate(id_col))
     )
-    buckets = banded.groupby("bucket").aggregate(collect)
+    cands = _bucket_candidate_pairs(buckets, "doc_a", "doc_b")
+    if exact_recall:
+        from ray.data.aggregate import Count
 
-    def emit_pairs(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        store = _ray.get(store_ref)
-        seen = set()
-        for docs in batch.column("docs").to_pylist():
-            if len(docs) < 2:
-                continue
-            docs = sorted(set(docs))
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    key = (docs[i], docs[j])
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    ja = _jaccard_sorted(store[docs[i]], store[docs[j]])
-                    if ja >= threshold:
-                        out_a.append(docs[i])
-                        out_b.append(docs[j])
-                        out_j.append(float(round_half_away(ja, 6)))
-        return pa.table({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
-
-    pairs = buckets.map_batches(emit_pairs, batch_format="pyarrow", batch_size=8192)
-    # a pair can surface from several bands/blocks — dedup on (doc_a, doc_b)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+        merged = cands.union(_shingle_bucket_candidates(sigs, id_col, "doc_a", "doc_b"))
+        cands = (
+            merged.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: t.drop_columns(["_n"]), batch_format="pyarrow")
+        )
+    return _verify_pairs_exact_jaccard(cands, sigs, id_col, "doc_a", "doc_b", threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -310,46 +503,27 @@ def ngram_jaccard_pairs(
 
     Semantics mirror the SQL oracle exactly: tokens = \\S+ runs; grams only
     when the doc has ≥ n tokens; distinct gram sets; jaccard = |∩| / |∪|.
-    The distinct-gram sets (small side data) are broadcast once via
-    ``ray.put``; each batch compares its docs against all docs with id
-    greater than its own, so every pair is emitted exactly once, no shuffle.
+
+    Plan (fully distributed — the round-1 ``take_all`` + O(n²) all-pairs scan
+    is gone): distinct gram-hash sets per doc (vectorizable map_batches) →
+    shingle inverted index → candidate pairs sharing ≥1 gram (perfect recall
+    for threshold > 0: a pair with positive Jaccard shares a gram) →
+    distributed exact-Jaccard verification via hash joins back to the gram
+    table. Grams are 61-bit blake2b hashes; set Jaccard over the hashes
+    equals string-gram Jaccard up to a ~2⁻⁴⁰ collision probability per
+    corpus-sized gram set.
     """
-    import re
+    def gram_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out = [
+            np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64).tolist()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({id_col: ids, "shingles": pa.array(out, pa.list_(pa.int64()))})
 
-    import ray as _ray
-
-    tok_re = re.compile(r"\S+")
-
-    def grams_of(text: str) -> frozenset:
-        t = tok_re.findall(text)
-        if len(t) < n:
-            return frozenset()
-        return frozenset(" ".join(t[i:i + n]) for i in range(len(t) - n + 1))
-
-    full = ds.select_columns([id_col, text_col]).take_all()
-    gram_map = {r[id_col]: grams_of(r[text_col]) for r in full}
-    all_ids = sorted(gram_map)
-    ref = _ray.put((all_ids, gram_map))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_b = batch.column(id_col).to_pylist()
-        o_a, o_b, o_j = [], [], []
-        a_ids, store = _ray.get(ref)
-        for ida in ids_b:
-            ga = store[ida]
-            for idb in a_ids:
-                if idb <= ida:
-                    continue
-                gb = store[idb]
-                union = len(ga | gb)
-                j = len(ga & gb) / max(union, 1)
-                if j >= threshold:
-                    o_a.append(ida)
-                    o_b.append(idb)
-                    o_j.append(float(round_half_away(j, 6)))
-        return pa.table({"id_a": o_a, "id_b": o_b, "jaccard": o_j})
-
-    return ds.select_columns([id_col]).map_batches(pairs, batch_format="pyarrow", batch_size=256)
+    sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
+    cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b")
+    return _verify_pairs_exact_jaccard(cands, sigs, id_col, "id_a", "id_b", threshold)
 
 
 def embedding_pairs_bruteforce(
@@ -357,22 +531,36 @@ def embedding_pairs_bruteforce(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Exact cosine similarity self-join: all pairs with cosine ≥ threshold.
 
-    The full (id, unit-vector) matrix is broadcast ONCE via ``ray.put``
-    (embeddings are the small side: n×d floats); each batch computes its rows
-    against the broadcast matrix with one matmul and emits pairs where
-    batch_id < other_id — every pair produced exactly once, no shuffle.
-    O(n²/p) compute, O(n·d) memory per worker: the right plan up to ~10⁶
-    vectors; beyond that use the LSH variant.
+    The (id, unit-vector) matrix is the broadcast side: it is assembled by a
+    Ray TASK from the dataset's Arrow block refs (the driver never collects
+    rows — round 1's ``take_all`` is gone) and pinned in the object store;
+    each batch computes its rows against it with one matmul and emits pairs
+    where batch_id < other_id — every pair produced exactly once, no shuffle.
+    O(n²/p) compute, O(n·d) memory per worker: the right plan up to the
+    ``max_rows`` guard (default 10⁶ vectors — raises beyond it; use the LSH
+    variant ``embedding_dup_pairs`` past that).
     """
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).take_all()
-    ids_all = np.asarray([r[id_col] for r in full], dtype=np.int64)
-    mat_all = _unit_rows(np.asarray([r[vec_col] for r in full], dtype=np.float64))
-    ref = ray.put((ids_all, mat_all))
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_pairs_bruteforce: {n} rows exceeds max_rows={max_rows}; "
+            "use embedding_dup_pairs (LSH) or raise max_rows explicitly"
+        )
+
+    @ray.remote
+    def _assemble(*tables: pa.Table):
+        t = pa.concat_tables(tables)
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit_rows(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
+        return ids, mat
+
+    ref = _assemble.remote(*ds.select_columns([id_col, vec_col]).to_arrow_refs())
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_b = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -416,14 +604,34 @@ def embedding_dup_pairs(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 1,
 ) -> ray.data.Dataset:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
     Random-hyperplane LSH buckets (seeded, broadcast planes) → exact cosine
-    verification within buckets. Multi-probe: each vector also lands in the
-    buckets at Hamming distance 1, so near-identical vectors split across a
-    plane boundary still meet (recall/cost knob: n_planes).
+    verification within buckets. Multi-probe: each vector also lands in every
+    bucket within Hamming distance ``probe_radius`` of its code, so
+    near-identical vectors split across plane boundaries still meet
+    (recall/cost knobs: n_planes, probe_radius).
+
+    Exact-verification mode (the similarity_ivf_exact trick, SURVEY §2.6):
+    ``probe_radius == n_planes`` probes ALL 2^n_planes buckets, so every pair
+    is co-bucketed and the exact cosine verify makes the output EXACTLY the
+    ≥-threshold pair set — SQL-oracle-comparable while exercising the real
+    bucketize/probe/verify machinery. Use small n_planes there (cost is
+    2^n_planes row copies); the default (12 planes, radius 1) is the
+    approximate scale path.
     """
+    from itertools import combinations
+
+    if not 0 <= probe_radius <= n_planes:
+        raise ValueError(f"probe_radius must be in [0, {n_planes}], got {probe_radius}")
+    masks = [0] + [
+        sum(1 << p for p in combo)
+        for r in range(1, probe_radius + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+
     def bucketize(batch: pa.Table) -> pa.Table:
         rng = np.random.RandomState(seed)
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
@@ -439,9 +647,8 @@ def embedding_dup_pairs(
         base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
         o_bucket, o_id, o_vec = [], [], []
         for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
-            probes = [bkt] + [bkt ^ (1 << p) for p in range(n_planes)]
-            for pr in probes:
-                o_bucket.append(pr)
+            for m in masks:
+                o_bucket.append(bkt ^ m)
                 o_id.append(did)
                 o_vec.append(unit[i].tolist())
         return pa.Table.from_arrays(

@@ -37,8 +37,13 @@ def _input_files(input_path: str) -> List[str]:
 
 def _fingerprint(files: List[str], root: str) -> dict:
     # key by path relative to the input root: hive layouts repeat basenames
-    # across partition dirs, and basename keys would collide/mask changes
-    return {os.path.relpath(f, root): os.path.getsize(f) for f in files}
+    # across partition dirs, and basename keys would collide/mask changes.
+    # size + mtime_ns: a rewrite that keeps the byte count equal must not be
+    # silently skipped on resume as already-done (ADVICE r1)
+    return {
+        os.path.relpath(f, root): [os.path.getsize(f), os.stat(f).st_mtime_ns]
+        for f in files
+    }
 
 
 def run_checkpointed(

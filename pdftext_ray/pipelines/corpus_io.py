@@ -101,7 +101,17 @@ def materialize_corpus(
         import shutil
 
         shutil.rmtree(path)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # two writers raced between the rmtree and the rename: the other
+        # writer's (identical, deterministic) corpus is already in place —
+        # treat as success and discard our tmp dir (ADVICE r1)
+        if not os.path.isdir(path):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

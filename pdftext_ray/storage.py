@@ -24,11 +24,23 @@ def have_lance() -> bool:
     return _HAVE_LANCE
 
 
+def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop schema-level metadata (e.g. parquet's ``pandas`` key) from every
+    block. Schemas carrying metadata dicts are unhashable, which defeats
+    Ray's schema-deduplication in the hash-shuffle path ("Failed to hash the
+    schemas ... unhashable type: 'dict'") on every groupby/join over blocks
+    read straight from pandas-written parquet. Zero-copy (metadata swap
+    only) and fused into the adjacent map stage by the streaming planner."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.Dataset:
     """Read a document table as a Ray Dataset (column-pruned at the read)."""
     if _HAVE_LANCE and uri.endswith(".lance"):
-        return ray.data.read_lance(uri, columns=columns, **kwargs)
-    return ray.data.read_parquet(uri, columns=columns, **kwargs)
+        return strip_schema_metadata(ray.data.read_lance(uri, columns=columns, **kwargs))
+    return strip_schema_metadata(ray.data.read_parquet(uri, columns=columns, **kwargs))
 
 
 def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
