@@ -1,0 +1,183 @@
+"""Round-2 additions: golden-builder ⇄ pipeline equality for the formerly
+rows-only ops, exact-recall candidate generation, full-probe embedding LSH,
+distributed-vs-local connected components, and the bruteforce size guard.
+
+The golden builders in pipelines/goldens.py are independent scalar
+reimplementations; these tests pin that the vectorized Ray operators produce
+value-identical results — the same property the driver gate checks via
+DuckDB, verified here without parquet round-trips.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pdftext_ray.ops import cluster, dedup, media, textstats
+from pdftext_ray.pipelines import goldens
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog every morning before breakfast",
+    "the quick brown fox jumps over the lazy dog every evening before breakfast",
+    "completely unrelated content about distributed dataflow engines and arrow",
+    "short",
+    "",
+    "unicode tokens: élève naïve straße 中文 words mixed in",
+]
+IDS = list(range(len(TEXTS)))
+
+
+def _docs_ds():
+    return ray.data.from_arrow(pa.table({"doc_id": IDS, "text": TEXTS}))
+
+
+def test_simhash_pipeline_matches_scalar_golden():
+    # long near-identical docs: SimHash bit votes need many shared tokens
+    # before single-token edits land within hamming 3
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(300)]
+    base_toks = [vocab[i] for i in rng.choice(300, size=150, replace=False)]
+    texts = [
+        " ".join(base_toks),
+        " ".join(base_toks[:-1] + ["zzz"]),
+        " ".join(base_toks + ["extra"]),
+        "entirely different words about nothing shared",
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = (
+        dedup.simhash_pairs(ds, max_hamming=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = goldens.expected_simhash_pairs_table(ids, texts, max_hamming=3).to_pandas()
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(want) > 0, "corpus must plant a hamming<=3 pair"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winnow_pipeline_matches_scalar_golden():
+    ds = textstats.winnow_fingerprints(_docs_ds())
+    got = {}
+    for r in ds.to_pandas().to_dict("records"):
+        got[r["doc_id"]] = sorted(r["fingerprints"])
+    for did, text in zip(IDS, TEXTS):
+        assert got[did] == goldens.winnow_scalar(text), f"doc {did}"
+
+
+def test_media_features_match_scalar_golden():
+    n = 12
+    feats = media.featurize_media(ray.data.from_arrow(media.synth_media_table(n))).to_pandas()
+    want = goldens.expected_media_features_table(n).to_pandas()
+    got_map = {r["media_ref"]: np.asarray(r["feature"], dtype=np.float64) for _, r in feats.iterrows()}
+    for ref, grp in want.groupby("media_ref"):
+        w = grp.sort_values("feat_idx")["feat_value"].to_numpy()
+        assert np.array_equal(got_map[ref], w), ref
+
+
+def test_minhash_exact_recall_catches_band_misses():
+    """A pair at Jaccard exactly ~0.5 can be missed by 16x4 banding (~36%
+    probability per ADVICE r1); the inverted-index union must make the
+    verified output exactly the >=threshold set for EVERY seeded corpus."""
+    rng = np.random.RandomState(123)
+    vocab = [f"tok{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(30):
+        base = [vocab[j] for j in rng.choice(200, size=40, replace=False)]
+        texts.append(" ".join(base))
+        ids.append(2 * i)
+        # 4-5 mutations of 40 tokens puts gram-Jaccard in ~[0.43, 0.73] —
+        # straddling the 0.45 threshold where 16x4 banding has real misses
+        mutated = list(base)
+        for p in rng.choice(40, size=4 + (i % 2), replace=False):
+            mutated[p] = vocab[int(rng.randint(200))]
+        texts.append(" ".join(mutated))
+        ids.append(2 * i + 1)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = (
+        dedup.minhash_lsh_pairs(ds, threshold=0.45, exact_recall=True)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    # independent exact all-pairs oracle
+    def grams(t):
+        toks = t.split()
+        return set(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+
+    gm = {d: grams(t) for d, t in zip(ids, texts)}
+    want = []
+    for a in sorted(ids):
+        for b in sorted(ids):
+            if a < b:
+                j = len(gm[a] & gm[b]) / max(len(gm[a] | gm[b]), 1)
+                if j >= 0.45:
+                    want.append((a, b, round(j, 6)))
+    assert list(map(tuple, got[["doc_a", "doc_b"]].values.tolist())) == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"].values, [j for _, _, j in want], atol=1e-9)
+    assert len(want) >= 10, "corpus must actually plant near-threshold pairs"
+
+
+def test_embedding_full_probe_is_exact():
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16))
+    vecs[13] = vecs[4] + rng.standard_normal(16) * 0.05
+    vecs[29] = -vecs[4]  # anti-correlated: must NOT pair
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(40)), "embedding": [v.tolist() for v in vecs]})
+    )
+    got = (
+        dedup.embedding_dup_pairs(ds, threshold=0.6, n_planes=4, probe_radius=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ia, ib = np.triu_indices(40, k=1)
+    keep = sims[ia, ib] >= 0.6
+    assert list(map(tuple, got[["id_a", "id_b"]].values.tolist())) == list(
+        zip(ia[keep].tolist(), ib[keep].tolist())
+    )
+    assert (4, 13) in set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+
+
+def test_embedding_probe_radius_validation():
+    ds = ray.data.from_arrow(pa.table({"vec_id": [0], "embedding": [[1.0, 0.0]]}))
+    with pytest.raises(ValueError):
+        dedup.embedding_dup_pairs(ds, n_planes=4, probe_radius=5)
+
+
+def test_bruteforce_guard_raises_past_cap():
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(10)), "embedding": [[1.0, 0.0]] * 10})
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        dedup.embedding_pairs_bruteforce(ds, max_rows=5)
+
+
+def test_distributed_cc_matches_local_union_find():
+    pairs = pa.table({
+        "doc_a": [1, 2, 10, 11, 20, 3],
+        "doc_b": [2, 3, 11, 12, 21, 7],
+    })
+    ds = ray.data.from_arrow(pairs)
+    dist = (
+        cluster.connected_components_distributed(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    local = (
+        cluster.connected_components_local(ray.data.from_arrow(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, local, check_dtype=False)
+    # chained component {1,2,3,7} must share min label 1
+    lab = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert lab[1] == lab[2] == lab[3] == lab[7] == 1
