@@ -17,3 +17,17 @@ def round_half_away(x, decimals: int = 6):
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0 ** decimals
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def from_pandas_clean(df):
+    """pandas → Arrow without the ``pandas`` schema-metadata dict.
+
+    ``pa.Table.from_pandas`` attaches schema metadata that makes pyarrow
+    Schemas unhashable, which defeats Ray's schema deduplication in every
+    downstream hash shuffle ("Failed to hash the schemas ... unhashable
+    type: 'dict'"). Every map_batches stage that converts a frame by hand
+    must go through this instead.
+    """
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

@@ -14,7 +14,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from pdftext_ray.ops import round_half_away
+from pdftext_ray.ops import from_pandas_clean, round_half_away
 
 
 def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -32,7 +32,7 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
             sum_disc_price=("disc_price", "sum"),
             n_rows=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -48,9 +48,8 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
         df["sum_base_price"] = round_half_away(df["sum_base_price"], 2)
         df["sum_disc_price"] = round_half_away(df["sum_disc_price"], 2)
         df["n_rows"] = df["n_rows"].astype("int64")
-        return pa.Table.from_pandas(
-            df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "n_rows"]],
-            preserve_index=False,
+        return from_pandas_clean(
+            df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "n_rows"]]
         )
 
     return final.map_batches(shape, batch_format="pyarrow")
@@ -70,7 +69,7 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             n_events=("event_id", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["window_start", "event_type"]).aggregate(
@@ -82,9 +81,7 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
         df = batch.to_pandas()
         df["n_events"] = df["n_events"].astype("int64")
         df["sum_value"] = round_half_away(df["sum_value"], 2)
-        return pa.Table.from_pandas(
-            df[["window_start", "event_type", "n_events", "sum_value"]], preserve_index=False
-        )
+        return from_pandas_clean(df[["window_start", "event_type", "n_events", "sum_value"]])
 
     return final.map_batches(shape, batch_format="pyarrow")
 
@@ -126,7 +123,7 @@ def events_sliding_window(
         ).groupby(["window_start", "event_type"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     partials = ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["window_start", "event_type"]).aggregate(

@@ -24,23 +24,44 @@ def have_lance() -> bool:
     return _HAVE_LANCE
 
 
-def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Drop schema-level metadata (e.g. parquet's ``pandas`` key) from every
-    block. Schemas carrying metadata dicts are unhashable, which defeats
-    Ray's schema-deduplication in the hash-shuffle path ("Failed to hash the
-    schemas ... unhashable type: 'dict'") on every groupby/join over blocks
-    read straight from pandas-written parquet. Zero-copy (metadata swap
-    only) and fused into the adjacent map stage by the streaming planner."""
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+def _stripped_file_schema(uri: str, columns: Optional[list]):
+    """Metadata-free read schema for a single parquet file.
+
+    Pandas-written parquet carries a ``pandas`` schema-metadata dict that
+    makes pyarrow Schemas UNHASHABLE, defeating Ray's schema-deduplication in
+    every downstream hash shuffle ("Failed to hash the schemas ...
+    unhashable type: 'dict'"). Passing an explicit stripped schema to
+    ``read_parquet`` removes the metadata at the source (a downstream strip
+    stage is too late — the read operator's own blocks already warn).
+    Directory reads return None: our ingested corpora are Ray-written (no
+    pandas metadata) and may be hive-partitioned, where an explicit schema
+    would drop the partition column.
+    """
+    import os
+
+    if os.path.isdir(uri):
+        return None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(uri).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
 
 
 def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.Dataset:
     """Read a document table as a Ray Dataset (column-pruned at the read)."""
     if _HAVE_LANCE and uri.endswith(".lance"):
-        return strip_schema_metadata(ray.data.read_lance(uri, columns=columns, **kwargs))
-    return strip_schema_metadata(ray.data.read_parquet(uri, columns=columns, **kwargs))
+        return ray.data.read_lance(uri, columns=columns, **kwargs)
+    if "schema" not in kwargs:
+        try:
+            sch = _stripped_file_schema(uri, columns)
+        except Exception:
+            sch = None
+        if sch is not None:
+            kwargs["schema"] = sch
+    return ray.data.read_parquet(uri, columns=columns, **kwargs)
 
 
 def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
