@@ -26,6 +26,10 @@ from pdftext_ray.ops import round_half_away
 # no object-dtype bigint fallback in the hot path.
 _MERSENNE = (1 << 31) - 1
 
+# per-byte popcount lookup for vectorized Hamming distance (numpy 1.x has no
+# bitwise_count ufunc)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 
 def _md5_hex(values: List[str]) -> List[str]:
     return [hashlib.md5(v.encode("utf-8")).hexdigest() for v in values]
@@ -121,8 +125,13 @@ class MinHasher:
         texts = batch.column(self.text_col).to_pylist()
         sigs, shingles = [], []
         for t in texts:
-            sigs.append(self.signature(t).astype(np.int64).tolist())
-            shingles.append(np.unique(_shingle_hashes(t, self.ngram)).astype(np.int64).tolist())
+            sh = _shingle_hashes(t, self.ngram)  # hashed once, used twice
+            if len(sh) == 0:
+                sigs.append(np.full(self.num_perm, _MERSENNE, dtype=np.uint64).astype(np.int64).tolist())
+            else:
+                prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+                sigs.append(np.min(prod, axis=1).astype(np.int64).tolist())
+            shingles.append(np.unique(sh).astype(np.int64).tolist())
         return pa.Table.from_arrays(
             [
                 pa.array(ids),
@@ -424,17 +433,33 @@ def minhash_lsh_pairs(
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """64-bit SimHash over token hashes; emitted as 4×16-bit chunk columns
-    (the banding keys for Hamming-distance candidate search)."""
+    (the banding keys for Hamming-distance candidate search).
+
+    Per doc: one C-backed hashlib call per token, then ONE vectorized bit
+    unpack + vote over the whole token-hash array (the per-token numpy loop
+    was the hot spot at corpus scale).
+    """
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
+    bit_idx = np.arange(64, dtype=np.uint64)
     hashes, chunks = [], [[], [], [], []]
     for t in texts:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        toks = t.split()
+        if toks:
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            # votes per bit: (#ones)*2 - n  >0 ⇔ majority of ones
+            ones = ((hs[:, None] >> bit_idx[None, :]) & 1).sum(axis=0, dtype=np.int64)
+            acc = 2 * ones - len(toks)
+        else:
+            acc = np.full(64, 0, dtype=np.int64)
+        sh = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
         hashes.append(sh)
         for c in range(4):
             chunks[c].append((sh >> (16 * c)) & 0xFFFF)
@@ -469,20 +494,24 @@ def simhash_pairs(
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
+        g = group.drop_duplicates(id_col).sort_values(id_col).reset_index(drop=True)
+        if len(g) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values(id_col).reset_index(drop=True)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if g[id_col][i] == g[id_col][j]:
-                    continue
-                d = bin(int(g["simhash"][i], 16) ^ int(g["simhash"][j], 16)).count("1")
-                if d <= max_hamming:
-                    out_a.append(g[id_col][i])
-                    out_b.append(g[id_col][j])
-                    out_h.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        # vectorized pairwise Hamming: XOR matrix viewed as bytes → popcount
+        # via a 256-entry lookup (the per-pair Python loop was O(bucket²)
+        # interpreter work — hot buckets at corpus scale made it the
+        # bottleneck of this op)
+        sigs = np.array([int(s, 16) for s in g["simhash"]], dtype=np.uint64)
+        xors = sigs[:, None] ^ sigs[None, :]
+        ham = _POPCOUNT8[xors.view(np.uint8).reshape(len(g), len(g), 8)].sum(axis=2, dtype=np.int64)
+        ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame(
+            {
+                "doc_a": g[id_col].values[ia],
+                "doc_b": g[id_col].values[ib],
+                "hamming": ham[ia, ib].astype(np.int64),
+            }
+        )
 
     pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
