@@ -164,6 +164,19 @@ def run_bench() -> dict:
     timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs_ds(), threshold=0.5).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs_ds()).count())
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
+    timed("dedup_simhash", lambda: dedup.simhash_pairs(docs_ds(), max_hamming=3).count())
+    timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs_ds(), threshold=0.5).count())
+    timed("winnow", lambda: textstats.winnow_fingerprints(docs_ds()).count())
+
+    def q_clusters():
+        from pdftext_ray.ops import cluster
+
+        pairs = dedup.minhash_lsh_pairs(docs_ds(), threshold=0.4)
+        cluster.connected_components_distributed(pairs).count()
+
+    timed("dedup_clusters", q_clusters)
+    timed("embedding_pairs", lambda: dedup.embedding_pairs_bruteforce(
+        sf_read("embeddings", ["vec_id", "embedding"]), threshold=0.4).count())
 
     def q_similarity():
         emb = sf_read("embeddings", ["vec_id", "embedding"])
@@ -230,18 +243,35 @@ def run_scaling() -> dict:
         lo = run(lo_cpus)  # first pair also warms the corpus cache
         hi = run(hi_cpus)
         pairs.append((lo, hi))
-    effs = sorted(
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+    effs = [
         (lo["queries"]["extract_flagship"] / hi["queries"]["extract_flagship"])
         / (hi_cpus / lo_cpus)
         for lo, hi in pairs
-    )
-    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    ]
+    # cpu-normalized efficiency can exceed 1.0 here for a STRUCTURAL reason,
+    # not measurement noise: the extract pool reserves a fixed 2 cpus for
+    # read/write (pipelines/extract._default_pool_size), so the pool grows
+    # 6 → 30 (5x) when cpus grow 8 → 32 (4x). Normalizing by pool size is
+    # the physically honest per-worker efficiency (must be ≤ ~1).
+    pool = lambda n: max(2, n - 2)  # noqa: E731
+    pool_effs = [
+        (lo["queries"]["extract_flagship"] * pool(lo_cpus))
+        / (hi["queries"]["extract_flagship"] * pool(hi_cpus))
+        for lo, hi in pairs
+    ]
+    median_eff = median(effs)
     last_lo, last_hi = pairs[-1]
     return {
         "metric": f"scaling efficiency (extract_flagship, median of {repeats} interleaved fresh-ray.init 8-vs-32-cpu pairs)",
         "value": round(median_eff, 3),
         "unit": "efficiency",
-        "efficiencies": [round(e, 3) for e in effs],
+        "efficiencies": [round(e, 3) for e in sorted(effs)],
+        "pool_normalized_efficiencies": [round(e, 3) for e in sorted(pool_effs)],
+        "pool_normalized_median": round(median(pool_effs), 3),
         "sec_8": [round(lo["queries"]["extract_flagship"], 3) for lo, _ in pairs],
         "sec_32": [round(hi["queries"]["extract_flagship"], 3) for _, hi in pairs],
         "docs_per_sec_8": last_lo["docs_per_sec"],
