@@ -533,26 +533,114 @@ def ngram_jaccard_pairs(
     Semantics mirror the SQL oracle exactly: tokens = \\S+ runs; grams only
     when the doc has ≥ n tokens; distinct gram sets; jaccard = |∩| / |∪|.
 
-    Plan (fully distributed — the round-1 ``take_all`` + O(n²) all-pairs scan
-    is gone): distinct gram-hash sets per doc (vectorizable map_batches) →
-    shingle inverted index → candidate pairs sharing ≥1 gram (perfect recall
-    for threshold > 0: a pair with positive Jaccard shares a gram) →
-    distributed exact-Jaccard verification via hash joins back to the gram
-    table. Grams are 61-bit blake2b hashes; set Jaccard over the hashes
-    equals string-gram Jaccard up to a ~2⁻⁴⁰ collision probability per
-    corpus-sized gram set.
-    """
-    def gram_sets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        out = [
-            np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64).tolist()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        return pa.table({id_col: ids, "shingles": pa.array(out, pa.list_(pa.int64()))})
+    Plan (fully distributed, verification-free — the round-1 ``take_all`` +
+    O(n²) all-pairs scan is gone): distinct gram-hash sets per doc →
+    inverted-index postings (gram, id, |grams|) → per-gram buckets emit one
+    pair row per SHARED gram → ``groupby(pair).count`` is then EXACTLY
+    |A∩B| (each bucket is one distinct gram, each doc appears in it at most
+    once), and carrying the two set sizes makes
+    ``jaccard = c / (m_a + m_b - c)`` exact with no second pass over the
+    gram data — the textbook distributed set-similarity join. Perfect
+    recall for any threshold > 0 (a pair with positive Jaccard shares a
+    gram). Grams are 61-bit blake2b hashes; hashed-set Jaccard equals
+    string-gram Jaccard up to a ~2⁻⁴⁰ per-corpus collision probability.
 
-    sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
-    cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b")
-    return _verify_pairs_exact_jaccard(cands, sigs, id_col, "id_a", "id_b", threshold)
+    Scale note: bucket pair emission is Σ C(df,2) rows of 4 ints; on
+    templated corpora with very hot grams, bound it with a DF-prune knob
+    (future work) or pre-gate with MinHash banding — at the current bench
+    scale the full emission is cheap.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def postings(batch: pa.Table) -> pa.Table:
+        o_gram, o_id, o_m = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            grams = np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64)
+            o_gram.extend(grams.tolist())
+            o_id.extend([did] * len(grams))
+            o_m.extend([len(grams)] * len(grams))
+        return pa.table({
+            "bucket": pa.array(o_gram, pa.int64()),
+            id_col: pa.array(o_id, batch.schema.field(id_col).type),
+            "m": pa.array(o_m, pa.int64()),
+        })
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_row=lambda acc, row: acc + [(row[id_col], row["m"])],
+        name="docs",
+    )
+    buckets = (
+        ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .groupby("bucket")
+        .aggregate(collect)
+    )
+
+    id_arrow_type = None
+
+    def emit(batch: pa.Table) -> pa.Table:
+        o_a, o_b, o_ma, o_mb = [], [], [], []
+        for docs in batch.column("docs").to_pylist():
+            if len(docs) < 2:
+                continue
+            docs = sorted(set(map(tuple, docs)))
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    o_a.append(docs[i][0])
+                    o_b.append(docs[j][0])
+                    o_ma.append(docs[i][1])
+                    o_mb.append(docs[j][1])
+        return pa.table({
+            "id_a": pa.array(o_a, id_arrow_type),
+            "id_b": pa.array(o_b, id_arrow_type),
+            "m_a": pa.array(o_ma, pa.int64()),
+            "m_b": pa.array(o_mb, pa.int64()),
+        })
+
+    _sch = ds.schema()
+    id_arrow_type = dict(zip(_sch.names, _sch.types))[id_col]
+    emissions = buckets.map_batches(emit, batch_format="pyarrow", batch_size=8192)
+
+    # Count per pair via a FEW-partition keyed shuffle + one vectorized
+    # pandas groupby per partition. (Ray's groupby().aggregate() pays
+    # per-distinct-key Python overhead — 74 s for 1.1M pair keys at bench
+    # scale vs ~2 s for this plan; the shuffle volume is identical.)
+    try:
+        import ray as _ray
+
+        n_parts = max(8, min(256, int(_ray.cluster_resources().get("CPU", 8)) * 4))
+    except Exception:
+        n_parts = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids_a = batch.column("id_a").to_pylist()
+        ids_b = batch.column("id_b").to_pylist()
+        part = [
+            int.from_bytes(hashlib.blake2b(repr((a, b)).encode(), digest_size=4).digest(), "big")
+            % n_parts
+            for a, b in zip(ids_a, ids_b)
+        ]
+        return batch.append_column("_part", pa.array(part, pa.int64()))
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b", "m_a", "m_b"], as_index=False).size()
+        c = agg["size"].to_numpy(dtype=np.float64)
+        ma = agg["m_a"].to_numpy(dtype=np.float64)
+        mb = agg["m_b"].to_numpy(dtype=np.float64)
+        j = c / np.maximum(ma + mb - c, 1.0)
+        keep = j >= threshold
+        return pd.DataFrame({
+            "id_a": agg["id_a"].values[keep],
+            "id_b": agg["id_b"].values[keep],
+            "jaccard": round_half_away(j[keep], 6),
+        })
+
+    return (
+        emissions.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(count_pairs, batch_format="pandas")
+    )
 
 
 def embedding_pairs_bruteforce(
