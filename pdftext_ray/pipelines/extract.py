@@ -49,9 +49,6 @@ def extract_spans(
 ) -> ray.data.Dataset:
     """Flagship doc-parallel span-sequence extraction (no shuffle).
 
-    A FIXED-size pool beats the autoscaling default here: autoscaling ramps
-    up over the first seconds of the run (~10% wall on a short job).
-
     Note on the pool form: we pass a constructed INSTANCE, which Ray runs as
     a task pool (the callable pickles per task — cheap: it holds only the
     config dataclass). The expensive warm state (imports, unicode tables,
@@ -60,9 +57,17 @@ def extract_spans(
     form was measured too: it pins `concurrency` CPUs per stage, which
     starves multi-branch plans (skew union + groupby) on small nodes, for
     <5% throughput difference on this workload.
+
+    Concurrency is UNCAPPED by default (round-2 measurement: an explicit
+    `concurrency=cpus-2` cap ran 13.0–15.2 s at the 100k-doc bench vs
+    11.5–15.7 s uncapped — the cap never wins, and a fixed absolute reserve
+    makes the worker pool grow super-proportionally between cluster sizes,
+    muddying scaling measurements). Pass `concurrency` to bound the stage
+    explicitly when co-scheduling against other pipelines.
     """
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
-    kwargs["concurrency"] = concurrency if concurrency is not None else _default_pool_size()
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(X.DocumentExtractor(cfg), **kwargs)
 
 
