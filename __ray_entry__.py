@@ -572,6 +572,20 @@ def _q_clean_corpus(sf_dir: str):
     return clean.clean_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_clean_extracted(sf_dir: str):
+    """Composed END-TO-END flow: interleaved-corpus extraction → per-doc
+    plain text → exact dedup — the extraction engine feeding the
+    training-data ops in one lazy Ray graph (no materialization between
+    stages). Oracle: the same dedup SQL over the independent single-doc
+    plain-text golden parquet."""
+    from pdftext_ray.ops import dedup
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    plain = P.extract_plain_text(P.read_documents(paths["corpus"]))
+    return dedup.exact_dedup(plain, id_col="doc_id", text_col="text")
+
+
 def _q_media_features(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -674,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_topk_per_type": _q_events_topk_per_type,
         "clean_corpus": _q_clean_corpus,
+        "clean_extracted": _q_clean_extracted,
         "media_features": _q_media_features,
     }
 
@@ -742,6 +757,12 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.5"
+        ),
+        "clean_extracted": (
+            # composed extraction→dedup oracle over the independent
+            # single-doc plain-text golden
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+            f"count(*) AS dup_count FROM read_parquet('{p['expected_plain']}') GROUP BY md5(text)"
         ),
         "similarity_ivf_recall": (
             # pinned numeric contract for the approximate IVF path: the whole

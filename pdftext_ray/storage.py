@@ -51,9 +51,23 @@ def _stripped_file_schema(uri: str, columns: Optional[list]):
 
 
 def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.Dataset:
-    """Read a document table as a Ray Dataset (column-pruned at the read)."""
+    """Read a document table as a Ray Dataset (column-pruned at the read).
+
+    Format dispatch by extension: ``.lance`` (when pylance is installed),
+    ``.jsonl``/``.json`` (newline-delimited JSON), ``.csv``, else Parquet
+    (the canonical format). For row-oriented formats column pruning happens
+    AFTER parse (``select_columns``) — the format physically stores whole
+    rows; at 100 TB convert to Parquet/Lance at ingest and prune at the
+    read.
+    """
     if _HAVE_LANCE and uri.endswith(".lance"):
         return ray.data.read_lance(uri, columns=columns, **kwargs)
+    if uri.endswith((".jsonl", ".json")):
+        ds = ray.data.read_json(uri, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if uri.endswith(".csv"):
+        ds = ray.data.read_csv(uri, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     if "schema" not in kwargs:
         try:
             sch = _stripped_file_schema(uri, columns)
@@ -65,8 +79,16 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
 
 
 def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
-    """Write a Dataset as a directory of part files (resumable layout)."""
+    """Write a Dataset as a directory of part files (resumable layout).
+
+    Format dispatch mirrors :func:`read_table`: ``.lance`` / ``.jsonl`` /
+    ``.csv`` by extension, Parquet otherwise.
+    """
     if _HAVE_LANCE and uri.endswith(".lance"):
         ds.write_lance(uri, **kwargs)
+    elif uri.endswith((".jsonl", ".json")):
+        ds.write_json(uri, **kwargs)
+    elif uri.endswith(".csv"):
+        ds.write_csv(uri, **kwargs)
     else:
         ds.write_parquet(uri, **kwargs)

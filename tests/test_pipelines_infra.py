@@ -145,3 +145,27 @@ def test_sessionize_and_grouped_topk():
     assert list(a["value"]) == [3.0, 2.0]
     b = t[t["event_type"] == "b"].sort_values("rank")
     assert list(b["event_id"]) == [3, 4]  # value tie broken by id asc
+
+
+def test_read_write_table_format_dispatch(tmp_path):
+    """storage.read_table/write_table route .jsonl/.csv by extension and the
+    round-trip preserves values (row formats prune AFTER parse)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pdftext_ray import storage
+
+    src = pa.table({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"], "n": [10, 20, 30]})
+    ds = ray.data.from_arrow(src)
+    for ext in ("jsonl", "csv"):
+        out = str(tmp_path / f"t_{ext}.{ext}")
+        storage.write_table(ds, out)
+        back = storage.read_table(out, columns=["doc_id", "text"]).to_pandas()
+        back = back.sort_values("doc_id").reset_index(drop=True)
+        assert list(back.columns) == ["doc_id", "text"]
+        pd.testing.assert_frame_equal(
+            back, pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]}),
+            check_dtype=False,
+        )
