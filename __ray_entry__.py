@@ -95,10 +95,16 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
     return paths
 
 
-def _require_gate_corpus(sf_dir: str) -> None:
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _require_gate_corpus(sf_dir: str, check_content: bool = False) -> None:
     """Queries compared against pinned golden parquet only make sense at the
     gate scale (sf0.01 = 500 docs) — fail loudly instead of a confusing
-    row-count mismatch (ADVICE r1)."""
+    row-count mismatch (ADVICE r1). ``check_content=True`` additionally
+    verifies the documents table IS the gate table byte-for-byte (the
+    simhash/winnow goldens are derived from its text, so a different
+    500-doc table would fail with opaque value mismatches)."""
     n = _corpus_size(sf_dir)
     if n != SF001_DOCS:
         raise RuntimeError(
@@ -106,6 +112,23 @@ def _require_gate_corpus(sf_dir: str) -> None:
             f"(sf0.01); {sf_dir} has {n} docs. Run this query at sf0.01, or use the "
             "pdftext_ray.pipelines APIs directly for other scales."
         )
+    if check_content and os.path.realpath(sf_dir) != os.path.realpath(GATE_SF_DIR):
+        import hashlib
+
+        def digest(path: str) -> str:
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            return h.hexdigest()
+
+        mine = digest(os.path.join(sf_dir, "documents.parquet"))
+        gate = digest(os.path.join(GATE_SF_DIR, "documents.parquet"))
+        if mine != gate:
+            raise RuntimeError(
+                f"this query's goldens are derived from {GATE_SF_DIR}/documents.parquet; "
+                f"{sf_dir}/documents.parquet has the same row count but different content"
+            )
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -249,7 +272,7 @@ def _q_winnow_fingerprints(sf_dir: str):
 
     from pdftext_ray.ops import textstats
 
-    _require_gate_corpus(sf_dir)
+    _require_gate_corpus(sf_dir, check_content=True)
     ds = textstats.winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
     # explode the fingerprint sets to (doc_id, fingerprint) rows — the full
@@ -295,7 +318,7 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    _require_gate_corpus(sf_dir)
+    _require_gate_corpus(sf_dir, check_content=True)
     from pdftext_ray.ops import dedup
 
     return dedup.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
@@ -631,8 +654,11 @@ def _q_similarity_ivf_recall(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _query_vec(sf_dir)
     # n_probe=8 of 16 lists: half the scan cost of exhaustive probing at
-    # recall 0.9 on this corpus (isotropic random embeddings — IVF's worst
-    # case; clustered real embeddings do far better at lower n_probe)
+    # recall 0.8 on this corpus (isotropic random embeddings — IVF's worst
+    # case; clustered real embeddings do far better at lower n_probe).
+    # Layout-independent: the IVF training sample is a hash of (id, seed)
+    # and is sorted before k-means init, so the pinned value cannot drift
+    # with Ray read parallelism or block layout (round-2 review finding)
     approx = set(
         r["vec_id"]
         for r in similarity.ivf_topk(emb, q, k=10, n_probe=8).to_pandas().to_dict("records")
@@ -643,8 +669,12 @@ def _q_similarity_ivf_recall(sf_dir: str):
             _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
         ).to_pandas().to_dict("records")
     )
+    from pdftext_ray.ops import round_half_away
+
     hits = len(approx & exact)
-    return pd.DataFrame({"k": [10], "n_hits": [hits], "recall": [round(hits / 10, 4)]})
+    return pd.DataFrame(
+        {"k": [10], "n_hits": [hits], "recall": [float(round_half_away(hits / 10, 4))]}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -765,11 +795,12 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS dup_count FROM read_parquet('{p['expected_plain']}') GROUP BY md5(text)"
         ),
         "similarity_ivf_recall": (
-            # pinned numeric contract for the approximate IVF path: the whole
-            # computation is seeded, so recall@10 vs brute force is a
-            # deterministic constant on the gate corpus (measured 9/10 at
-            # n_probe=8 of 16 lists; regression here = IVF behavior changed)
-            "SELECT CAST(10 AS BIGINT) AS k, CAST(9 AS BIGINT) AS n_hits, 0.9 AS recall"
+            # pinned numeric contract for the approximate IVF path: the
+            # computation is seeded AND layout-independent (hash-gated,
+            # id-sorted training sample), so recall@10 vs brute force is a
+            # constant on the gate corpus (measured 8/10 at n_probe=8 of 16
+            # lists across 2/5/8-cpu layouts; regression = IVF changed)
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(8 AS BIGINT) AS n_hits, 0.8 AS recall"
         ),
         "token_count": (
             "SELECT doc_id, "

@@ -145,12 +145,16 @@ class MinHasher:
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     """Set Jaccard over UNIQUE sorted shingle hashes (MinHasher stores
     np.unique output; mixing multiset lengths with unique intersections
-    under-scores docs with repeated shingles — even identical docs)."""
-    if len(a) == 0 and len(b) == 0:
-        return 1.0
+    under-scores docs with repeated shingles — even identical docs).
+
+    Two EMPTY sets score 0, not 1 — the ``|∩| / greatest(|∪|, 1)``
+    convention the SQL oracles use — so a corpus with several empty docs
+    (whose all-sentinel minhash signatures always co-bucket) cannot emit
+    pairs the oracle does not have.
+    """
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
-    return inter / union if union else 1.0
+    return inter / max(union, 1)
 
 
 def _bucket_candidate_pairs(buckets: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
@@ -215,7 +219,12 @@ def _shingle_bucket_candidates(
         for did, sh in zip(batch.column(id_col).to_pylist(), batch.column("shingles").to_pylist()):
             o_sh.extend(sh)
             o_id.extend([did] * len(sh))
-        return pa.table({"bucket": pa.array(o_sh, pa.int64()), id_col: o_id})
+        # explicit id type: an all-empty-shingles block would otherwise infer
+        # a null-typed id column and break the downstream keyed shuffle
+        return pa.table({
+            "bucket": pa.array(o_sh, pa.int64()),
+            id_col: pa.array(o_id, batch.schema.field(id_col).type),
+        })
 
     buckets = (
         sigs.map_batches(explode, batch_format="pyarrow")
@@ -233,6 +242,20 @@ def _shingle_bucket_candidates(
 def _bucket_of(v, num_buckets: int) -> int:
     """Deterministic bucket for co-partitioning (stable across sides/types)."""
     return int.from_bytes(hashlib.blake2b(repr(v).encode(), digest_size=8).digest(), "big") % num_buckets
+
+
+def _bucket_array(col, num_buckets: int) -> np.ndarray:
+    """Vectorized deterministic buckets for a key column.
+
+    Integer keys take a numpy Fibonacci-hash fast path; other types fall
+    back to per-row blake2b. Both sides of a co-partitioned merge see the
+    same arrow type, so the dispatch is consistent across sides.
+    """
+    typ = col.type
+    if pa.types.is_integer(typ):
+        ids = np.asarray(col).astype(np.uint64)
+        return (((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int64)
+    return np.array([_bucket_of(v, num_buckets) for v in col.to_pylist()], dtype=np.int64)
 
 
 def _attach_blobs(
@@ -256,18 +279,19 @@ def _attach_blobs(
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         n = len(t)
+        # cast (zero-copy when types already match; repairs null-typed
+        # columns from empty upstream pandas blocks) instead of a Python
+        # to_pylist round-trip — this stage is on the pair-shuffle hot path
         cols = {
-            name: pa.array(t.column(name).to_pylist(), typ) for name, typ in pair_cols
+            name: pc.cast(t.column(name).combine_chunks(), typ) for name, typ in pair_cols
         }
         cols[blob_col] = pa.array([None] * n, pa.binary())
-        cols["_is_sig"] = pa.array([0] * n, pa.int8())
-        cols["_bucket"] = pa.array(
-            [_bucket_of(k, num_buckets) for k in t.column(key_col).to_pylist()], pa.int64()
-        )
+        cols["_is_sig"] = pa.array(np.zeros(n, dtype=np.int8), pa.int8())
+        cols["_bucket"] = pa.array(_bucket_array(cols[key_col], num_buckets), pa.int64())
         return pa.table(cols)
 
     def tag_sigs(t: pa.Table) -> pa.Table:
-        keys = t.column(id_col).to_pylist()
+        key_arr = pc.cast(t.column(id_col).combine_chunks(), dict(pair_cols)[key_col])
         n = len(t)
         cols = {}
         for name, typ in pair_cols:
@@ -275,18 +299,17 @@ def _attach_blobs(
             # int64 column makes the pandas merge stage promote it to float64,
             # corrupting id dtypes downstream); _is_sig filters them out
             if name == key_col:
-                vals = keys
+                cols[name] = key_arr
             elif pa.types.is_binary(typ):
-                vals = [b""] * n
+                cols[name] = pa.array([b""] * n, typ)
             else:
-                vals = keys
-            cols[name] = pa.array(vals, typ)
+                cols[name] = pc.cast(key_arr, typ)
         cols[blob_col] = pa.array(
             [np.asarray(sh, dtype="<i8").tobytes() for sh in t.column("shingles").to_pylist()],
             pa.binary(),
         )
-        cols["_is_sig"] = pa.array([1] * n, pa.int8())
-        cols["_bucket"] = pa.array([_bucket_of(k, num_buckets) for k in keys], pa.int64())
+        cols["_is_sig"] = pa.array(np.ones(n, dtype=np.int8), pa.int8())
+        cols["_bucket"] = pa.array(_bucket_array(key_arr, num_buckets), pa.int64())
         return pa.table(cols)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -408,7 +431,11 @@ def minhash_lsh_pairs(
                 chunk = tuple(sig[b * rows:(b + 1) * rows])
                 o_bucket.append(f"{b}:{hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest()}")
                 o_id.append(did)
-        return pa.table({"bucket": o_bucket, id_col: o_id})
+        # explicit types so empty blocks keep a joinable schema
+        return pa.table({
+            "bucket": pa.array(o_bucket, pa.string()),
+            id_col: pa.array(o_id, batch.schema.field(id_col).type),
+        })
 
     buckets = (
         sigs.map_batches(band_keys, batch_format="pyarrow")
@@ -614,13 +641,18 @@ def ngram_jaccard_pairs(
         n_parts = 32
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids_a = batch.column("id_a").to_pylist()
-        ids_b = batch.column("id_b").to_pylist()
-        part = [
-            int.from_bytes(hashlib.blake2b(repr((a, b)).encode(), digest_size=4).digest(), "big")
-            % n_parts
-            for a, b in zip(ids_a, ids_b)
-        ]
+        if pa.types.is_integer(batch.schema.field("id_a").type):
+            # vectorized pair hash: mix the two ids before the Fibonacci hash
+            a = np.asarray(batch.column("id_a")).astype(np.uint64)
+            b = np.asarray(batch.column("id_b")).astype(np.uint64)
+            mixed = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x9E3779B9))
+            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
+        else:
+            part = [
+                int.from_bytes(hashlib.blake2b(repr((x, y)).encode(), digest_size=4).digest(), "big")
+                % n_parts
+                for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist())
+            ]
         return batch.append_column("_part", pa.array(part, pa.int64()))
 
     def count_pairs(g: pd.DataFrame) -> pd.DataFrame:

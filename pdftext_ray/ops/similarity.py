@@ -100,11 +100,43 @@ def ivf_topk(
     The index (centroid matrix) is broadcast once via ``ray.put``; the filter
     + local top-k run in one map_batches pass (no shuffle at all — the probe
     set prunes most rows before scoring).
+
+    The training sample is a DETERMINISTIC function of (id, seed) — a
+    per-row hash gate, not ``Dataset.random_sample`` (whose draw depends on
+    Ray's task/block layout, so the trained centroids would change with
+    read parallelism, Ray version, or file row-grouping; the gate's pinned
+    recall contract needs layout-independence).
     """
-    sample = ds.random_sample(sample_fraction, seed=seed).take_all()
+    import hashlib
+
+    gate32 = int(min(max(sample_fraction, 0.0), 1.0) * (1 << 32))
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if pa.types.is_integer(col.type):
+            ids = np.asarray(col).astype(np.uint64)
+            h = ((ids + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            keep = h < np.uint64(gate32)
+        else:
+            keep = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(repr((seed, v)).encode(), digest_size=4).digest(), "big"
+                    )
+                    < gate32
+                    for v in col.to_pylist()
+                ],
+                dtype=bool,
+            )
+        return t.filter(pa.array(keep))
+
+    sample = ds.map_batches(hash_sample, batch_format="pyarrow").take_all()
     if len(sample) < 2:
         # an unlucky/empty sample on a tiny dataset: fall back to a prefix
         sample = ds.limit(max(4 * n_centroids, 64)).take_all()
+    # take_all() row ORDER varies with block layout/parallelism; k-means
+    # init draws by position, so sort by id for a layout-independent index
+    sample = sorted(sample, key=lambda r: r[id_col])
     index = IVFIndex(np.asarray([r[vec_col] for r in sample]), n_centroids, seed=seed)
 
     q = np.asarray(query_vec, dtype=np.float64)

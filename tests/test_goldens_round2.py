@@ -181,3 +181,18 @@ def test_distributed_cc_matches_local_union_find():
     # chained component {1,2,3,7} must share min label 1
     lab = dict(zip(dist["doc_id"], dist["cluster_id"]))
     assert lab[1] == lab[2] == lab[3] == lab[7] == 1
+
+
+def test_minhash_empty_docs_never_pair():
+    """Empty docs share the all-sentinel minhash signature (always
+    co-bucketed by banding) but have empty shingle sets — the SQL oracle
+    scores them 0, so the verified output must NOT pair them (round-2
+    review finding: _jaccard_sorted used to return 1.0 for two empty
+    sets)."""
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2, 3], "text": ["", "   ", "alpha beta gamma delta", "alpha beta gamma delta"]})
+    )
+    out = dedup.minhash_lsh_pairs(ds, threshold=0.5, exact_recall=True).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert pairs == {(2, 3)}
+    assert out[out["doc_a"] == 2]["jaccard"].iloc[0] == 1.0
