@@ -96,3 +96,59 @@ def test_dedup_idempotent_on_corpus_pages():
                 continue
             once = cluster.deduplicate_chars(decode_page(s["text"]).chars)
             assert cluster.deduplicate_chars(once) == once
+
+
+# ---------------------------------------------------------------------------
+# round 2: scalar-golden ⇄ vectorized-operator equivalences (the property the
+# golden-parquet oracles rely on, fuzzed over arbitrary unicode text)
+# ---------------------------------------------------------------------------
+
+_fuzz_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(_fuzz_texts)
+@settings(max_examples=150, deadline=None)
+def test_winnow_scalar_equals_vectorized(text):
+    import pyarrow as pa
+
+    from pdftext_ray.ops.textstats import winnow_fingerprints_batch
+    from pdftext_ray.pipelines.goldens import winnow_scalar
+
+    t = pa.table({"doc_id": [0], "text": [text]})
+    got = winnow_fingerprints_batch(t).column("fingerprints").to_pylist()[0]
+    assert got == winnow_scalar(text)
+
+
+@given(_fuzz_texts)
+@settings(max_examples=150, deadline=None)
+def test_simhash_scalar_equals_vectorized(text):
+    import pyarrow as pa
+
+    from pdftext_ray.ops.dedup import simhash_batch
+    from pdftext_ray.pipelines.goldens import simhash64_scalar
+
+    t = pa.table({"doc_id": [0], "text": [text]})
+    got = int(simhash_batch(t).column("simhash").to_pylist()[0], 16)
+    assert got == simhash64_scalar(text)
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=30), min_size=0, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_jaccard_empty_convention(texts):
+    """_jaccard_sorted follows the SQL |∩|/greatest(|∪|,1) convention —
+    empty vs anything scores 0 (round-2 review finding)."""
+    import numpy as np
+
+    from pdftext_ray.ops.dedup import _jaccard_sorted, _shingle_hashes
+
+    sets = [np.unique(_shingle_hashes(t, 3, short_fallback=False)) for t in texts]
+    for a in sets:
+        for b in sets:
+            j = _jaccard_sorted(a, b)
+            if len(a) == 0 or len(b) == 0:
+                assert j == 0.0
+            else:
+                inter = len(np.intersect1d(a, b))
+                assert j == inter / (len(a) + len(b) - inter)
