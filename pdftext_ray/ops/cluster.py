@@ -15,6 +15,7 @@ Two plans:
 from __future__ import annotations
 
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -92,22 +93,49 @@ def connected_components_distributed(
         b = batch.column(b_col).combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])})
 
-    def contract(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["node"].iloc[0]
-        members = set(group["peer"]) | {node}
-        m = min(members)
-        others = sorted(members - {m})
-        return pd.DataFrame({"node": [m] * len(others) + others,
-                             "peer": others + [m] * len(others)})
+    try:
+        import ray as _ray
+
+        n_parts = max(8, min(256, int(_ray.cluster_resources().get("CPU", 8)) * 4))
+    except Exception:
+        n_parts = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from pdftext_ray.ops.dedup import _bucket_array
+
+        return batch.append_column(
+            "_part", pa.array(_bucket_array(batch.column("node").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def contract_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized star contraction for ALL nodes of one hash partition
+        (the partition key is a function of ``node``, so every node's full
+        adjacency is co-located). Replaces the per-node map_groups pair —
+        Ray's per-distinct-key group overhead dominated rounds on graphs
+        with many nodes. Cross-partition duplicate emissions are deduped
+        here at the NEXT round's entry (they co-locate by node)."""
+        g = g[["node", "peer"]].drop_duplicates()
+        mins = g.groupby("node")["peer"].min()
+        m_of = np.minimum(mins.values, mins.index.values)
+        mm = pd.Series(m_of, index=mins.index)
+        m_col = g["node"].map(mm)
+        from_peers = pd.DataFrame({"m": m_col.values, "x": g["peer"].values})
+        from_peers = from_peers[from_peers["m"] != from_peers["x"]]
+        self_rows = pd.DataFrame({"m": mm.values, "x": mm.index.values})
+        self_rows = self_rows[self_rows["m"] != self_rows["x"]]
+        stars = pd.concat([from_peers, self_rows]).drop_duplicates()
+        return pd.DataFrame({
+            "node": np.concatenate([stars["m"].values, stars["x"].values]),
+            "peer": np.concatenate([stars["x"].values, stars["m"].values]),
+        })
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     prev_fp = None
     for _ in range(max_rounds):
         edges = (
-            edges.groupby("node")
-            .map_groups(contract, batch_format="pandas")
-            .groupby(["node", "peer"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            edges.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(contract_part, batch_format="pandas")
             .materialize()
         )
         fp = _edge_fingerprint(edges)

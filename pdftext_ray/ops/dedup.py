@@ -554,6 +554,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity self-join (pairs ≥ threshold).
 
@@ -573,11 +574,30 @@ def ngram_jaccard_pairs(
     string-gram Jaccard up to a ~2⁻⁴⁰ per-corpus collision probability.
 
     Scale note: bucket pair emission is Σ C(df,2) rows of 4 ints; on
-    templated corpora with very hot grams, bound it with a DF-prune knob
-    (future work) or pre-gate with MinHash banding — at the current bench
-    scale the full emission is cheap.
+    templated corpora with very hot grams, pass ``max_doc_freq=N`` — that
+    switches to the two-phase plan (DF-pruned inverted-index candidates →
+    distributed exact-Jaccard verify over the full gram sets), which bounds
+    per-bucket work at C(N,2) while keeping every EMITTED jaccard value
+    exact; only pairs whose shared grams are ALL hotter than N can be
+    missed (a recall knob, like LSH banding — default None is fully exact).
     """
     from ray.data.aggregate import AggregateFn
+
+    if max_doc_freq is not None:
+        def gram_sets(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            out = [
+                np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64).tolist()
+                for t in batch.column(text_col).to_pylist()
+            ]
+            return pa.table({
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "shingles": pa.array(out, pa.list_(pa.int64())),
+            })
+
+        sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
+        cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b", max_doc_freq=max_doc_freq)
+        return _verify_pairs_exact_jaccard(cands, sigs, id_col, "id_a", "id_b", threshold)
 
     def postings(batch: pa.Table) -> pa.Table:
         o_gram, o_id, o_m = [], [], []
