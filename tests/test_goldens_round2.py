@@ -196,3 +196,23 @@ def test_minhash_empty_docs_never_pair():
     pairs = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
     assert pairs == {(2, 3)}
     assert out[out["doc_a"] == 2]["jaccard"].iloc[0] == 1.0
+
+
+def test_ngram_max_doc_freq_two_phase_exact_values():
+    """DF-pruned mode may miss pairs whose shared grams are all hot, but
+    every emitted pair must carry the exact full-set jaccard (the verify
+    phase uses the UN-pruned gram sets)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base, base + " extra", base.replace("delta", "omega"), "unrelated words only here now"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    full = dedup.ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+    pruned = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts})), threshold=0.3, max_doc_freq=3
+    ).to_pandas()
+    fk = set(map(tuple, full[["id_a", "id_b"]].values.tolist()))
+    pk = set(map(tuple, pruned[["id_a", "id_b"]].values.tolist()))
+    assert pk <= fk and len(fk) > 0
+    fmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.to_dict("records")}
+    for r in pruned.to_dict("records"):
+        assert fmap[(r["id_a"], r["id_b"])] == r["jaccard"]
