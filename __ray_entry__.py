@@ -122,8 +122,14 @@ def _require_gate_corpus(sf_dir: str, check_content: bool = False) -> None:
                     h.update(chunk)
             return h.hexdigest()
 
+        gate_docs = os.path.join(GATE_SF_DIR, "documents.parquet")
+        if not os.path.exists(gate_docs):
+            raise RuntimeError(
+                f"this query's goldens are derived from {gate_docs}, which does not "
+                f"exist on this machine — run the gate from the driver environment"
+            )
         mine = digest(os.path.join(sf_dir, "documents.parquet"))
-        gate = digest(os.path.join(GATE_SF_DIR, "documents.parquet"))
+        gate = digest(gate_docs)
         if mine != gate:
             raise RuntimeError(
                 f"this query's goldens are derived from {GATE_SF_DIR}/documents.parquet; "

@@ -19,6 +19,17 @@ def round_half_away(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def default_num_partitions(per_cpu: int = 4, lo: int = 8, hi: int = 256) -> int:
+    """Partition count for few-partition keyed shuffles (shared policy for
+    the pair-count, blob-merge and CC-contraction plans)."""
+    try:
+        import ray
+
+        return max(lo, min(hi, int(ray.cluster_resources().get("CPU", 8)) * per_cpu))
+    except Exception:
+        return 32
+
+
 def from_pandas_clean(df):
     """pandas → Arrow without the ``pandas`` schema-metadata dict.
 

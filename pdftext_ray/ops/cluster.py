@@ -93,12 +93,9 @@ def connected_components_distributed(
         b = batch.column(b_col).combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])})
 
-    try:
-        import ray as _ray
+    from pdftext_ray.ops import default_num_partitions
 
-        n_parts = max(8, min(256, int(_ray.cluster_resources().get("CPU", 8)) * 4))
-    except Exception:
-        n_parts = 32
+    n_parts = default_num_partitions()
 
     def tag(batch: pa.Table) -> pa.Table:
         from pdftext_ray.ops.dedup import _bucket_array

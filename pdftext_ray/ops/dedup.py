@@ -190,13 +190,30 @@ def _bucket_candidate_pairs(buckets: ray.data.Dataset, a_col: str, b_col: str) -
     return deduped.map_batches(lambda t: t.drop_columns(["_n"]), batch_format="pyarrow")
 
 
-def _collect_docs_aggregate(id_col: str):
+def _collect_docs_aggregate(id_col: str, cap: Optional[int] = None, extra_col: Optional[str] = None):
+    """List-collecting aggregate with in-place appends (a functional
+    ``acc + [x]`` re-copies the list per row — O(n²) on hot buckets) and an
+    optional CAP: once a bucket exceeds ``cap`` items it stops growing, so a
+    downstream DF-prune that drops >cap buckets bounds per-bucket memory and
+    work DURING collection, not after it. ``extra_col`` collects
+    ``(id, extra)`` tuples instead of bare ids."""
     from ray.data.aggregate import AggregateFn
+
+    def accumulate(acc, row):
+        if cap is None or len(acc) <= cap:
+            acc.append((row[id_col], row[extra_col]) if extra_col else row[id_col])
+        return acc
+
+    def merge(a, b):
+        if cap is not None and len(a) > cap:
+            return a
+        a.extend(b if cap is None else b[: cap + 1 - len(a)])
+        return a
 
     return AggregateFn(
         init=lambda k: [],
-        merge=lambda a, b: a + b,
-        accumulate_row=lambda acc, row: acc + [row[id_col]],
+        merge=merge,
+        accumulate_row=accumulate,
         name="docs",
     )
 
@@ -229,7 +246,9 @@ def _shingle_bucket_candidates(
     buckets = (
         sigs.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
-        .aggregate(_collect_docs_aggregate(id_col))
+        # cap bounds hot-bucket collection AT accumulate time (an overflowed
+        # bucket holds cap+1 ids and is dropped below)
+        .aggregate(_collect_docs_aggregate(id_col, cap=max_doc_freq))
     )
     if max_doc_freq is not None:
         def prune(t: pa.Table) -> pa.Table:
@@ -343,12 +362,9 @@ def _verify_pairs_exact_jaccard(
     Output: (a, b, jaccard ≥ threshold).
     """
     if num_partitions is None:
-        try:
-            import ray as _ray
+        from pdftext_ray.ops import default_num_partitions
 
-            num_partitions = max(2, min(64, int(_ray.cluster_resources().get("CPU", 8))))
-        except Exception:
-            num_partitions = 8
+        num_partitions = default_num_partitions(per_cpu=1, lo=2, hi=64)
 
     _sch = sigs.schema()  # Ray Schema wrapper: parallel .names/.types lists
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
@@ -581,8 +597,6 @@ def ngram_jaccard_pairs(
     exact; only pairs whose shared grams are ALL hotter than N can be
     missed (a recall knob, like LSH banding — default None is fully exact).
     """
-    from ray.data.aggregate import AggregateFn
-
     if max_doc_freq is not None:
         def gram_sets(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_pylist()
@@ -612,16 +626,10 @@ def ngram_jaccard_pairs(
             "m": pa.array(o_m, pa.int64()),
         })
 
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        accumulate_row=lambda acc, row: acc + [(row[id_col], row["m"])],
-        name="docs",
-    )
     buckets = (
         ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
         .groupby("bucket")
-        .aggregate(collect)
+        .aggregate(_collect_docs_aggregate(id_col, extra_col="m"))
     )
 
     id_arrow_type = None
@@ -653,19 +661,19 @@ def ngram_jaccard_pairs(
     # pandas groupby per partition. (Ray's groupby().aggregate() pays
     # per-distinct-key Python overhead — 74 s for 1.1M pair keys at bench
     # scale vs ~2 s for this plan; the shuffle volume is identical.)
-    try:
-        import ray as _ray
+    from pdftext_ray.ops import default_num_partitions
 
-        n_parts = max(8, min(256, int(_ray.cluster_resources().get("CPU", 8)) * 4))
-    except Exception:
-        n_parts = 32
+    n_parts = default_num_partitions()
 
     def tag(batch: pa.Table) -> pa.Table:
         if pa.types.is_integer(batch.schema.field("id_a").type):
-            # vectorized pair hash: mix the two ids before the Fibonacci hash
+            # vectorized pair hash: multiply BOTH ids by odd constants before
+            # mixing so both reach the kept high bits (xor-ing a raw/offset b
+            # only perturbs bits the >>32 discards — hash(id_a) alone would
+            # funnel every hot-doc pair into one partition)
             a = np.asarray(batch.column("id_a")).astype(np.uint64)
             b = np.asarray(batch.column("id_b")).astype(np.uint64)
-            mixed = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x9E3779B9))
+            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
             part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
         else:
             part = [
