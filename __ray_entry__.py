@@ -601,6 +601,25 @@ def _q_clean_corpus(sf_dir: str):
     return clean.clean_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_sample_10pct(sf_dir: str):
+    """Deterministic 10% hash sample (layout-independent train-data split
+    primitive); the oracle reproduces the 64-bit hash arithmetic in SQL."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), fraction=0.1
+    )
+
+
+def _q_train_val_split(sf_dir: str):
+    """Deterministic 80/10/10 split assignment by key hash."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.hash_split(
+        _read(sf_dir, "documents", ["doc_id"]), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def _q_clean_extracted(sf_dir: str):
     """Composed END-TO-END flow: interleaved-corpus extraction → per-doc
     plain text → exact dedup — the extraction engine feeding the
@@ -725,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "clean_corpus": _q_clean_corpus,
         "clean_extracted": _q_clean_extracted,
+        "sample_10pct": _q_sample_10pct,
+        "train_val_split": _q_train_val_split,
         "media_features": _q_media_features,
     }
 
@@ -793,6 +814,19 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.5"
+        ),
+        # deterministic hash sampling/splitting: the SQL reproduces the
+        # uint64 Fibonacci-hash gate bit-for-bit (wraparound via % 2^64)
+        "sample_10pct": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296) % 10000) < 1000"
+        ),
+        "train_val_split": (
+            "SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296) % 10000) AS b FROM documents)"
         ),
         "clean_extracted": (
             # composed extraction→dedup oracle over the independent

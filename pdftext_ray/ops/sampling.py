@@ -1,0 +1,88 @@
+"""Deterministic sampling / dataset splitting — the train/val/test
+primitives a training-data pipeline needs at 100 TB.
+
+Both operators gate each row on a HASH of its key, not on randomness, so
+they are (a) layout-independent — the same row lands in the same
+split regardless of block layout, parallelism, file order, or re-runs;
+(b) shuffle-free — a pure vectorized ``map_batches`` filter; (c)
+SQL-expressible — the integer-key hash is plain 64-bit wraparound
+arithmetic DuckDB reproduces bit-for-bit (the correctness gate checks it),
+and the string-key path uses md5. This is the standard salted-hash
+splitting scheme (vs ``Dataset.random_sample``, whose draw depends on Ray's
+task layout — see ops/similarity.py's round-2 note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# odd 64-bit multiplier (Fibonacci hashing); buckets live in [0, 10000)
+_K = 0x9E3779B97F4A7C15
+_BUCKETS = 10_000
+
+
+def _key_buckets(col, seed: int) -> np.ndarray:
+    """Per-row bucket in [0, 10000), a pure function of (key, seed).
+
+    Integer keys: ((key + seed) * K) >> 32 % 10000 in uint64 wraparound —
+    reproducible in SQL as
+    ``(((CAST(k + seed AS HUGEINT) * K) % 2^64) // 2^32) % 10000``.
+    String keys: first 8 md5 hex digits as an integer, % 10000 —
+    reproducible as ``CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 10000``
+    (seed is appended to the string).
+    """
+    if pa.types.is_integer(col.type):
+        ids = np.asarray(col).astype(np.uint64)
+        h = ((ids + np.uint64(seed)) * np.uint64(_K)) >> np.uint64(32)
+        return (h % np.uint64(_BUCKETS)).astype(np.int64)
+    return np.array(
+        [
+            int(hashlib.md5(f"{v}{seed}".encode("utf-8")).hexdigest()[:8], 16) % _BUCKETS
+            for v in col.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+
+
+def hash_sample(
+    ds: ray.data.Dataset, fraction: float, key_col: str = "doc_id", seed: int = 17
+) -> ray.data.Dataset:
+    """Keep ~``fraction`` of rows, chosen by key hash (deterministic,
+    repeatable, layout-independent; no shuffle)."""
+    gate = int(round(fraction * _BUCKETS))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = _key_buckets(t.column(key_col).combine_chunks(), seed)
+        return t.filter(pa.array(b < gate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    fractions: Dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Assign every row to a named split by cumulative hash-bucket ranges
+    (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``). Appends a ``split``
+    column; fractions must sum to 1 (±1 bucket of rounding slack goes to
+    the last split)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(fractions)
+    bounds = np.cumsum([int(round(fractions[n] * _BUCKETS)) for n in names])
+    bounds[-1] = _BUCKETS  # rounding slack → last split
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _key_buckets(t.column(key_col).combine_chunks(), seed)
+        idx = np.searchsorted(bounds, b, side="right")
+        return t.append_column("split", pa.array([names[i] for i in idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

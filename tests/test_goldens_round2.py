@@ -216,3 +216,31 @@ def test_ngram_max_doc_freq_two_phase_exact_values():
     fmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.to_dict("records")}
     for r in pruned.to_dict("records"):
         assert fmap[(r["id_a"], r["id_b"])] == r["jaccard"]
+
+
+def test_hash_sampling_and_split_deterministic():
+    from pdftext_ray.ops import sampling
+
+    t = pa.table({"doc_id": list(range(2000)), "v": list(range(2000))})
+    ds = ray.data.from_arrow(t)
+    s1 = sorted(sampling.hash_sample(ds, 0.1).to_pandas()["doc_id"])
+    # different block layout, same rows
+    ds2 = ray.data.from_arrow(t).repartition(7)
+    s2 = sorted(sampling.hash_sample(ds2, 0.1).to_pandas()["doc_id"])
+    assert s1 == s2 and 120 < len(s1) < 280  # ~10% of 2000
+
+    sp = sampling.hash_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    counts = sp["split"].value_counts().to_dict()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400 and len(sp) == 2000
+    # splits are a partition: every doc in exactly one split
+    assert sp["doc_id"].is_unique
+
+    # string keys use the md5 path and stay deterministic
+    st = pa.table({"doc_id": [f"d{i}" for i in range(500)], "v": list(range(500))})
+    a = sorted(sampling.hash_sample(ray.data.from_arrow(st), 0.2).to_pandas()["doc_id"])
+    b = sorted(sampling.hash_sample(ray.data.from_arrow(st).repartition(5), 0.2).to_pandas()["doc_id"])
+    assert a == b and 50 < len(a) < 150
+
+    with pytest.raises(ValueError):
+        sampling.hash_split(ds, {"train": 0.5, "val": 0.1})
