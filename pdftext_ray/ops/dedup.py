@@ -157,37 +157,76 @@ def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / max(union, 1)
 
 
-def _bucket_candidate_pairs(buckets: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
-    """(bucket, docs list) rows → distinct candidate pairs (a < b).
+def _postings_candidate_pairs(
+    postings: ray.data.Dataset,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_doc_freq: Optional[int] = None,
+) -> ray.data.Dataset:
+    """(bucket, id) postings → distinct candidate pairs (a < b), fully
+    vectorized: one few-partition shuffle keyed on hash(bucket) co-locates
+    each bucket, then pandas groupby/triu emit per partition; a second
+    few-partition shuffle dedups pairs. Replaces the per-row Python
+    AggregateFn collection (the 800k-posting stress probe spent its time in
+    per-row accumulate calls, not in pair math). ``max_doc_freq`` drops
+    hotter-than-N buckets (recall knob; None = every bucket)."""
+    from pdftext_ray.ops import default_num_partitions
 
-    The pair dedup is a keyed groupby (shuffle of id pairs only) — a pair
-    surfacing from several buckets/blocks is emitted once.
-    """
-    from ray.data.aggregate import Count
+    n_parts = default_num_partitions()
 
-    def emit(batch: pa.Table) -> pa.Table:
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_bucket_array(t.column("bucket").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["bucket", id_col])
+        sz = g.groupby("bucket")[id_col].transform("size")
+        keep = sz >= 2
+        if max_doc_freq is not None:
+            keep &= sz <= max_doc_freq
+        g = g[keep]
         out_a, out_b = [], []
-        seen = set()
-        for docs in batch.column("docs").to_pylist():
-            if len(docs) < 2:
-                continue
-            docs = sorted(set(docs))
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    key = (docs[i], docs[j])
-                    if key not in seen:
-                        seen.add(key)
-                        out_a.append(docs[i])
-                        out_b.append(docs[j])
-        # explicit id type: an empty block would otherwise infer null-typed
-        # columns, which breaks key resolution in the downstream hash join
-        dt = batch.schema.field("docs").type
-        id_type = dt.value_type if pa.types.is_list(dt) or pa.types.is_large_list(dt) else None
-        return pa.table({a_col: pa.array(out_a, id_type), b_col: pa.array(out_b, id_type)})
+        for _, grp in g.groupby("bucket"):
+            ids = np.sort(grp[id_col].values)
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            empty = g[id_col].iloc[:0]
+            return pd.DataFrame({a_col: empty, b_col: empty})
+        return pd.DataFrame(
+            {a_col: np.concatenate(out_a), b_col: np.concatenate(out_b)}
+        ).drop_duplicates()
 
-    pairs = buckets.map_batches(emit, batch_format="pyarrow", batch_size=8192)
-    deduped = pairs.groupby([a_col, b_col]).aggregate(Count(alias_name="_n"))
-    return deduped.map_batches(lambda t: t.drop_columns(["_n"]), batch_format="pyarrow")
+    cands = (
+        postings.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_part, batch_format="pandas")
+    )
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        if len(t) and pa.types.is_integer(t.schema.field(a_col).type):
+            a = np.asarray(t.column(a_col)).astype(np.uint64)
+            b = np.asarray(t.column(b_col)).astype(np.uint64)
+            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
+        else:
+            part = [
+                _bucket_of((x, y), n_parts)
+                for x, y in zip(t.column(a_col).to_pylist(), t.column(b_col).to_pylist())
+            ]
+        return t.append_column("_part", pa.array(part, pa.int64()))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[a_col, b_col]].drop_duplicates()
+
+    return (
+        cands.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
 
 
 def _collect_docs_aggregate(id_col: str, cap: Optional[int] = None, extra_col: Optional[str] = None):
@@ -231,6 +270,13 @@ def _shingle_bucket_candidates(
     scale knob that trades the exactness guarantee for bounded bucket work —
     leave None for exact semantics).
     """
+    return _postings_candidate_pairs(
+        _shingle_postings(sigs, id_col), id_col, a_col, b_col, max_doc_freq=max_doc_freq
+    )
+
+
+def _shingle_postings(sigs: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """(id, shingles) → inverted-index postings (bucket=shingle hash, id)."""
     def explode(batch: pa.Table) -> pa.Table:
         o_sh, o_id = [], []
         for did, sh in zip(batch.column(id_col).to_pylist(), batch.column("shingles").to_pylist()):
@@ -243,19 +289,7 @@ def _shingle_bucket_candidates(
             id_col: pa.array(o_id, batch.schema.field(id_col).type),
         })
 
-    buckets = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        # cap bounds hot-bucket collection AT accumulate time (an overflowed
-        # bucket holds cap+1 ids and is dropped below)
-        .aggregate(_collect_docs_aggregate(id_col, cap=max_doc_freq))
-    )
-    if max_doc_freq is not None:
-        def prune(t: pa.Table) -> pa.Table:
-            return t.filter(pc.less_equal(pc.list_value_length(t.column("docs")), max_doc_freq))
-
-        buckets = buckets.map_batches(prune, batch_format="pyarrow")
-    return _bucket_candidate_pairs(buckets, a_col, b_col)
+    return sigs.map_batches(explode, batch_format="pyarrow")
 
 
 def _bucket_of(v, num_buckets: int) -> int:
@@ -439,34 +473,28 @@ def minhash_lsh_pairs(
     # hashes per doc), consumed by banding + the verification joins
     sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs).materialize()
 
-    # band explode, bucket keys only: (band-qualified hash, doc_id)
+    # band explode, bucket keys only: (63-bit band-qualified hash, doc_id)
     def band_keys(batch: pa.Table) -> pa.Table:
         o_bucket, o_id = [], []
         for did, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
             for b in range(bands):
                 chunk = tuple(sig[b * rows:(b + 1) * rows])
-                o_bucket.append(f"{b}:{hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest()}")
+                d = hashlib.blake2b(repr((b, chunk)).encode(), digest_size=8).digest()
+                o_bucket.append(int.from_bytes(d, "big") >> 1)
                 o_id.append(did)
         # explicit types so empty blocks keep a joinable schema
         return pa.table({
-            "bucket": pa.array(o_bucket, pa.string()),
+            "bucket": pa.array(o_bucket, pa.int64()),
             id_col: pa.array(o_id, batch.schema.field(id_col).type),
         })
 
-    buckets = (
-        sigs.map_batches(band_keys, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(_collect_docs_aggregate(id_col))
-    )
-    cands = _bucket_candidate_pairs(buckets, "doc_a", "doc_b")
+    postings = sigs.map_batches(band_keys, batch_format="pyarrow")
     if exact_recall:
-        from ray.data.aggregate import Count
-
-        merged = cands.union(_shingle_bucket_candidates(sigs, id_col, "doc_a", "doc_b"))
-        cands = (
-            merged.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
-            .map_batches(lambda t: t.drop_columns(["_n"]), batch_format="pyarrow")
-        )
+        # inverted-shingle-index postings (perfect recall for j>0) share the
+        # candidate generator with the band postings — a bucket is just a
+        # co-occurrence key, and verification makes any superset exact
+        postings = postings.union(_shingle_postings(sigs, id_col))
+    cands = _postings_candidate_pairs(postings, id_col, "doc_a", "doc_b")
     return _verify_pairs_exact_jaccard(cands, sigs, id_col, "doc_a", "doc_b", threshold)
 
 
