@@ -546,50 +546,99 @@ def simhash_pairs(
     ds: ray.data.Dataset, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
     """Near-dup pairs within Hamming distance ``max_hamming`` (≤ 3 guarantees
-    at least one of the 4 16-bit chunks matches — pigeonhole banding)."""
+    at least one of the 4 16-bit chunks matches — pigeonhole banding).
+
+    Plan: 4-chunk banded postings → ONE few-partition shuffle keyed on
+    hash(bucket) → per-partition vectorized Hamming scan (XOR matrix +
+    byte-popcount per bucket) → tiny Min-aggregate over the sparse pair set
+    (a per-distinct-bucket map_groups would pay Ray's per-key overhead on
+    ~4×n buckets).
+    """
+    from pdftext_ray.ops import default_num_partitions
+
     sigs = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow")
+    n_parts = default_num_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
-        o_key, o_id, o_sim = [], [], []
         ids = batch.column(id_col).to_pylist()
-        sims = batch.column("simhash").to_pylist()
+        sims = np.array([int(s, 16) for s in batch.column("simhash").to_pylist()], dtype=np.uint64)
+        o_key, o_id, o_sim = [], [], []
         for c in range(4):
             vals = batch.column(f"chunk{c}").to_pylist()
-            for did, sim, v in zip(ids, sims, vals):
-                o_key.append(f"{c}:{v}")
-                o_id.append(did)
-                o_sim.append(sim)
-        return pa.Table.from_arrays(
-            [pa.array(o_key, pa.string()), pa.array(o_id), pa.array(o_sim, pa.string())],
+            o_key.extend(c * 65536 + v for v in vals)
+            o_id.extend(ids)
+            o_sim.extend(sims.tolist())
+        t = pa.Table.from_arrays(
+            [
+                pa.array(o_key, pa.int64()),
+                pa.array(o_id, batch.schema.field(id_col).type),
+                pa.array(o_sim, pa.uint64()),
+            ],
             names=["bucket", id_col, "simhash"],
         )
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col).reset_index(drop=True)
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        # vectorized pairwise Hamming: XOR matrix viewed as bytes → popcount
-        # via a 256-entry lookup (the per-pair Python loop was O(bucket²)
-        # interpreter work — hot buckets at corpus scale made it the
-        # bottleneck of this op)
-        sigs = np.array([int(s, 16) for s in g["simhash"]], dtype=np.uint64)
-        xors = sigs[:, None] ^ sigs[None, :]
-        ham = _POPCOUNT8[xors.view(np.uint8).reshape(len(g), len(g), 8)].sum(axis=2, dtype=np.int64)
-        ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame(
-            {
-                "doc_a": g[id_col].values[ia],
-                "doc_b": g[id_col].values[ib],
-                "hamming": ham[ia, ib].astype(np.int64),
-            }
+        return t.append_column(
+            "_part", pa.array(_bucket_array(t.column("bucket").combine_chunks(), n_parts), pa.int64())
         )
 
-    pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    from ray.data.aggregate import Min
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["bucket", id_col]).sort_values(["bucket", id_col])
+        buckets = part["bucket"].to_numpy()
+        ids_arr = part[id_col].to_numpy()
+        sims_arr = part["simhash"].to_numpy(dtype=np.uint64)
+        # run boundaries over the sorted bucket column — a pandas groupby
+        # ITERATION pays ~100 µs per group, which dominates with tens of
+        # thousands of small buckets per partition
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        o_a, o_b, o_h = [], [], []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            s = sims_arr[s0:e0]
+            k = e0 - s0
+            xors = s[:, None] ^ s[None, :]
+            ham = _POPCOUNT8[xors.view(np.uint8).reshape(k, k, 8)].sum(axis=2, dtype=np.int64)
+            ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if len(ia):
+                o_a.append(ids_arr[s0:e0][ia])
+                o_b.append(ids_arr[s0:e0][ib])
+                o_h.append(ham[ia, ib])
+        if not o_a:
+            empty = part[id_col].iloc[:0]
+            return pd.DataFrame({"doc_a": empty, "doc_b": empty, "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(o_a),
+            "doc_b": np.concatenate(o_b),
+            "hamming": np.concatenate(o_h).astype(np.int64),
+        }).drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby("_part").map_groups(
+        part_pairs, batch_format="pandas"
+    )
+
+    # global pair dedup (a pair can match on several chunks, landing in
+    # different partitions): few-partition shuffle + vectorized min — NOT a
+    # per-distinct-pair Min aggregate (~65 µs/key; the pair set is 200k+ on
+    # duplication-heavy corpora)
+    def tag_pair(t: pa.Table) -> pa.Table:
+        if len(t) and pa.types.is_integer(t.schema.field("doc_a").type):
+            a = np.asarray(t.column("doc_a")).astype(np.uint64)
+            b = np.asarray(t.column("doc_b")).astype(np.uint64)
+            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
+        else:
+            part = [
+                _bucket_of((x, y), n_parts)
+                for x, y in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist())
+            ]
+        return t.append_column("_part2", pa.array(part, pa.int64()))
+
+    def min_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+
+    return pairs.map_batches(tag_pair, batch_format="pyarrow").groupby("_part2").map_groups(
+        min_part, batch_format="pandas"
+    )
 
 
 def ngram_jaccard_pairs(
