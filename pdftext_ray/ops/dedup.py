@@ -229,34 +229,6 @@ def _postings_candidate_pairs(
     )
 
 
-def _collect_docs_aggregate(id_col: str, cap: Optional[int] = None, extra_col: Optional[str] = None):
-    """List-collecting aggregate with in-place appends (a functional
-    ``acc + [x]`` re-copies the list per row — O(n²) on hot buckets) and an
-    optional CAP: once a bucket exceeds ``cap`` items it stops growing, so a
-    downstream DF-prune that drops >cap buckets bounds per-bucket memory and
-    work DURING collection, not after it. ``extra_col`` collects
-    ``(id, extra)`` tuples instead of bare ids."""
-    from ray.data.aggregate import AggregateFn
-
-    def accumulate(acc, row):
-        if cap is None or len(acc) <= cap:
-            acc.append((row[id_col], row[extra_col]) if extra_col else row[id_col])
-        return acc
-
-    def merge(a, b):
-        if cap is not None and len(a) > cap:
-            return a
-        a.extend(b if cap is None else b[: cap + 1 - len(a)])
-        return a
-
-    return AggregateFn(
-        init=lambda k: [],
-        merge=merge,
-        accumulate_row=accumulate,
-        name="docs",
-    )
-
-
 def _shingle_bucket_candidates(
     sigs: ray.data.Dataset, id_col: str, a_col: str, b_col: str,
     max_doc_freq: Optional[int] = None,
@@ -703,44 +675,55 @@ def ngram_jaccard_pairs(
             "m": pa.array(o_m, pa.int64()),
         })
 
-    buckets = (
-        ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
-        .groupby("bucket")
-        .aggregate(_collect_docs_aggregate(id_col, extra_col="m"))
-    )
-
-    id_arrow_type = None
-
-    def emit(batch: pa.Table) -> pa.Table:
-        o_a, o_b, o_ma, o_mb = [], [], [], []
-        for docs in batch.column("docs").to_pylist():
-            if len(docs) < 2:
-                continue
-            docs = sorted(set(map(tuple, docs)))
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    o_a.append(docs[i][0])
-                    o_b.append(docs[j][0])
-                    o_ma.append(docs[i][1])
-                    o_mb.append(docs[j][1])
-        return pa.table({
-            "id_a": pa.array(o_a, id_arrow_type),
-            "id_b": pa.array(o_b, id_arrow_type),
-            "m_a": pa.array(o_ma, pa.int64()),
-            "m_b": pa.array(o_mb, pa.int64()),
-        })
-
-    _sch = ds.schema()
-    id_arrow_type = dict(zip(_sch.names, _sch.types))[id_col]
-    emissions = buckets.map_batches(emit, batch_format="pyarrow", batch_size=8192)
-
-    # Count per pair via a FEW-partition keyed shuffle + one vectorized
-    # pandas groupby per partition. (Ray's groupby().aggregate() pays
-    # per-distinct-key Python overhead — 74 s for 1.1M pair keys at bench
-    # scale vs ~2 s for this plan; the shuffle volume is identical.)
+    # Bucket co-location + one-row-per-shared-gram pair emission in ONE
+    # few-partition shuffle with a vectorized per-partition scan (NO
+    # per-distinct-gram aggregate — Ray's per-key overhead dominated the
+    # collect at stress scale), then a second few-partition shuffle counts
+    # pairs vectorized. Emissions are deliberately NOT deduped: the count
+    # per pair IS |A∩B|.
     from pdftext_ray.ops import default_num_partitions
 
     n_parts = default_num_partitions()
+
+    def tag_gram(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_bucket_array(t.column("bucket").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def part_emit(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["bucket", id_col]).sort_values(["bucket", id_col])
+        buckets_arr = part["bucket"].to_numpy()
+        ids_arr = part[id_col].to_numpy()
+        m_arr = part["m"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, buckets_arr[1:] != buckets_arr[:-1]])
+        ends = np.r_[starts[1:], len(buckets_arr)]
+        o_a, o_b, o_ma, o_mb = [], [], [], []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2:
+                continue
+            ia, ib = np.triu_indices(k, 1)
+            o_a.append(ids_arr[s0:e0][ia])
+            o_b.append(ids_arr[s0:e0][ib])
+            o_ma.append(m_arr[s0:e0][ia])
+            o_mb.append(m_arr[s0:e0][ib])
+        if not o_a:
+            empty = part[id_col].iloc[:0]
+            ei = pd.Series([], dtype=np.int64)
+            return pd.DataFrame({"id_a": empty, "id_b": empty, "m_a": ei, "m_b": ei})
+        return pd.DataFrame({
+            "id_a": np.concatenate(o_a),
+            "id_b": np.concatenate(o_b),
+            "m_a": np.concatenate(o_ma),
+            "m_b": np.concatenate(o_mb),
+        })
+
+    emissions = (
+        ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .map_batches(tag_gram, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_emit, batch_format="pandas")
+    )
 
     def tag(batch: pa.Table) -> pa.Table:
         if pa.types.is_integer(batch.schema.field("id_a").type):
