@@ -181,18 +181,22 @@ def _postings_candidate_pairs(
         )
 
     def emit_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["bucket", id_col])
-        sz = g.groupby("bucket")[id_col].transform("size")
-        keep = sz >= 2
-        if max_doc_freq is not None:
-            keep &= sz <= max_doc_freq
-        g = g[keep]
+        # sort + numpy run boundaries (a pandas groupby ITERATION pays
+        # ~100 µs per group; duplication-heavy corpora have ~every bucket
+        # multi-doc)
+        g = g.drop_duplicates(["bucket", id_col]).sort_values(["bucket", id_col])
+        buckets_arr = g["bucket"].to_numpy()
+        ids_arr = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, buckets_arr[1:] != buckets_arr[:-1]])
+        ends = np.r_[starts[1:], len(buckets_arr)]
         out_a, out_b = [], []
-        for _, grp in g.groupby("bucket"):
-            ids = np.sort(grp[id_col].values)
-            ia, ib = np.triu_indices(len(ids), 1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2 or (max_doc_freq is not None and k > max_doc_freq):
+                continue
+            ia, ib = np.triu_indices(k, 1)
+            out_a.append(ids_arr[s0:e0][ia])
+            out_b.append(ids_arr[s0:e0][ib])
         if not out_a:
             empty = g[id_col].iloc[:0]
             return pd.DataFrame({a_col: empty, b_col: empty})
@@ -207,17 +211,7 @@ def _postings_candidate_pairs(
     )
 
     def tag_pair(t: pa.Table) -> pa.Table:
-        if len(t) and pa.types.is_integer(t.schema.field(a_col).type):
-            a = np.asarray(t.column(a_col)).astype(np.uint64)
-            b = np.asarray(t.column(b_col)).astype(np.uint64)
-            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
-        else:
-            part = [
-                _bucket_of((x, y), n_parts)
-                for x, y in zip(t.column(a_col).to_pylist(), t.column(b_col).to_pylist())
-            ]
-        return t.append_column("_part", pa.array(part, pa.int64()))
+        return t.append_column("_part", pa.array(_pair_part_array(t, a_col, b_col, n_parts), pa.int64()))
 
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         return g[[a_col, b_col]].drop_duplicates()
@@ -267,6 +261,27 @@ def _shingle_postings(sigs: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
 def _bucket_of(v, num_buckets: int) -> int:
     """Deterministic bucket for co-partitioning (stable across sides/types)."""
     return int.from_bytes(hashlib.blake2b(repr(v).encode(), digest_size=8).digest(), "big") % num_buckets
+
+
+def _pair_part_array(t: pa.Table, a_col: str, b_col: str, num_buckets: int) -> np.ndarray:
+    """Vectorized deterministic partition for PAIR rows (shared by every
+    few-partition pair shuffle — one place to fix mixing). Both ids multiply
+    by odd constants before the xor so both reach the kept high bits
+    (a raw/offset second id only perturbs bits the >>32 discards — the
+    partition would degenerate to hash(id_a), funneling every hot-doc pair
+    into one task)."""
+    if len(t) and pa.types.is_integer(t.schema.field(a_col).type):
+        a = np.asarray(t.column(a_col)).astype(np.uint64)
+        b = np.asarray(t.column(b_col)).astype(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return ((mixed >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int64)
+    return np.array(
+        [
+            _bucket_of((x, y), num_buckets)
+            for x, y in zip(t.column(a_col).to_pylist(), t.column(b_col).to_pylist())
+        ],
+        dtype=np.int64,
+    )
 
 
 def _bucket_array(col, num_buckets: int) -> np.ndarray:
@@ -535,11 +550,12 @@ def simhash_pairs(
         ids = batch.column(id_col).to_pylist()
         sims = np.array([int(s, 16) for s in batch.column("simhash").to_pylist()], dtype=np.uint64)
         o_key, o_id, o_sim = [], [], []
+        sims_list = sims.tolist()  # converted once, reused per chunk
         for c in range(4):
             vals = batch.column(f"chunk{c}").to_pylist()
             o_key.extend(c * 65536 + v for v in vals)
             o_id.extend(ids)
-            o_sim.extend(sims.tolist())
+            o_sim.extend(sims_list)
         t = pa.Table.from_arrays(
             [
                 pa.array(o_key, pa.int64()),
@@ -593,17 +609,7 @@ def simhash_pairs(
     # per-distinct-pair Min aggregate (~65 µs/key; the pair set is 200k+ on
     # duplication-heavy corpora)
     def tag_pair(t: pa.Table) -> pa.Table:
-        if len(t) and pa.types.is_integer(t.schema.field("doc_a").type):
-            a = np.asarray(t.column("doc_a")).astype(np.uint64)
-            b = np.asarray(t.column("doc_b")).astype(np.uint64)
-            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
-        else:
-            part = [
-                _bucket_of((x, y), n_parts)
-                for x, y in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist())
-            ]
-        return t.append_column("_part2", pa.array(part, pa.int64()))
+        return t.append_column("_part2", pa.array(_pair_part_array(t, "doc_a", "doc_b", n_parts), pa.int64()))
 
     def min_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
@@ -726,22 +732,9 @@ def ngram_jaccard_pairs(
     )
 
     def tag(batch: pa.Table) -> pa.Table:
-        if pa.types.is_integer(batch.schema.field("id_a").type):
-            # vectorized pair hash: multiply BOTH ids by odd constants before
-            # mixing so both reach the kept high bits (xor-ing a raw/offset b
-            # only perturbs bits the >>32 discards — hash(id_a) alone would
-            # funnel every hot-doc pair into one partition)
-            a = np.asarray(batch.column("id_a")).astype(np.uint64)
-            b = np.asarray(batch.column("id_b")).astype(np.uint64)
-            mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-            part = ((mixed >> np.uint64(32)) % np.uint64(n_parts)).astype(np.int64)
-        else:
-            part = [
-                int.from_bytes(hashlib.blake2b(repr((x, y)).encode(), digest_size=4).digest(), "big")
-                % n_parts
-                for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist())
-            ]
-        return batch.append_column("_part", pa.array(part, pa.int64()))
+        return batch.append_column(
+            "_part2", pa.array(_pair_part_array(batch, "id_a", "id_b", n_parts), pa.int64())
+        )
 
     def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["id_a", "id_b", "m_a", "m_b"], as_index=False).size()
@@ -758,7 +751,7 @@ def ngram_jaccard_pairs(
 
     return (
         emissions.map_batches(tag, batch_format="pyarrow")
-        .groupby("_part")
+        .groupby("_part2")
         .map_groups(count_pairs, batch_format="pandas")
     )
 

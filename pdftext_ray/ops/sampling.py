@@ -37,7 +37,13 @@ def _key_buckets(col, seed: int) -> np.ndarray:
     (seed is appended to the string).
     """
     if pa.types.is_integer(col.type):
-        ids = np.asarray(col).astype(np.uint64)
+        raw = np.asarray(col)
+        if len(raw) and raw.min() < 0:
+            # uint64 wraparound of negative keys diverges from the signed
+            # HUGEINT arithmetic of the documented SQL oracle — refuse
+            # rather than silently break the bit-exactness contract
+            raise ValueError("hash sampling requires non-negative integer keys")
+        ids = raw.astype(np.uint64)
         h = ((ids + np.uint64(seed)) * np.uint64(_K)) >> np.uint64(32)
         return (h % np.uint64(_BUCKETS)).astype(np.int64)
     return np.array(
@@ -76,6 +82,10 @@ def hash_split(
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(not 0 < f <= 1 for f in fractions.values()):
+        # a negative fraction offset by a >1 one passes the sum check but
+        # produces unsorted bounds → silently wrong searchsorted labels
+        raise ValueError(f"each split fraction must be in (0, 1], got {fractions}")
     names = list(fractions)
     bounds = np.cumsum([int(round(fractions[n] * _BUCKETS)) for n in names])
     bounds[-1] = _BUCKETS  # rounding slack → last split

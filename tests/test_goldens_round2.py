@@ -244,3 +244,14 @@ def test_hash_sampling_and_split_deterministic():
 
     with pytest.raises(ValueError):
         sampling.hash_split(ds, {"train": 0.5, "val": 0.1})
+
+
+def test_sampling_input_validation():
+    from pdftext_ray.ops import sampling
+
+    neg = ray.data.from_arrow(pa.table({"doc_id": [-1, 2, 3], "v": [1, 2, 3]}))
+    with pytest.raises(Exception, match="non-negative"):
+        sampling.hash_sample(neg, 0.5).to_pandas()
+    ok = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        sampling.hash_split(ok, {"a": 1.5, "b": -0.5})
