@@ -169,3 +169,25 @@ def test_read_write_table_format_dispatch(tmp_path):
             back, pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]}),
             check_dtype=False,
         )
+
+
+def test_checkpoint_mtime_fingerprint_invalidates(tmp_path):
+    """A rewritten input whose SIZE is unchanged must re-run on resume —
+    the fingerprint includes mtime_ns (ADVICE r1: size-only fingerprints
+    silently skip same-size rewrites as done)."""
+    import glob
+    import os
+
+    from pdftext_ray.pipelines import checkpoint, corpus_io
+
+    corpus = corpus_io.materialize_corpus(str(tmp_path / "corpus"), n_docs=120, rows_per_file=60)
+    out = str(tmp_path / "out")
+    r1 = checkpoint.run_checkpointed(corpus, out, num_partitions=2)
+    assert r1["processed"] == r1["partitions"] and r1["skipped"] == 0
+    r2 = checkpoint.run_checkpointed(corpus, out, num_partitions=2)
+    assert r2["processed"] == 0 and r2["skipped"] == r1["partitions"]
+    # same bytes, new mtime → the touched partition must re-run
+    f = sorted(glob.glob(os.path.join(corpus, "**", "*.parquet"), recursive=True))[0]
+    os.utime(f, None)
+    r3 = checkpoint.run_checkpointed(corpus, out, num_partitions=2)
+    assert r3["processed"] == 1 and r3["skipped"] == r1["partitions"] - 1
