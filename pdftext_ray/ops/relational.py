@@ -139,6 +139,21 @@ def events_sliding_window(
     return final.map_batches(shape, batch_format="pandas")
 
 
+def _key_part_tag(key: str, n_parts: int):
+    """map_batches fn appending ``_part = hash(key) % n_parts`` (vectorized
+    int fast path via ops.dedup's bucket hash)."""
+    import pyarrow as pa
+
+    from pdftext_ray.ops.dedup import _bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_bucket_array(t.column(key).combine_chunks(), n_parts), pa.int64())
+        )
+
+    return tag
+
+
 def sessionize_events(
     ds: ray.data.Dataset,
     gap_minutes: int = 30,
@@ -147,22 +162,33 @@ def sessionize_events(
 ) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap since the
     previous event exceeds ``gap_minutes`` (SURVEY.md §2.10 engine-side
-    streaming shape — implemented as groupby(key).map_groups over ts-sorted
-    groups; ordering assumption: all events of one key fit one group).
+    streaming shape).
+
+    Plan: ONE few-partition shuffle on hash(key) co-locates each key, then
+    the whole partition sessionizes in one vectorized pass — sort by
+    (key, ts), session breaks where the key changes OR the gap exceeds the
+    threshold, cumulative-sum session ids, one grouped aggregate. (A
+    per-distinct-key map_groups pays Ray's ~65 µs/key overhead — at 10⁸
+    users that is the op; this form is key-cardinality-independent.)
 
     Output: user_id, session_start, n_events, sum_value, duration_sec.
     """
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts).reset_index(drop=True)
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts]).reset_index(drop=True)
+        new_key = g[key].ne(g[key].shift())
         gap = g[ts].diff() > pd.Timedelta(minutes=gap_minutes)
-        session = gap.cumsum()
+        session = (new_key | gap).cumsum()
         agg = g.groupby(session).agg(
+            user=(key, "first"),
             session_start=(ts, "min"),
             session_end=(ts, "max"),
             n_events=(ts, "size"),
             sum_value=("value", "sum"),
         )
-        agg[key] = g[key].iloc[0]
         # whole-second boundary difference (matches SQL date_diff('second',...))
         agg["duration_sec"] = (
             (agg["session_end"].dt.floor("s") - agg["session_start"].dt.floor("s"))
@@ -171,9 +197,14 @@ def sessionize_events(
         )
         agg["n_events"] = agg["n_events"].astype("int64")
         agg["sum_value"] = round_half_away(agg["sum_value"], 2)
+        agg = agg.rename(columns={"user": key})
         return agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def grouped_topk(
@@ -184,13 +215,26 @@ def grouped_topk(
     id_col: str = "event_id",
 ) -> ray.data.Dataset:
     """Top-k rows per group by value (ties broken by id asc) — the window
-    row_number() pattern as a per-group local sort, never a global sort."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values([value_col, id_col], ascending=[False, True]).head(k).copy()
-        out["rank"] = range(1, len(out) + 1)
-        return out
+    row_number() pattern as one vectorized sort+head per hash partition
+    (co-located groups; never a global sort, never a per-distinct-group
+    map_groups)."""
+    from pdftext_ray.ops import default_num_partitions
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True]
+        )
+        out = out.groupby(group_col, as_index=False, sort=False).head(k).copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        return out.drop(columns=["_part"])
+
+    return (
+        ds.map_batches(_key_part_tag(group_col, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
