@@ -139,6 +139,41 @@ def events_sliding_window(
     return final.map_batches(shape, batch_format="pandas")
 
 
+def hash_grouped_agg(
+    ds: ray.data.Dataset,
+    keys,
+    named_aggs: dict,
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """High-cardinality grouped aggregation: ONE few-partition shuffle on
+    hash(first key) co-locates every group, then a single vectorized pandas
+    ``groupby(keys).agg`` per partition. Because each key lives in exactly
+    one partition, partition-local results are FINAL — no second reduce.
+
+    Use when the number of distinct keys is large: Ray's per-distinct-key
+    aggregates (built-in Sum/Min/Count included) pay ~65 µs/key, which at
+    10⁹ keys IS the job. For small key spaces the native
+    ``groupby().aggregate()`` partial-agg plan is equivalent and simpler.
+    ``named_aggs``: {out_col: (in_col, fn)} pandas NamedAgg tuples.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if n_parts is None:
+        n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(**{
+            out: pd.NamedAgg(column=col, aggfunc=fn) for out, (col, fn) in named_aggs.items()
+        })
+
+    return (
+        ds.map_batches(_key_part_tag(keys[0], n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def _key_part_tag(key: str, n_parts: int):
     """map_batches fn appending ``_part = hash(key) % n_parts`` (vectorized
     int fast path via ops.dedup's bucket hash)."""
@@ -238,18 +273,29 @@ def grouped_topk(
 
 
 def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
-    """Distinct values of one column via batch-level pre-dedup + groupby
-    (shuffle carries unique values per block, not all rows)."""
+    """Distinct values of one column: batch-level pre-dedup (the shuffle
+    carries unique values per block, not all rows) → few-partition
+    co-located shuffle → vectorized drop_duplicates per partition (a
+    per-distinct-value aggregate pays ~65 µs/value — the whole job at
+    high cardinality)."""
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
     def local(batch: pa.Table) -> pa.Table:
         col = batch.column(column).unique()
         return pa.Table.from_arrays([col], names=[column])
 
-    agg = ds.select_columns([column]).map_batches(local, batch_format="pyarrow").groupby(
-        column
-    ).aggregate(Count(alias_name="_c"))
-    # select via map_batches (drop_columns after aggregate emits a
-    # schema-mismatch warning on empty blocks)
-    return agg.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[column]].drop_duplicates()
+
+    return (
+        ds.select_columns([column])
+        .map_batches(local, batch_format="pyarrow")
+        .map_batches(_key_part_tag(column, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def filter_project_documents(ds: ray.data.Dataset, min_chars: int = 200) -> ray.data.Dataset:
