@@ -515,15 +515,30 @@ def _q_events_asof(sf_dir: str):
 
 def _heavy_buyer_ids(sf_dir: str):
     """Users with more than 20 purchase events (a proper subset, so both the
-    semi and anti joins return non-empty results)."""
-    from collections import Counter
-
+    semi and anti joins return non-empty results). Computed as a DISTRIBUTED
+    co-located grouped count — only the small qualifying key set (the semi
+    join's broadcast side) ever reaches the driver."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"])
-    purchases = t.filter(pc.equal(t.column("event_type"), "purchase")).column("user_id").to_pylist()
-    counts = Counter(purchases)
-    return sorted(u for u, c in counts.items() if c > 20)
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def purchases(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return keep.select(["user_id"])
+
+    counts = hash_grouped_agg(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            purchases, batch_format="pyarrow"
+        ),
+        "user_id",
+        {"n": ("user_id", "size")},
+    )
+    heavy = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 20)).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    return sorted(r["user_id"] for r in heavy.take_all())
 
 
 def _q_events_semi_join(sf_dir: str):
