@@ -513,6 +513,10 @@ def _q_events_asof(sf_dir: str):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _heavy_buyer_ids(sf_dir: str):
     """Users with more than 20 purchase events (a proper subset, so both the
     semi and anti joins return non-empty results). Computed as a DISTRIBUTED
@@ -538,7 +542,7 @@ def _heavy_buyer_ids(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("n"), 20)).select(["user_id"]),
         batch_format="pyarrow",
     )
-    return sorted(r["user_id"] for r in heavy.take_all())
+    return tuple(sorted(r["user_id"] for r in heavy.take_all()))
 
 
 def _q_events_semi_join(sf_dir: str):

@@ -298,10 +298,20 @@ def _bucket_array(col, num_buckets: int) -> np.ndarray:
     same arrow type, so the dispatch is consistent across sides.
     """
     typ = col.type
+    if col.null_count:
+        # nulls partition deterministically with the zero/empty sentinel —
+        # a partition key only needs run-internal consistency; the GROUP key
+        # stays the true (possibly null) value downstream
+        col = col.fill_null(0 if pa.types.is_integer(typ) else "")
     if pa.types.is_integer(typ):
         ids = np.asarray(col).astype(np.uint64)
         return (((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int64)
-    return np.array([_bucket_of(v, num_buckets) for v in col.to_pylist()], dtype=np.int64)
+    # strings: pandas' C siphash (vectorized) — run-internally consistent,
+    # which is all a partition key needs (~10× a per-row blake2b loop)
+    import pandas as _pd
+
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    return (_pd.util.hash_array(vals) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _attach_blobs(

@@ -169,18 +169,17 @@ def asof_join_events(
     import pyarrow.compute as pc
 
     from pdftext_ray.ops import default_num_partitions
-    from pdftext_ray.ops.dedup import _bucket_array
+    from pdftext_ray.ops.relational import _key_part_tag
 
     n_parts = default_num_partitions()
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("event_type"), value_set=pa.array([left_type, right_type]))
-        out = batch.filter(mask)
-        return out.append_column(
-            "_part", pa.array(_bucket_array(out.column(key).combine_chunks(), n_parts), pa.int64())
-        )
+        return batch.filter(mask)
 
-    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    filtered = ds.map_batches(keep, batch_format="pyarrow").map_batches(
+        _key_part_tag(key, n_parts), batch_format="pyarrow"
+    )
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["event_type"] == left_type].sort_values(ts)

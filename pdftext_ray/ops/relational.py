@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from pdftext_ray.ops import from_pandas_clean, round_half_away
 
@@ -163,7 +163,9 @@ def hash_grouped_agg(
         n_parts = default_num_partitions()
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False).agg(**{
+        # dropna=False: a null key must form its own group (parity with the
+        # Ray-native aggregate this replaces), not silently drop rows
+        return g.groupby(keys, as_index=False, dropna=False).agg(**{
             out: pd.NamedAgg(column=col, aggfunc=fn) for out, (col, fn) in named_aggs.items()
         })
 

@@ -143,3 +143,17 @@ def test_bpe_token_count_semantics():
     ds = _doc_table(["don't stop-me now 42x", ""])
     out = bpe_token_counts(ds).to_pandas().sort_values("doc_id")
     assert list(out["n_bpe_tokens"]) == [9, 0]
+
+
+def test_hash_grouped_agg_keeps_null_keys():
+    """Null keys form their own group (parity with Ray-native aggregates) —
+    rows must not silently vanish (round-2 review finding)."""
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": ["a", "a", None, "b", None], "v": [1, 2, 3, 4, 5]})
+    )
+    out = hash_grouped_agg(ds, "k", {"n": ("v", "size"), "mn": ("v", "min")}).to_pandas()
+    assert int(out["n"].sum()) == 5
+    null_row = out[out["k"].isna()]
+    assert len(null_row) == 1 and int(null_row["n"].iloc[0]) == 2 and int(null_row["mn"].iloc[0]) == 3

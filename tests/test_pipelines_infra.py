@@ -188,6 +188,7 @@ def test_checkpoint_mtime_fingerprint_invalidates(tmp_path):
     assert r2["processed"] == 0 and r2["skipped"] == r1["partitions"]
     # same bytes, new mtime → the touched partition must re-run
     f = sorted(glob.glob(os.path.join(corpus, "**", "*.parquet"), recursive=True))[0]
-    os.utime(f, None)
+    ns = os.stat(f).st_mtime_ns
+    os.utime(f, ns=(ns + 1, ns + 1))  # deterministic on coarse-mtime filesystems
     r3 = checkpoint.run_checkpointed(corpus, out, num_partitions=2)
     assert r3["processed"] == 1 and r3["skipped"] == r1["partitions"] - 1
