@@ -121,10 +121,12 @@ def connected_components_distributed(
         self_rows = pd.DataFrame({"m": mm.values, "x": mm.index.values})
         self_rows = self_rows[self_rows["m"] != self_rows["x"]]
         stars = pd.concat([from_peers, self_rows]).drop_duplicates()
-        return pd.DataFrame({
+        from pdftext_ray.ops import from_pandas_clean
+
+        return from_pandas_clean(pd.DataFrame({
             "node": np.concatenate([stars["m"].values, stars["x"].values]),
             "peer": np.concatenate([stars["x"].values, stars["m"].values]),
-        })
+        }))
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     prev_fp = None

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from pdftext_ray.ops import round_half_away
+from pdftext_ray.ops import from_pandas_clean, round_half_away
 
 # 31-bit Mersenne prime: a, b, x < p keeps a*x + b < 2^63, so the minhash
 # permutations h_i(x) = (a_i·x + b_i) mod p run fully vectorized in uint64 —
@@ -205,10 +205,10 @@ def _postings_candidate_pairs(
             out_b.append(ids_arr[s0:e0][ib])
         if not out_a:
             empty = g[id_col].iloc[:0]
-            return pd.DataFrame({a_col: empty, b_col: empty})
-        return pd.DataFrame(
+            return from_pandas_clean(pd.DataFrame({a_col: empty, b_col: empty}))
+        return from_pandas_clean(pd.DataFrame(
             {a_col: np.concatenate(out_a), b_col: np.concatenate(out_b)}
-        ).drop_duplicates()
+        ).drop_duplicates())
 
     cands = (
         postings.map_batches(tag_bucket, batch_format="pyarrow")
@@ -219,8 +219,8 @@ def _postings_candidate_pairs(
     def tag_pair(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(_pair_part_array(t, a_col, b_col, n_parts), pa.int64()))
 
-    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g[[a_col, b_col]].drop_duplicates()
+    def dedup_part(g: pd.DataFrame):
+        return from_pandas_clean(g[[a_col, b_col]].drop_duplicates())
 
     return (
         cands.map_batches(tag_pair, batch_format="pyarrow")
@@ -368,10 +368,10 @@ def _attach_blobs(
         cols["_bucket"] = pa.array(_bucket_array(key_arr, num_buckets), pa.int64())
         return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame):
         sig = g[g["_is_sig"] == 1][[key_col, blob_col]]
         prs = g[g["_is_sig"] == 0][names]
-        return prs.merge(sig, on=key_col, how="inner")
+        return from_pandas_clean(prs.merge(sig, on=key_col, how="inner"))
 
     tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         sigs.select_columns([id_col, "shingles"]).map_batches(tag_sigs, batch_format="pyarrow")
@@ -609,12 +609,12 @@ def simhash_pairs(
                 o_h.append(ham[ia, ib])
         if not o_a:
             empty = part[id_col].iloc[:0]
-            return pd.DataFrame({"doc_a": empty, "doc_b": empty, "hamming": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
+            return from_pandas_clean(pd.DataFrame({"doc_a": empty, "doc_b": empty, "hamming": pd.Series([], dtype=np.int64)}))
+        return from_pandas_clean(pd.DataFrame({
             "doc_a": np.concatenate(o_a),
             "doc_b": np.concatenate(o_b),
             "hamming": np.concatenate(o_h).astype(np.int64),
-        }).drop_duplicates(["doc_a", "doc_b"])
+        }).drop_duplicates(["doc_a", "doc_b"]))
 
     pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby("_part").map_groups(
         part_pairs, batch_format="pandas"
@@ -627,8 +627,8 @@ def simhash_pairs(
     def tag_pair(t: pa.Table) -> pa.Table:
         return t.append_column("_part2", pa.array(_pair_part_array(t, "doc_a", "doc_b", n_parts), pa.int64()))
 
-    def min_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+    def min_part(g: pd.DataFrame):
+        return from_pandas_clean(g.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min())
 
     return pairs.map_batches(tag_pair, batch_format="pyarrow").groupby("_part2").map_groups(
         min_part, batch_format="pandas"
@@ -732,13 +732,13 @@ def ngram_jaccard_pairs(
         if not o_a:
             empty = part[id_col].iloc[:0]
             ei = pd.Series([], dtype=np.int64)
-            return pd.DataFrame({"id_a": empty, "id_b": empty, "m_a": ei, "m_b": ei})
-        return pd.DataFrame({
+            return from_pandas_clean(pd.DataFrame({"id_a": empty, "id_b": empty, "m_a": ei, "m_b": ei}))
+        return from_pandas_clean(pd.DataFrame({
             "id_a": np.concatenate(o_a),
             "id_b": np.concatenate(o_b),
             "m_a": np.concatenate(o_ma),
             "m_b": np.concatenate(o_mb),
-        })
+        }))
 
     emissions = (
         ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
@@ -759,11 +759,11 @@ def ngram_jaccard_pairs(
         mb = agg["m_b"].to_numpy(dtype=np.float64)
         j = c / np.maximum(ma + mb - c, 1.0)
         keep = j >= threshold
-        return pd.DataFrame({
+        return from_pandas_clean(pd.DataFrame({
             "id_a": agg["id_a"].values[keep],
             "id_b": agg["id_b"].values[keep],
             "jaccard": round_half_away(j[keep], 6),
-        })
+        }))
 
     return (
         emissions.map_batches(tag, batch_format="pyarrow")

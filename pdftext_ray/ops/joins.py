@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from pdftext_ray.ops import from_pandas_clean
+
 
 def broadcast_join(
     large: ray.data.Dataset,
@@ -185,9 +187,9 @@ def asof_join_events(
         lhs = group[group["event_type"] == left_type].sort_values(ts)
         rhs = group[group["event_type"] == right_type].sort_values(ts)
         if lhs.empty or rhs.empty:
-            return pd.DataFrame(
+            return from_pandas_clean(pd.DataFrame(
                 columns=["event_id", key, ts, "value", "matched_event_id", "matched_ts", "matched_value"]
-            )
+            ))
         merged = pd.merge_asof(
             lhs[["event_id", key, ts, "value"]],
             rhs[[key, "event_id", ts, "value"]].rename(
@@ -200,6 +202,6 @@ def asof_join_events(
         )
         merged = merged.dropna(subset=["matched_event_id"])
         merged["matched_event_id"] = merged["matched_event_id"].astype("int64")
-        return merged
+        return from_pandas_clean(merged)
 
     return filtered.groupby("_part").map_groups(per_part, batch_format="pandas")

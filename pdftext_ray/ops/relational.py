@@ -162,12 +162,12 @@ def hash_grouped_agg(
     if n_parts is None:
         n_parts = default_num_partitions()
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame):
         # dropna=False: a null key must form its own group (parity with the
         # Ray-native aggregate this replaces), not silently drop rows
-        return g.groupby(keys, as_index=False, dropna=False).agg(**{
+        return from_pandas_clean(g.groupby(keys, as_index=False, dropna=False).agg(**{
             out: pd.NamedAgg(column=col, aggfunc=fn) for out, (col, fn) in named_aggs.items()
-        })
+        }))
 
     return (
         ds.map_batches(_key_part_tag(keys[0], n_parts), batch_format="pyarrow")
@@ -235,7 +235,7 @@ def sessionize_events(
         agg["n_events"] = agg["n_events"].astype("int64")
         agg["sum_value"] = round_half_away(agg["sum_value"], 2)
         agg = agg.rename(columns={"user": key})
-        return agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]]
+        return from_pandas_clean(agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]])
 
     return (
         ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
@@ -265,7 +265,7 @@ def grouped_topk(
         )
         out = out.groupby(group_col, as_index=False, sort=False).head(k).copy()
         out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
-        return out.drop(columns=["_part"])
+        return from_pandas_clean(out.drop(columns=["_part"]))
 
     return (
         ds.map_batches(_key_part_tag(group_col, n_parts), batch_format="pyarrow")
@@ -288,8 +288,8 @@ def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
         col = batch.column(column).unique()
         return pa.Table.from_arrays([col], names=[column])
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g[[column]].drop_duplicates()
+    def per_part(g: pd.DataFrame):
+        return from_pandas_clean(g[[column]].drop_duplicates())
 
     return (
         ds.select_columns([column])
