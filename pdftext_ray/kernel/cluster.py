@@ -112,12 +112,15 @@ def get_spans(
     if not chars:
         return []
     spans: List[dict] = []
+    # one join up front; span texts are slices of it (chars are contiguous
+    # in this list even when M1 dropped duplicate words upstream)
+    full_text = "".join(c[0] for c in chars)
 
     def finalize(s: int, e: int, x1: float, y1: float, x2: float, y2: float) -> None:
         seg = chars[s:e]
         spans.append(
             {
-                "text": "".join(c[0] for c in seg),
+                "text": full_text[s:e],
                 "bbox": [x1, y1, x2, y2],
                 "rotation": seg[0][ROT],
                 "font": seg[0][FONT],
@@ -169,6 +172,108 @@ def get_spans(
                 y2 = cb[3]
         last_ch = char[CH]
     finalize(seg_start, len(chars), x1, y1, x2, y2)
+    return spans
+
+
+def get_spans_from_arrays(
+    arrays,
+    superscript_height_threshold: float = 0.8,
+    line_distance_threshold: float = 0.1,
+) -> List[dict]:
+    """M2 on PageArrays (kernel/decode.py) — semantics identical to
+    ``get_spans``, computed vectorized.
+
+    Font/rotation-change and trailing-``\\x02``/``\\n`` breaks are adjacent-
+    pair conditions (one numpy pass). The superscript-geometry break depends
+    on the RUNNING span bbox, so it is inherently sequential — but it implies
+    a pairwise NECESSARY condition (char top strictly above the previous
+    char's top by the line-distance margin AND left edge past the previous
+    char's right edge; both follow from the running extents bounding the
+    previous char's, and IEEE rounding monotonicity keeps the implication
+    exact in float arithmetic). Only base segments containing such a pair run
+    the per-segment cumulative-extents scan; clean text never does.
+    """
+    import numpy as np
+
+    n = len(arrays)
+    if n == 0:
+        return []
+    cp, cf, cr, boxes, text = arrays.cp, arrays.cf, arrays.cr, arrays.boxes, arrays.text
+    ldt = line_distance_threshold
+    sht = superscript_height_threshold
+
+    base = np.empty(n, dtype=bool)
+    base[0] = True
+    base[1:] = (
+        (cf[1:] != cf[:-1])
+        | (cr[1:] != cr[:-1])
+        | (cp[:-1] == 2)   # \x02
+        | (cp[:-1] == 10)  # \n
+    )
+    starts = np.nonzero(base)[0]
+    ends = np.append(starts[1:], n)
+
+    b0, b1, b2, b3 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    maybe = np.zeros(n, dtype=bool)
+    maybe[1:] = (b1[1:] < b1[:-1] - (b3[:-1] - b1[:-1]) * ldt) & (b0[1:] > b2[:-1])
+    maybe[starts] = False  # pair crossing a base boundary is never a span break
+    seg_flag = np.logical_or.reduceat(maybe, starts)
+
+    ranges: List[tuple] = []
+    for w in range(len(starts)):
+        s, e = int(starts[w]), int(ends[w])
+        if not seg_flag[w]:
+            ranges.append((s, e))
+            continue
+        while True:
+            if e - s <= 1:
+                ranges.append((s, e))
+                break
+            sub = boxes[s:e]
+            ry1 = np.minimum.accumulate(sub[:, 1])[:-1]
+            ry2 = np.maximum.accumulate(sub[:, 3])[:-1]
+            rx2 = np.maximum.accumulate(sub[:, 2])[:-1]
+            cb = sub[1:]
+            cond = (
+                (cb[:, 1] < ry1 - (ry2 - ry1) * ldt)
+                & (cb[:, 3] < (ry2 - ry1) * sht + ry1)
+                & (cb[:, 0] > rx2)
+            )
+            hits = np.nonzero(cond)[0]
+            if hits.size == 0:
+                ranges.append((s, e))
+                break
+            k = s + 1 + int(hits[0])
+            ranges.append((s, k))
+            s = k
+
+    from pdftext_ray.kernel.decode import LazyChars
+
+    r_starts = np.fromiter((s for s, _ in ranges), dtype=np.int64, count=len(ranges))
+    mins = np.minimum.reduceat(boxes[:, :2], r_starts, axis=0)
+    maxs = np.maximum.reduceat(boxes[:, 2:], r_starts, axis=0)
+    bbs = np.concatenate([mins, maxs], axis=1).tolist()
+
+    fonts = arrays.fonts
+    cf_l = cf[r_starts].tolist()
+    cr_l = cr[r_starts].tolist()
+    idx = arrays.idx
+    spans: List[dict] = []
+    for j, (s, e) in enumerate(ranges):
+        spans.append(
+            {
+                "text": text[s:e],
+                "bbox": bbs[j],
+                "rotation": cr_l[j],
+                "font": fonts[cf_l[j]],
+                "char_start_idx": int(idx[s]),
+                "char_end_idx": int(idx[e - 1]),
+                "chars": LazyChars(arrays, s, e),
+                "url": "",
+                "superscript": False,
+                "subscript": False,
+            }
+        )
     return spans
 
 

@@ -32,19 +32,96 @@ from pdftext_ray.payload import RawPage, parse_payload
 CH, BBOX, ROT, FONT, IDX = 0, 1, 2, 3, 4
 
 
+class PageArrays:
+    """Columnar decoded-char state: the page's chars as numpy arrays plus the
+    joined text. The tuple view (``DecodedPage.chars``) materializes lazily —
+    the hot span/word folds run directly on these arrays."""
+
+    __slots__ = ("text", "cp", "boxes", "cr", "cf", "fonts", "idx")
+
+    def __len__(self):
+        return len(self.cp)
+
+
+class LazyChars:
+    """Lazy ``span["chars"]`` view over a PageArrays range. Materializes the
+    reference char-tuple list only when indexed/iterated (link splitting,
+    table cells, keep_chars output); pickles as a plain list so the
+    page-exploded shuffle path is unchanged."""
+
+    __slots__ = ("a", "s", "e", "_mat")
+
+    def __init__(self, arrays: "PageArrays", s: int, e: int):
+        self.a = arrays
+        self.s = s
+        self.e = e
+        self._mat = None
+
+    def _m(self) -> list:
+        if self._mat is None:
+            a, s, e = self.a, self.s, self.e
+            self._mat = list(
+                zip(
+                    a.text[s:e],
+                    a.boxes[s:e].tolist(),
+                    a.cr[s:e].tolist(),
+                    [a.fonts[f] for f in a.cf[s:e].tolist()],
+                    a.idx[s:e].tolist(),
+                )
+            )
+        return self._mat
+
+    def __len__(self):
+        return self.e - self.s
+
+    def __bool__(self):
+        return self.e > self.s
+
+    def __iter__(self):
+        return iter(self._m())
+
+    def __getitem__(self, i):
+        return self._m()[i]
+
+    def __reduce__(self):
+        return (list, (self._m(),))
+
+
 class DecodedPage:
     __slots__ = (
         "page_idx", "page_bbox", "width", "height", "rotation",
-        "chars", "media", "links", "tables", "img_size", "_arrays",
+        "_chars", "media", "links", "tables", "img_size", "arrays",
     )
 
     def __init__(self):
-        self.chars: List[tuple] = []
+        self._chars: Optional[List[tuple]] = None
         self.media: List[tuple] = []
         self.links: List[dict] = []
         self.tables: List[List[float]] = []
         self.img_size: Optional[List[float]] = None
-        self._arrays = None
+        self.arrays: Optional[PageArrays] = None
+
+    @property
+    def chars(self) -> List[tuple]:
+        if self._chars is None:
+            a = self.arrays
+            if a is None:
+                self._chars = []
+            else:
+                self._chars = list(
+                    zip(
+                        a.text,
+                        a.boxes.tolist(),
+                        a.cr.tolist(),
+                        [a.fonts[f] for f in a.cf.tolist()],
+                        a.idx.tolist(),
+                    )
+                )
+        return self._chars
+
+    @chars.setter
+    def chars(self, value):
+        self._chars = value
 
 
 def _scale_rect(rect, x_start, y_start, page_width, page_height, page_rotation, do_round):
@@ -112,16 +189,27 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
             else:
                 raise ValueError("Rotation must be one of [0, 90, 180, 270] degrees.")
         fonts = raw.fonts
-        out.chars = list(
-            zip(
-                map(chr, raw.cp.tolist()),
-                boxes.tolist(),
-                raw.cr.tolist(),
-                [fonts[f] for f in raw.cf.tolist()],
-                range(n),
-            )
-        )
-        out._arrays = (raw, boxes)
+        # canonicalize font ids up front so equal font TUPLES share one id —
+        # id equality then matches the reference's field-wise font compare in
+        # every downstream fold (word dedup, span breaks)
+        cf = raw.cf
+        if len(set(fonts)) != len(fonts):
+            canon: dict = {}
+            remap = np.empty(len(fonts), dtype=np.int64)
+            for i, f in enumerate(fonts):
+                remap[i] = canon.setdefault(f, i)
+            cf = remap[cf]
+        arr = PageArrays()
+        arr.cp = raw.cp
+        arr.boxes = boxes
+        arr.cr = raw.cr
+        arr.cf = cf
+        arr.fonts = fonts
+        arr.idx = np.arange(n, dtype=np.int64)
+        # codepoints → str at C speed (no BMP restriction: utf-32 round-trips
+        # any codepoint, and payload chars are never surrogates)
+        arr.text = raw.cp.astype("<u4").tobytes().decode("utf-32-le")
+        out.arrays = arr
 
     # media boxes arrive in top-left PRE-rotation layout coords and get the
     # same rotation treatment as char boxes (one coordinate convention for
@@ -151,23 +239,11 @@ def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     import numpy as np
 
     page = decode_page(payload, quote_loosebox)
-    chars = page.chars
-    n = len(chars)
-    if n == 0:
+    arr = page.arrays
+    if arr is None:
         return page
-    raw, boxes = page._arrays
-    page._arrays = None
-
-    cp, cf, cr = raw.cp, raw.cf, raw.cr
-    # canonicalize font ids so equal font tuples compare equal even if the
-    # payload declared them twice (mirrors the reference's field-wise compare)
-    fonts = raw.fonts
-    if len(set(fonts)) != len(fonts):
-        canon = {}
-        remap = np.empty(len(fonts), dtype=np.int64)
-        for i, f in enumerate(fonts):
-            remap[i] = canon.setdefault(f, i)
-        cf = remap[cf]
+    n = len(arr)
+    cp, cf, cr, boxes = arr.cp, arr.cf, arr.cr, arr.boxes
 
     brk = np.empty(n, dtype=bool)
     brk[0] = True
@@ -183,17 +259,47 @@ def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     mins = np.minimum.reduceat(boxes[:, :2], starts, axis=0)
     maxs = np.maximum.reduceat(boxes[:, 2:], starts, axis=0)
 
-    full = "".join(c[0] for c in chars)
+    nw = len(starts)
+    # Fast path: if no two words share a rounded (bbox, rotation, font) key,
+    # the full dedup key (which only ADDS the text field) cannot collide
+    # either, so the page has no duplicates and the repr-key loop is skipped.
+    # Byte-view uniqueness matches repr-key distinctness exactly for non-NaN
+    # doubles (repr is injective; -0.0 vs 0.0 differ in both); NaN payloads
+    # alias under repr but not bytes, so any NaN falls back to the loop.
+    mins_r = np.round(mins, 0)
+    maxs_r = np.round(maxs, 0)
+    km = np.column_stack([mins_r, maxs_r, cr[starts], cf[starts].astype(np.float64)])
+    suspects = None
+    if not np.isnan(km).any():
+        # mix the 6 key columns' BIT PATTERNS into one int64 — equal keys
+        # always hash equal, so hash-duplicates are a SUPERSET of true
+        # duplicates (collisions only send extra words to the exact loop)
+        bits = km.view(np.uint64)
+        h = bits[:, 0]
+        for c in range(1, 6):
+            h = h * np.uint64(0x9E3779B97F4A7C15) + bits[:, c]
+        srt = np.sort(h)
+        if not (srt[1:] == srt[:-1]).any():
+            return page
+        dup_vals = srt[:-1][srt[1:] == srt[:-1]]
+        # words in equal full-key groups necessarily share the bbox/rot/font
+        # part, so only members of colliding hash groups need exact keys
+        suspects = np.isin(h, dup_vals)
+
+    full = arr.text
     seen = set()
     kept_ranges = []
     any_dropped = False
-    for w in range(len(starts)):
+    for w in range(nw):
         s0, e0 = int(starts[w]), int(ends[w])
+        if suspects is not None and not suspects[w]:
+            kept_ranges.append((s0, e0))
+            continue
         key = (
             # string reprs, not floats: the reference's f-string key keeps
             # "-0.0" distinct from "0.0"
-            repr(round(float(mins[w, 0]), 0)), repr(round(float(mins[w, 1]), 0)),
-            repr(round(float(maxs[w, 0]), 0)), repr(round(float(maxs[w, 1]), 0)),
+            repr(round(float(mins_r[w, 0]), 0)), repr(round(float(mins_r[w, 1]), 0)),
+            repr(round(float(maxs_r[w, 0]), 0)), repr(round(float(maxs_r[w, 1]), 0)),
             full[s0:e0], float(cr[s0]), int(cf[s0]),
         )
         if key not in seen:
@@ -203,7 +309,16 @@ def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
             any_dropped = True
 
     if any_dropped:
-        page.chars = [c for s0, e0 in kept_ranges for c in chars[s0:e0]]
+        keep = np.zeros(n, dtype=bool)
+        for s0, e0 in kept_ranges:
+            keep[s0:e0] = True
+        arr.cp = cp[keep]
+        arr.cf = cf[keep]
+        arr.cr = cr[keep]
+        arr.boxes = boxes[keep]
+        arr.idx = arr.idx[keep]  # ORIGINAL page char indices survive the drop
+        arr.text = "".join(full[s0:e0] for s0, e0 in kept_ranges)
+        page._chars = None  # invalidate any materialized tuple view
     return page
 
 

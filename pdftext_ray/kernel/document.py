@@ -43,12 +43,20 @@ DEFAULT_CONFIG = ExtractConfig()
 
 def process_page(decoded: DecodedPage, cfg: ExtractConfig = DEFAULT_CONFIG, pre_deduped: bool = False) -> dict:
     """Run the per-page clustering chain (pdftext/pdf/pages.py:270-301)."""
-    chars = decoded.chars if pre_deduped else cluster.deduplicate_chars(decoded.chars)
-    spans = cluster.get_spans(
-        chars,
-        superscript_height_threshold=cfg.superscript_height_threshold,
-        line_distance_threshold=cfg.line_distance_threshold,
-    )
+    if pre_deduped and decoded.arrays is not None:
+        # hot path: span fold directly on the decoded arrays (no char tuples)
+        spans = cluster.get_spans_from_arrays(
+            decoded.arrays,
+            superscript_height_threshold=cfg.superscript_height_threshold,
+            line_distance_threshold=cfg.line_distance_threshold,
+        )
+    else:
+        chars = decoded.chars if pre_deduped else cluster.deduplicate_chars(decoded.chars)
+        spans = cluster.get_spans(
+            chars,
+            superscript_height_threshold=cfg.superscript_height_threshold,
+            line_distance_threshold=cfg.line_distance_threshold,
+        )
     lines = cluster.get_lines(spans)
     cluster.assign_scripts(
         lines,

@@ -127,9 +127,15 @@ class RawPage:
 if hasattr(np, "fromstring"):
     def _csv(s: str) -> np.ndarray:
         return np.fromstring(s, dtype=np.float64, sep=",") if s else np.empty(0)
+
+    def _csv_int(s: str) -> np.ndarray:
+        return np.fromstring(s, dtype=np.int64, sep=",") if s else np.empty(0, dtype=np.int64)
 else:  # numpy >= 2.0 removed fromstring; same semantics, slightly slower
     def _csv(s: str) -> np.ndarray:
         return np.array(s.split(","), dtype=np.float64) if s else np.empty(0)
+
+    def _csv_int(s: str) -> np.ndarray:
+        return np.array(s.split(","), dtype=np.int64) if s else np.empty(0, dtype=np.int64)
 
 
 def parse_payload(payload: str) -> RawPage:
@@ -141,9 +147,9 @@ def parse_payload(payload: str) -> RawPage:
         tag = line[: line.index("|")]
         body = line[len(tag) + 1:]
         if tag == "CS":
-            page.cp = _csv(body).astype(np.int64)
+            page.cp = _csv_int(body)
         elif tag == "CF":
-            page.cf = _csv(body).astype(np.int64)
+            page.cf = _csv_int(body)
         elif tag == "CR":
             page.cr = _csv(body)
         elif tag == "CB":

@@ -59,11 +59,25 @@ def replace_special_chars(text: str) -> str:
 _SPECIAL_TRANS = str.maketrans(_SPECIAL_MAP)
 
 
+class _ControlCharTable(dict):
+    """Lazily-built ``str.translate`` table: codepoint → None (delete) for
+    category-C chars outside the whitespace keep-set, else the codepoint
+    itself. One category lookup per DISTINCT codepoint ever seen; the
+    per-char scan runs in C."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        v = None if (unicodedata.category(ch)[0] == "C" and ch not in _WS_KEEP) else cp
+        self[cp] = v
+        return v
+
+
+_CTRL_TRANS = _ControlCharTable()
+
+
 def replace_control_chars(text: str) -> str:
     """Strip Unicode category-C chars except \\x02 and whitespace (postprocessing.py:66-67)."""
-    return "".join(
-        c for c in text if (unicodedata.category(c)[0] != "C" or c in _WS_KEEP)
-    )
+    return text.translate(_CTRL_TRANS)
 
 
 def replace_ligatures(text: str) -> str:
