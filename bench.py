@@ -67,6 +67,21 @@ def run_bench() -> dict:
     ray.data.read_parquet(corpus_path).map_batches(
         lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
     ).count()
+    # untimed worker-pool warm-up: run the extraction stage NUM_CPUS-wide on a
+    # small slice so every Ray worker process exists and has imported the
+    # kernel before the timed run. The metric is steady-state throughput —
+    # at production corpus sizes worker cold-start amortizes to nothing, but
+    # at the 100k-doc bench size spawning 32 interpreters mid-measurement
+    # costs seconds and pure noise.
+    from pdftext_ray.stages import extract as _X
+
+    (
+        ray.data.read_parquet(corpus_path, columns=["doc_id", "spans"])
+        .limit(NUM_CPUS * 32)
+        .repartition(NUM_CPUS)
+        .map_batches(_X.DocumentExtractor(), batch_format="pyarrow")
+        .count()
+    )
 
     only = set(os.environ.get("BENCH_QUERIES", "").split(",")) - {""}
 
