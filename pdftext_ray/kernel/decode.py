@@ -154,8 +154,8 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
 
     n = len(raw.cp)
     if n and (len(raw.cf) != n or len(raw.cr) != n or raw.cb.shape[0] != n):
-        # np.fromstring sep-mode silently truncates at a malformed token on
-        # numpy<2; surface corrupt payloads as errors instead of losing text
+        # a truncated/corrupt binary column yields short arrays; surface
+        # that as an error instead of silently losing text
         raise ValueError(
             f"corrupt payload: char arrays disagree (cp={n}, cf={len(raw.cf)}, "
             f"cr={len(raw.cr)}, cb={raw.cb.shape[0]})"

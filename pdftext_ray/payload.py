@@ -7,28 +7,31 @@ BASELINE.json ``input_hint``) carries one ``kind='text'`` span per page whose
 (kernel/decode.py) parses this payload and applies the same coordinate
 transforms pdftext applies to pdfium output (pdftext/pdf/chars.py:10-55).
 
-Line-oriented records; the char stream is COLUMNAR (one CSV array per field)
-so the decoder parses with ``np.fromstring`` at C speed instead of a Python
-loop per char:
+Line-oriented records; the char stream is COLUMNAR — one BINARY array per
+field, base64-wrapped so the line framing survives — and the decoder
+reconstructs each with one ``np.frombuffer`` (bit-exact round-trip, no float
+text parsing; a real PDF's content stream is binary too):
 
     P|page_idx|x1,y1,x2,y2|rotation      page header (raw pdfium-space bbox)
     F|name|flags|size|weight             font declaration (id = appearance order)
-    CS|cp,cp,...                         char codepoints (ints)
-    CF|fid,fid,...                       per-char font ids
-    CR|rot,rot,...                       per-char angles (floats)
-    CB|x1,y1,x2,y2, x1,y1,x2,y2, ...     RAW charboxes (pre-shift/pre-flip), 4N floats
+    CS|<b64 int32 LE>                    char codepoints
+    CF|<b64 int32 LE>                    per-char font ids
+    CR|<b64 float64 LE>                  per-char angles
+    CB|<b64 float64 LE, 4N>              RAW charboxes (pre-shift/pre-flip)
     M|ref|x1,y1,x2,y2|offset             media item (top-left PRE-rotation coords;
                                          the decoder applies page rotation)
     L|x1,y1,x2,y2|dest_page|dx,dy|url    link annotation (raw rect + dest)
     T|x1,y1,x2,y2                        table bbox (image coords)
     I|w,h                                image size for table extraction
 
-Floats are serialized with ``repr`` so encode→decode round-trips exactly.
-Chars are integer codepoints, so no control character ever appears raw.
+Header/annotation floats are serialized with ``repr`` so encode→decode
+round-trips exactly. Chars are integer codepoints, so no control character
+ever appears raw.
 """
 
 from __future__ import annotations
 
+import base64
 from typing import List, Optional, Sequence
 from urllib.parse import quote, unquote
 
@@ -37,6 +40,10 @@ import numpy as np
 
 def _f(vals: Sequence[float]) -> str:
     return ",".join(repr(float(v)) for v in vals)
+
+
+def _b64(arr: np.ndarray) -> str:
+    return base64.b64encode(arr.tobytes()).decode("ascii")
 
 
 class PayloadWriter:
@@ -95,10 +102,10 @@ class PayloadWriter:
         lines = [self.header]
         lines.extend(self._font_lines)
         if self._cp:
-            lines.append("CS|" + ",".join(map(str, self._cp)))
-            lines.append("CF|" + ",".join(map(str, self._cf)))
-            lines.append("CR|" + ",".join(map(repr, self._cr)))
-            lines.append("CB|" + ",".join(map(repr, self._cb)))
+            lines.append("CS|" + _b64(np.asarray(self._cp, dtype="<i4")))
+            lines.append("CF|" + _b64(np.asarray(self._cf, dtype="<i4")))
+            lines.append("CR|" + _b64(np.asarray(self._cr, dtype="<f8")))
+            lines.append("CB|" + _b64(np.asarray(self._cb, dtype="<f8")))
         lines.extend(self.extra)
         return "\n".join(lines)
 
@@ -124,18 +131,14 @@ class RawPage:
         self.fonts: List[tuple] = []
 
 
-if hasattr(np, "fromstring"):
-    def _csv(s: str) -> np.ndarray:
-        return np.fromstring(s, dtype=np.float64, sep=",") if s else np.empty(0)
+def _b64_f8(s: str) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype="<f8") if s else np.empty(0)
 
-    def _csv_int(s: str) -> np.ndarray:
-        return np.fromstring(s, dtype=np.int64, sep=",") if s else np.empty(0, dtype=np.int64)
-else:  # numpy >= 2.0 removed fromstring; same semantics, slightly slower
-    def _csv(s: str) -> np.ndarray:
-        return np.array(s.split(","), dtype=np.float64) if s else np.empty(0)
 
-    def _csv_int(s: str) -> np.ndarray:
-        return np.array(s.split(","), dtype=np.int64) if s else np.empty(0, dtype=np.int64)
+def _b64_i(s: str) -> np.ndarray:
+    if not s:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(base64.b64decode(s), dtype="<i4").astype(np.int64)
 
 
 def parse_payload(payload: str) -> RawPage:
@@ -147,13 +150,13 @@ def parse_payload(payload: str) -> RawPage:
         tag = line[: line.index("|")]
         body = line[len(tag) + 1:]
         if tag == "CS":
-            page.cp = _csv_int(body)
+            page.cp = _b64_i(body)
         elif tag == "CF":
-            page.cf = _csv_int(body)
+            page.cf = _b64_i(body)
         elif tag == "CR":
-            page.cr = _csv(body)
+            page.cr = _b64_f8(body)
         elif tag == "CB":
-            page.cb = _csv(body).reshape(-1, 4)
+            page.cb = _b64_f8(body).reshape(-1, 4)
         elif tag == "F":
             name, flags, size, weight = body.split("|")
             fonts.append((unquote(name), int(flags), float(size), float(weight)))
