@@ -272,6 +272,24 @@ def _q_bpe_token_count(sf_dir: str):
     return textstats.bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_gopher_quality(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.gopher_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    # the gate table has no line structure: segment into deterministic
+    # 10-token windows first (mirrored in the oracle SQL), then run the
+    # corpus-wide keep-first paragraph dedup
+    chunked = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: dedup.chunk_text_batch(b, 10), batch_format="pyarrow"
+    )
+    return dedup.paragraph_dedup(chunked)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -735,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "bpe_token_count": _q_bpe_token_count,
+        "gopher_quality": _q_gopher_quality,
+        "paragraph_dedup": _q_paragraph_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -883,6 +903,41 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
         "bpe_token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        "gopher_quality": (
+            # Gopher repetition gates (Rae et al. 2021 §A1.1): ASCII-whitespace
+            # case-sensitive tokens so RE2 and Python re agree byte-for-byte
+            "WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents), "
+            "ls AS (SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct FROM ln GROUP BY doc_id), "
+            "w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word FROM documents), "
+            "wf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word), "
+            "ws AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_words FROM wf GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "round(CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / greatest(ls.n_lines, 1), 6) AS dup_line_frac, "
+            "round(CAST(coalesce(ws.max_c, 0) AS DOUBLE) / greatest(coalesce(ws.n_words, 0), 1), 6) AS max_word_rep_frac, "
+            "round(CAST((length(d.text) - length(replace(d.text, '#', ''))) + (len(string_split(d.text, '...')) - 1) AS DOUBLE) / greatest(coalesce(ws.n_words, 0), 1), 6) AS symbol_word_ratio, "
+            "CAST(CASE WHEN round(CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / greatest(ls.n_lines, 1), 6) <= 0.3 "
+            "AND round(CAST(coalesce(ws.max_c, 0) AS DOUBLE) / greatest(coalesce(ws.n_words, 0), 1), 6) <= 0.2 "
+            "AND round(CAST((length(d.text) - length(replace(d.text, '#', ''))) + (len(string_split(d.text, '...')) - 1) AS DOUBLE) / greatest(coalesce(ws.n_words, 0), 1), 6) <= 0.1 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep "
+            "FROM documents d JOIN ls ON d.doc_id = ls.doc_id LEFT JOIN ws ON d.doc_id = ws.doc_id"
+        ),
+        "paragraph_dedup": (
+            # C4-style keep-first paragraph dedup over 10-token windows; the
+            # chunking CTE mirrors chunk_text_batch token-for-token
+            "WITH chunked AS (SELECT doc_id, array_to_string("
+            "list_transform(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1), "
+            "i -> array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ')), chr(10)) AS text "
+            "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') toks FROM documents)), "
+            "p AS (SELECT doc_id, unnest(range(1, len(parts)+1)) - 1 AS para_idx, unnest(parts) AS para "
+            "FROM (SELECT doc_id, string_split(text, chr(10)) parts FROM chunked)), "
+            "r AS (SELECT doc_id, para_idx, para, "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM p) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(para, chr(10) ORDER BY para_idx) FILTER (WHERE rn = 1), '') AS text, "
+            "CAST(count(*) AS BIGINT) AS n_paras, "
+            "CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped "
+            "FROM r GROUP BY doc_id"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "

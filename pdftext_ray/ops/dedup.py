@@ -82,6 +82,140 @@ def prefix_dedup(
     )
 
 
+def chunk_text_batch(
+    batch: pa.Table, n_tokens: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Rewrite text as newline-joined non-overlapping ``n_tokens``-token
+    windows — a deterministic pseudo-paragraph segmentation for corpora whose
+    documents carry no line structure (the SQL oracle mirrors it exactly)."""
+    import re
+
+    find = re.compile(r"\S+").findall
+    texts = batch.column(text_col).to_pylist()
+    out = [
+        "\n".join(
+            " ".join(toks[i:i + n_tokens]) for i in range(0, len(toks), n_tokens)
+        )
+        for toks in (find(t) for t in texts)
+    ]
+    return pa.Table.from_arrays(
+        [batch.column(id_col), pa.array(out, pa.string())], names=[id_col, text_col]
+    )
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """C4-style corpus-wide paragraph dedup (Raffel et al. 2020 §2.2 drop
+    repeated lines; CCNet does the same at paragraph hash level): every
+    paragraph that already occurred anywhere in the corpus — ordered by
+    (doc_id, para_idx), keep-first — is dropped, and documents are
+    reassembled from their surviving paragraphs in order.
+
+    Plan (two few-partition shuffles, no driver state):
+      explode to (doc_id, para_idx, para) → shuffle 1 on hash(para) so every
+      copy of a paragraph co-locates; one vectorized lexsort per partition
+      marks the global first occurrence → shuffle 2 on hash(doc_id) → one
+      vectorized run-boundary pass per partition rebuilds each document.
+    Documents whose every paragraph was dropped still emit a row (text='').
+    Output: (doc_id, text, n_paras, n_dropped).
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+
+    if n_parts is None:
+        n_parts = default_num_partitions()
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column(text_col), pattern=sep)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        id_type = t.schema.field(id_col).type
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        flat = parts.flatten()
+        tbl = pa.Table.from_arrays(
+            [pa.array(ids, id_type), pa.array(idx, pa.int64()), flat],
+            names=[id_col, "para_idx", "para"],
+        )
+        return tbl.append_column(
+            "_part", pa.array(_bucket_array(tbl.column("para").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def keep_flags(g):
+        import pandas as pd
+
+        paras = g["para"].to_numpy()
+        order = np.lexsort((g["para_idx"].to_numpy(), g[id_col].to_numpy(), paras))
+        sp = paras[order]
+        first = np.empty(len(sp), dtype=bool)
+        first[0] = True
+        first[1:] = sp[1:] != sp[:-1]
+        keep = np.empty(len(sp), dtype=bool)
+        keep[order] = first
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "para_idx": g["para_idx"].to_numpy(),
+                "para": paras,
+                "keep": keep,
+            }
+        )
+        return from_pandas_clean(out)
+
+    flagged = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_flags, batch_format="pandas")
+    )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part2", pa.array(_bucket_array(t.column(id_col).combine_chunks(), n_parts), pa.int64())
+        )
+
+    def reassemble(g):
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((g["para_idx"].to_numpy(), ids))
+        ids = ids[order]
+        paras = g["para"].to_numpy()[order]
+        keep = g["keep"].to_numpy()[order]
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        rstarts = np.nonzero(change)[0]
+        rends = np.append(rstarts[1:], len(ids))
+        o_id, o_text, o_np, o_nd = [], [], [], []
+        for s, e in zip(rstarts.tolist(), rends.tolist()):
+            kept = [paras[i] for i in range(s, e) if keep[i]]
+            o_id.append(ids[s])
+            o_text.append(sep.join(kept))
+            o_np.append(e - s)
+            o_nd.append(e - s - len(kept))
+        id_dtype = g[id_col].dtype
+        id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_id, id_type),
+                pa.array(o_text, pa.string()),
+                pa.array(o_np, pa.int64()),
+                pa.array(o_nd, pa.int64()),
+            ],
+            names=[id_col, "text", "n_paras", "n_dropped"],
+        )
+
+    return (
+        flagged.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -171,6 +171,70 @@ def winnow_fingerprints_batch(
     )
 
 
+# Gopher-style repetition gates (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 quality filters).
+# Tokenization is deliberately ASCII-whitespace (explicit class, identical
+# under Python re and DuckDB RE2) and case-sensitive so the SQL oracle is
+# bit-exact; thresholds follow the paper's duplicate-line/word-repetition
+# bands.
+GOPHER_DUP_LINE_MAX = 0.3
+GOPHER_WORD_REP_MAX = 0.2
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+_WS_SPLIT_RE = r"[ \t\n\r\f]+"
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition/symbol stats + keep verdict.
+
+    dup_line_frac     fraction of newline-split lines that repeat
+    max_word_rep_frac occurrences of the most frequent word / total words
+    symbol_word_ratio ('#' chars + '...' runs) / total words
+    gopher_keep       1 when all three are inside the thresholds
+    """
+    import re
+    from collections import Counter
+
+    text_col = batch.column("text")
+    texts = text_col.to_pylist()
+    n_hash = pc.count_substring(text_col, "#").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_ell = pc.count_substring(text_col, "...").to_numpy(zero_copy_only=False).astype(np.float64)
+    split = re.compile(_WS_SPLIT_RE)
+    dup_line, word_rep, n_words_arr = [], [], []
+    for t in texts:
+        lines = t.split("\n")
+        dup_line.append((len(lines) - len(set(lines))) / max(len(lines), 1))
+        words = [w for w in split.split(t) if w]
+        if words:
+            word_rep.append(Counter(words).most_common(1)[0][1] / len(words))
+        else:
+            word_rep.append(0.0)
+        n_words_arr.append(len(words))
+    dup_line = round_half_away(np.array(dup_line), 6)
+    word_rep = round_half_away(np.array(word_rep), 6)
+    sym = round_half_away(
+        (n_hash + n_ell) / np.maximum(np.array(n_words_arr, dtype=np.float64), 1.0), 6
+    )
+    keep = (
+        (dup_line <= GOPHER_DUP_LINE_MAX)
+        & (word_rep <= GOPHER_WORD_REP_MAX)
+        & (sym <= GOPHER_SYMBOL_RATIO_MAX)
+    ).astype(np.int64)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(dup_line),
+            pa.array(word_rep),
+            pa.array(sym),
+            pa.array(keep, pa.int64()),
+        ],
+        names=["doc_id", "dup_line_frac", "max_word_rep_frac", "symbol_word_ratio", "gopher_keep"],
+    )
+
+
+def gopher_quality(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
+
+
 def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 

@@ -157,3 +157,44 @@ def test_hash_grouped_agg_keeps_null_keys():
     assert int(out["n"].sum()) == 5
     null_row = out[out["k"].isna()]
     assert len(null_row) == 1 and int(null_row["n"].iloc[0]) == 2 and int(null_row["mn"].iloc[0]) == 3
+
+
+def test_paragraph_dedup_keep_first_and_empty_doc_retained():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": ["p1\np2\np3", "p2\npX", "p1\np2"],
+            }
+        )
+    )
+    got = dedup.paragraph_dedup(ds).to_pandas().set_index("doc_id").sort_index()
+    # 'a' is first for p1/p2/p3; 'b' keeps only pX; 'c' loses everything
+    assert got.loc["a", "text"] == "p1\np2\np3" and got.loc["a", "n_dropped"] == 0
+    assert got.loc["b", "text"] == "pX" and got.loc["b", "n_dropped"] == 1
+    assert got.loc["c", "text"] == "" and got.loc["c", "n_dropped"] == 2
+    assert got["n_paras"].tolist() == [3, 2, 2]
+
+
+def test_chunk_text_batch_windows():
+    t = pa.table({"doc_id": ["d"], "text": ["one two three four five"]})
+    out = dedup.chunk_text_batch(t, n_tokens=2)
+    assert out.column("text").to_pylist() == ["one two\nthree four\nfive"]
+
+
+def test_gopher_quality_flags_repetitive_doc():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["clean", "spam"],
+                "text": [
+                    "a varied sentence with many distinct words in it",
+                    "buy buy buy buy buy buy buy buy buy now",
+                ],
+            }
+        )
+    )
+    got = textstats.gopher_quality(ds).to_pandas().set_index("doc_id")
+    assert got.loc["clean", "gopher_keep"] == 1
+    assert got.loc["spam", "gopher_keep"] == 0
+    assert got.loc["spam", "max_word_rep_frac"] == 0.9
