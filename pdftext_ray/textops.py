@@ -115,6 +115,10 @@ def handle_hyphens(text: str, keep_hyphens: bool = False) -> str:
         return text.replace(HYPHEN_CHAR, "-\n")
     if len(text) == 0:
         return text
+    if HYPHEN_CHAR not in text:
+        # hyphen-free fast path: the scan below copies chars 0..len-2
+        # verbatim (found_hyphen never fires), i.e. exactly text[:-1]
+        return text[:-1]
     out: List[str] = []
     found_hyphen = False
     for i in range(len(text) - 1):
