@@ -278,6 +278,22 @@ def _q_gopher_quality(sf_dir: str):
     return textstats.gopher_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_similarity_topk_many(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdftext_ray.ops import similarity
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qmask = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v < 4]
+    qmat = np.asarray([t.column("embedding")[i].as_py() for i in qmask], dtype=np.float64)
+    qids = [t.column("vec_id")[i].as_py() for i in qmask]
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.brute_force_topk_many(emb, qmat, query_ids=qids, k=10)
+
+
 def _q_paragraph_dedup(sf_dir: str):
     from pdftext_ray.ops import dedup
 
@@ -755,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "gopher_quality": _q_gopher_quality,
         "paragraph_dedup": _q_paragraph_dedup,
+        "similarity_topk_many": _q_similarity_topk_many,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -978,6 +995,13 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "similarity_topk_many": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 4), "
+            "s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score "
+            "FROM embeddings e, q), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) rn FROM s) "
+            "SELECT query_id, vec_id, score FROM r WHERE rn <= 10"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

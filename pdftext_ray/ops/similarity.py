@@ -62,6 +62,74 @@ def brute_force_topk(
     return local.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
+def brute_force_topk_many(
+    ds: ray.data.Dataset,
+    query_mat: np.ndarray,
+    query_ids=None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k for a BATCH of query vectors in one pass.
+
+    The whole (nq × dim) query matrix broadcasts once via ``ray.put``; each
+    data batch computes one (batch × nq) float64 matmul and emits its local
+    top-k PER QUERY (≤ nq·k rows per block), then a per-query head-k
+    finalizes. Output: (query_id, vec_id, score), k rows per query, ordered
+    within a query by (score desc, vec_id asc).
+    """
+    import pandas as pd
+
+    Q = _unit(np.asarray(query_mat, dtype=np.float64))
+    qids = np.arange(len(Q), dtype=np.int64) if query_ids is None else np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((Q, qids))
+
+    def _empty() -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["query_id", id_col, "score"],
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm, qi = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return _empty()
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        scores = round_half_away(_unit(vecs) @ Qm.T, 6)  # (n, nq)
+        take = min(k, len(ids))
+        o_q, o_i, o_s = [], [], []
+        for j in range(len(qi)):
+            col = scores[:, j]
+            sel = np.lexsort((ids, -col))[:take]
+            o_q.append(np.full(take, qi[j], dtype=np.int64))
+            o_i.append(ids[sel])
+            o_s.append(col[sel])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(o_q), pa.int64()),
+                pa.array(np.concatenate(o_i).astype(np.int64), pa.int64()),
+                pa.array(np.concatenate(o_s), pa.float64()),
+            ],
+            names=["query_id", id_col, "score"],
+        )
+
+    def head(g: pd.DataFrame) -> pa.Table:
+        sel = np.lexsort((g[id_col].to_numpy(), -g["score"].to_numpy()))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["query_id"].to_numpy()[sel].astype(np.int64), pa.int64()),
+                pa.array(g[id_col].to_numpy()[sel].astype(np.int64), pa.int64()),
+                pa.array(g["score"].to_numpy()[sel], pa.float64()),
+            ],
+            names=["query_id", id_col, "score"],
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+    # nq groups only — per-group overhead is bounded by the query count
+    return local.groupby("query_id").map_groups(head, batch_format="pandas")
+
+
 class IVFIndex:
     """Seeded Lloyd k-means over a sample; pure numpy, deterministic."""
 

@@ -198,3 +198,21 @@ def test_gopher_quality_flags_repetitive_doc():
     assert got.loc["clean", "gopher_keep"] == 1
     assert got.loc["spam", "gopher_keep"] == 0
     assert got.loc["spam", "max_word_rep_frac"] == 0.9
+
+
+def test_brute_force_topk_many_matches_single():
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(60)), "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    many = (
+        similarity.brute_force_topk_many(ds, vecs[:3], query_ids=[0, 1, 2], k=5)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    for q in range(3):
+        single = similarity.brute_force_topk(ds, vecs[q], k=5).to_pandas()
+        got = many[many["query_id"] == q][["vec_id", "score"]].reset_index(drop=True)
+        assert got.values.tolist() == single.values.tolist()
