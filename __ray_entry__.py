@@ -278,6 +278,29 @@ def _q_gopher_quality(sf_dir: str):
     return textstats.gopher_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_pii_scrub(sf_dir: str):
+    import pyarrow as pa
+
+    from pdftext_ray.ops import textstats
+
+    def plant(b: pa.Table) -> pa.Table:
+        # the gate table contains no addresses — append a deterministic
+        # email+URL per doc (mirrored verbatim in the oracle SQL) so the
+        # scrub provably fires on every row instead of passing vacuously
+        import pyarrow.compute as pc
+
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        txt = pc.binary_join_element_wise(
+            b.column("text"),
+            pc.binary_join_element_wise("contact user", ids, "@example.com visit http://site", ids, ".org", ""),
+            " ",
+        )
+        return pa.Table.from_arrays([b.column("doc_id"), txt], names=["doc_id", "text"])
+
+    planted = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
+    return textstats.pii_scrub(planted)
+
+
 def _q_similarity_topk_many(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -772,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "paragraph_dedup": _q_paragraph_dedup,
         "similarity_topk_many": _q_similarity_topk_many,
+        "pii_scrub": _q_pii_scrub,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -995,6 +1019,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "pii_scrub": (
+            # planting expression mirrors _q_pii_scrub's map token-for-token
+            "WITH planted AS (SELECT doc_id, text || ' ' || 'contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com visit http://site' || CAST(doc_id AS VARCHAR) || '.org' AS text FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, "
+            "regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t1 FROM planted) "
+            "SELECT doc_id, "
+            "regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text, "
+            "n_urls, "
+            "CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails "
+            "FROM s1"
         ),
         "similarity_topk_many": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 4), "

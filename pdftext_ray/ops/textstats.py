@@ -235,6 +235,34 @@ def gopher_quality(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
 
 
+# PII scrub patterns — RE2 syntax only (no lookaround), so the Arrow kernel
+# and DuckDB's regexp_replace evaluate them identically
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Replace URLs then emails with placeholder tokens, counting each.
+
+    Entirely Arrow compute (RE2) — zero Python per row. URLs scrub first so
+    an address embedded in a URL query string counts once, as a URL.
+    Output: doc_id, text (scrubbed), n_urls, n_emails.
+    """
+    text = batch.column("text")
+    n_urls = pc.cast(pc.count_substring_regex(text, URL_RE), pa.int64())
+    no_urls = pc.replace_substring_regex(text, URL_RE, "<URL>")
+    n_emails = pc.cast(pc.count_substring_regex(no_urls, EMAIL_RE), pa.int64())
+    scrubbed = pc.replace_substring_regex(no_urls, EMAIL_RE, "<EMAIL>")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), scrubbed, n_urls, n_emails],
+        names=["doc_id", "text", "n_urls", "n_emails"],
+    )
+
+
+def pii_scrub(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
 def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 

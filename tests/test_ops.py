@@ -216,3 +216,22 @@ def test_brute_force_topk_many_matches_single():
         single = similarity.brute_force_topk(ds, vecs[q], k=5).to_pandas()
         got = many[many["query_id"] == q][["vec_id", "score"]].reset_index(drop=True)
         assert got.values.tolist() == single.values.tolist()
+
+
+def test_pii_scrub_replaces_and_counts():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b"],
+                "text": [
+                    "mail me at jo.doe+x@ex-ample.co.uk or see https://a.b/c?d=1 now",
+                    "no pii here",
+                ],
+            }
+        )
+    )
+    got = textstats.pii_scrub(ds).to_pandas().set_index("doc_id")
+    assert got.loc["a", "text"] == "mail me at <EMAIL> or see <URL> now"
+    assert got.loc["a", "n_emails"] == 1 and got.loc["a", "n_urls"] == 1
+    assert got.loc["b", "text"] == "no pii here"
+    assert got.loc["b", "n_emails"] == 0 and got.loc["b", "n_urls"] == 0
