@@ -278,6 +278,12 @@ def _q_gopher_quality(sf_dir: str):
     return textstats.gopher_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_tfidf_topk(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
 def _q_pii_scrub(sf_dir: str):
     import pyarrow as pa
 
@@ -796,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "similarity_topk_many": _q_similarity_topk_many,
         "pii_scrub": _q_pii_scrub,
+        "tfidf_topk": _q_tfidf_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -1019,6 +1026,17 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score "
             "FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "tfidf_topk": (
+            "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score "
+            "FROM tf, df, n WHERE tf.term = df.term), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) rn FROM s) "
+            "SELECT doc_id, term, tf, score FROM r WHERE rn <= 5"
         ),
         "pii_scrub": (
             # planting expression mirrors _q_pii_scrub's map token-for-token

@@ -263,6 +263,116 @@ def pii_scrub(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
 
 
+def tfidf_topk(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int = None,
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)).
+
+    Global document frequencies need every (term, doc) pair of one term in
+    one place — ONE few-partition shuffle on hash(term) gives each partition
+    its terms' ENTIRE posting lists, so df and the per-row score compute in
+    one vectorized pass (no separate df table, no join back). A second
+    doc-hash shuffle finalizes per-doc head-k. Output: (doc_id, term, tf,
+    score), ≤k rows per doc, score rounded to 6 decimals.
+    """
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.dedup import _bucket_array
+
+    if n_parts is None:
+        n_parts = default_num_partitions()
+    if n_docs is None:
+        n_docs = ds.count()
+    n_f = float(n_docs)
+
+    def explode_tf(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        id_type = b.schema.field(id_col).type
+        ids_out, terms, tfs = [], [], []
+        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            c = Counter(find(t))
+            ids_out.extend([i] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        tbl = pa.Table.from_arrays(
+            [pa.array(ids_out, id_type), pa.array(terms, pa.string()), pa.array(tfs, pa.int64())],
+            names=[id_col, "term", "tf"],
+        )
+        return tbl.append_column(
+            "_part", pa.array(_bucket_array(tbl.column("term").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def score_part(g: pd.DataFrame) -> pa.Table:
+        # every (doc, term) row of a term lives here → size per term IS the
+        # global document frequency ((doc, term) is unique after Counter)
+        df_per_row = g.groupby("term")["term"].transform("size").to_numpy()
+        tf_arr = g["tf"].to_numpy()
+        score = round_half_away(tf_arr * np.log(n_f / df_per_row), 6)
+        id_dtype = g[id_col].dtype
+        id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+        return pa.Table.from_arrays(
+            [
+                pa.array(g[id_col].to_numpy(), id_type),
+                pa.array(g["term"].to_numpy(), pa.string()),
+                pa.array(tf_arr, pa.int64()),
+                pa.array(score, pa.float64()),
+            ],
+            names=[id_col, "term", "tf", "score"],
+        )
+
+    scored = (
+        ds.map_batches(explode_tf, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(score_part, batch_format="pandas")
+    )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part2", pa.array(_bucket_array(t.column(id_col).combine_chunks(), n_parts), pa.int64())
+        )
+
+    def head_per_doc(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((g["term"].to_numpy(), -g["score"].to_numpy(), ids))
+        ids_s = ids[order]
+        change = np.empty(len(ids_s), dtype=bool)
+        change[0] = True
+        change[1:] = ids_s[1:] != ids_s[:-1]
+        # rank within each doc-run; keep ranks < k
+        run_id = np.cumsum(change) - 1
+        run_start = np.zeros(len(ids_s), dtype=np.int64)
+        starts = np.nonzero(change)[0]
+        run_start = starts[run_id]
+        rank = np.arange(len(ids_s)) - run_start
+        sel = order[rank < k]
+        id_dtype = g[id_col].dtype
+        id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[sel], id_type),
+                pa.array(g["term"].to_numpy()[sel], pa.string()),
+                pa.array(g["tf"].to_numpy()[sel], pa.int64()),
+                pa.array(g["score"].to_numpy()[sel], pa.float64()),
+            ],
+            names=[id_col, "term", "tf", "score"],
+        )
+
+    return (
+        scored.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(head_per_doc, batch_format="pandas")
+    )
+
+
 def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 

@@ -235,3 +235,23 @@ def test_pii_scrub_replaces_and_counts():
     assert got.loc["a", "n_emails"] == 1 and got.loc["a", "n_urls"] == 1
     assert got.loc["b", "text"] == "no pii here"
     assert got.loc["b", "n_emails"] == 0 and got.loc["b", "n_urls"] == 0
+
+
+def test_tfidf_topk_scores_and_order():
+    import math
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": ["rare common common", "common common", "unique common"],
+            }
+        )
+    )
+    got = textstats.tfidf_topk(ds, k=2).to_pandas()
+    a = got[got["doc_id"] == "a"].sort_values("score", ascending=False)
+    # 'rare' appears in 1 of 3 docs: score = 1 * ln(3/1); 'common' in all 3 → 0
+    assert a.iloc[0]["term"] == "rare"
+    assert abs(a.iloc[0]["score"] - round(math.log(3.0), 6)) < 1e-9
+    assert a.iloc[1]["term"] == "common" and a.iloc[1]["score"] == 0.0
+    assert len(got[got["doc_id"] == "b"]) == 1  # only one distinct term
