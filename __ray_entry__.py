@@ -784,6 +784,48 @@ def _q_similarity_ivf_recall(sf_dir: str):
     )
 
 
+def _q_length_percentiles(sf_dir: str):
+    """Exact distributed p50/p90/p99 of document length: per-batch value
+    histograms → few-partition grouped sum → O(#distinct) driver finish.
+    Matches SQL quantile_disc's ceil(p*n) rank rule bit-for-bit."""
+    from pdftext_ray.ops import stats
+
+    return stats.exact_percentiles(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars", (0.5, 0.9, 0.99)
+    )
+
+
+def _q_length_percentiles_by_lang(sf_dir: str):
+    """Per-group exact percentiles: one few-partition shuffle of per-block
+    (group, value, count) histograms, local rank per group."""
+    from pdftext_ray.ops import stats
+
+    return stats.grouped_percentiles(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), "lang", "n_chars", (0.5, 0.9)
+    )
+
+
+def _q_zscore_chars(sf_dir: str):
+    """Global z-score normalization: exact int64 moment reduction (O(1)
+    output) → broadcast (mean, std) scalars → stateless vectorized map."""
+    from pdftext_ray.ops import stats
+
+    return stats.zscore_normalize(_read(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic hash sample (downsample dominant en, keep
+    all zh) — shuffle-free, layout-independent, SQL-reproducible gate."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang",
+        {"en": 0.3, "de": 0.8, "zh": 1.0},
+        default_fraction=0.1,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_spans": _q_extract_spans,
@@ -833,6 +875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_extracted": _q_clean_extracted,
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
+        "stratified_sample": _q_stratified_sample,
+        "length_percentiles": _q_length_percentiles,
+        "length_percentiles_by_lang": _q_length_percentiles_by_lang,
+        "zscore_chars": _q_zscore_chars,
         "media_features": _q_media_features,
     }
 
@@ -914,6 +960,35 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'test' END AS split FROM (SELECT doc_id, "
             "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
             "// 4294967296) % 10000) AS b FROM documents)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296) % 10000) < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000 "
+            "WHEN 'zh' THEN 10000 ELSE 1000 END"
+        ),
+        "length_percentiles": (
+            # quantile params must be constants in DuckDB → one arm per pct
+            "SELECT 0.5 AS pct, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value, "
+            "count(*) AS n_rows FROM documents UNION ALL "
+            "SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT), count(*) FROM documents "
+            "UNION ALL "
+            "SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT), count(*) FROM documents"
+        ),
+        "length_percentiles_by_lang": (
+            "SELECT lang, 0.5 AS pct, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value, "
+            "count(*) AS n_rows FROM documents GROUP BY lang UNION ALL "
+            "SELECT lang, 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT), count(*) "
+            "FROM documents GROUP BY lang"
+        ),
+        "zscore_chars": (
+            # identical double-precision expression to ops.stats (exact int
+            # sums, then (x - s/c) / sqrt(ss/c - (s/c)^2)) — bit-reproducible
+            "WITH s AS (SELECT CAST(sum(n_chars) AS DOUBLE) s, "
+            "CAST(sum(n_chars * n_chars) AS DOUBLE) ss, CAST(count(*) AS DOUBLE) c "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, round((n_chars - s / c) / sqrt(ss / c - (s / c) * (s / c)), 6) "
+            "AS zscore FROM documents, s"
         ),
         "clean_extracted": (
             # composed extraction→dedup oracle over the independent

@@ -69,6 +69,40 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    fractions: Dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 17,
+    default_fraction: float = 0.0,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic hash sample: keep ~``fractions[group]`` of
+    each group's rows (e.g. downsample dominant languages, keep all of rare
+    ones). Same layout-independent shuffle-free hash gate as
+    ``hash_sample``, but with a per-group threshold looked up from a small
+    broadcast dict — no groupby, no extra pass. Groups absent from
+    ``fractions`` keep ``default_fraction`` of rows.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    gates = {g: int(round(f * _BUCKETS)) for g, f in fractions.items()}
+    default_gate = int(round(default_fraction * _BUCKETS))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = _key_buckets(t.column(key_col).combine_chunks(), seed)
+        gate = np.array(
+            [gates.get(g, default_gate) for g in t.column(group_col).to_pylist()],
+            dtype=np.int64,
+        )
+        return t.filter(pa.array(b < gate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_split(
     ds: ray.data.Dataset,
     fractions: Dict[str, float],

@@ -1,0 +1,214 @@
+"""Corpus-level statistics operators — exact distributed percentiles and
+global normalization.
+
+Both are two-phase plans built for the 100 TB shape:
+
+* phase 1 is a tiny REDUCTION computed inside ``map_batches`` (a per-batch
+  value histogram / moment triple) whose output size is bounded by the
+  number of DISTINCT values (percentiles) or is O(1) (moments) — never by
+  the row count;
+* phase 2 broadcasts the reduced state back through a stateless vectorized
+  ``map_batches`` (normalize) or finishes on the driver over a table whose
+  size is the distinct-value count (percentiles).
+
+Nothing here materializes the input: the only driver-side collection is the
+reduced histogram/moments, and the op raises if the distinct-value bound is
+violated rather than silently collecting a corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pdftext_ray.ops import from_pandas_clean, round_half_away
+
+
+def _value_histogram(ds: ray.data.Dataset, column: str, max_distinct: int) -> pd.DataFrame:
+    """Exact (value, count) histogram of an integer column.
+
+    Per-batch ``np.unique`` partials keep every block's contribution at
+    distinct-value size; a few-partition hash-grouped sum (see
+    relational.hash_grouped_agg's rationale — Ray's native per-key aggregate
+    pays ~65 µs/key) makes partition-local counts final. The collected
+    result is bounded by ``max_distinct`` — the op REFUSES to become a
+    driver-side corpus collection.
+    """
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(np.asarray(t.column(column).combine_chunks()), return_counts=True)
+        return pa.table({"value": pa.array(vals, pa.int64()), "cnt": pa.array(counts, pa.int64())})
+
+    hist = hash_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "value",
+        {"cnt": ("cnt", "sum")},
+    )
+    df = hist.to_pandas()
+    if len(df) > max_distinct:
+        raise ValueError(
+            f"{column} has {len(df)} distinct values > max_distinct={max_distinct}; "
+            "exact percentiles via a value histogram need a bounded value domain "
+            "(use a sketch for unbounded/float domains)"
+        )
+    return df.sort_values("value").reset_index(drop=True)
+
+
+def exact_percentiles(
+    ds: ray.data.Dataset,
+    column: str,
+    percentiles: Iterable[float] = (0.5, 0.9, 0.99),
+    max_distinct: int = 1_000_000,
+) -> pa.Table:
+    """EXACT discrete percentiles of an integer column at any scale.
+
+    Matches SQL ``quantile_disc`` bit-for-bit: the selected value is the one
+    at 0-based sorted index ``ceil(p*n) - 1`` (verified against DuckDB on
+    asymmetric cases: n=10 p=0.99 → last element; n=7 p=0.75 → index 5).
+    Returns a small driver-side table — the natural sink for an O(#distinct)
+    reduction.
+    """
+    df = _value_histogram(ds, column, max_distinct)
+    cum = df["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_p: List[float] = []
+    out_v: List[int] = []
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"percentile must be in (0, 1], got {p}")
+        if n == 0:
+            raise ValueError("exact_percentiles over an empty dataset")
+        rank = math.ceil(p * n)  # 1-based rank, same double arithmetic as SQL
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_p.append(p)
+        out_v.append(int(df["value"].iloc[idx]))
+    return pa.table({
+        "pct": pa.array(out_p, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+        "n_rows": pa.array([n] * len(out_p), pa.int64()),
+    })
+
+
+def _int_moments(ds: ray.data.Dataset, column: str) -> tuple:
+    """Exact (sum, sum-of-squares, count) of an integer column.
+
+    int64 partial sums per batch → int64 totals: EXACT regardless of
+    summation order, which is what makes the derived mean/std (and the SQL
+    oracle computing the same formula) bit-reproducible across layouts.
+    Overflow guard: |sum x²| must stay under 2⁶³ — raises if not.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(column).combine_chunks(), dtype=np.int64)
+        if len(v) and int(np.abs(v).max()) > 3_037_000_499:  # sqrt(2^63)-ish
+            raise ValueError(f"{column} values too large for exact int64 moment sums")
+        return pa.table({
+            "s": pa.array([int(v.sum())], pa.int64()),
+            "ss": pa.array([int((v * v).sum())], pa.int64()),
+            "c": pa.array([len(v)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # python-int reduce of the per-block partials (one row per block):
+    # exact, no intermediate overflow
+    s = int(parts["s"].astype(object).sum()) if len(parts) else 0
+    ss = int(parts["ss"].astype(object).sum()) if len(parts) else 0
+    c = int(parts["c"].sum()) if len(parts) else 0
+    if not (-(2**63) < ss < 2**63 and -(2**63) < s < 2**63):
+        raise ValueError(f"{column} moment sums overflow int64; shard the corpus first")
+    return s, ss, c
+
+
+def zscore_normalize(
+    ds: ray.data.Dataset, column: str, out_col: str = "zscore", decimals: int = 6
+) -> ray.data.Dataset:
+    """Append the global z-score of an integer column.
+
+    Two passes: an O(1)-output exact-moment reduction, then a stateless
+    vectorized map with the scalar (mean, std) closed over — the broadcast
+    is two floats, not a table. The mean/std are derived from EXACT integer
+    sums with the same double-precision formula the SQL oracle uses
+    (``(x - s/c) / sqrt(ss/c - (s/c)²)``), so results match bit-for-bit
+    after half-away rounding (ops.round_half_away, invariant #2).
+    """
+    s, ss, c = _int_moments(ds, column)
+    if c == 0:
+        raise ValueError("zscore_normalize over an empty dataset")
+    mean = s / c
+    var = ss / c - mean * mean
+    if var <= 0:
+        raise ValueError(f"{column} has zero variance; z-scores undefined")
+    std = math.sqrt(var)
+
+    def norm(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(column).combine_chunks(), dtype=np.float64)
+        z = round_half_away((v - mean) / std, decimals)
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def grouped_percentiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    percentiles: Iterable[float] = (0.5, 0.9),
+    max_distinct: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-group exact discrete percentiles (same ceil(p*n) rank rule).
+
+    One few-partition hash shuffle on the group key; each partition computes
+    its groups' percentiles from a LOCAL sorted value-count fold — the
+    shuffle payload is the (group, value, count) histogram built per batch,
+    bounded by distinct (group, value) pairs per block, not rows.
+    """
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    pcts = [float(p) for p in percentiles]
+    if any(not 0.0 < p <= 1.0 for p in pcts):
+        raise ValueError(f"percentiles must be in (0, 1], got {pcts}")
+    n_parts = default_num_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": np.asarray(t.column(group_col).combine_chunks()),
+            "value": np.asarray(t.column(value_col).combine_chunks(), dtype=np.int64),
+        })
+        agg = df.groupby(["g", "value"], as_index=False).size()
+        if len(agg) > max_distinct:
+            raise ValueError(f"per-block histogram exceeds max_distinct={max_distinct}")
+        return pa.table({
+            # explicit type: an empty block must not infer null (invariant 12)
+            group_col: pa.array(agg["g"].tolist(), t.schema.field(group_col).type),
+            "value": pa.array(agg["value"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["size"].to_numpy(), pa.int64()),
+        })
+
+    def per_part(g: pd.DataFrame) -> pa.Table:
+        # merge per-block partial counts, then rank per group
+        h = g.groupby([group_col, "value"], as_index=False)["cnt"].sum()
+        h = h.sort_values([group_col, "value"])
+        out = {group_col: [], "pct": [], "value": [], "n_rows": []}
+        for key, sub in h.groupby(group_col, sort=True):
+            cum = sub["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            for p in pcts:
+                idx = int(np.searchsorted(cum, math.ceil(p * n), side="left"))
+                out[group_col].append(key)
+                out["pct"].append(p)
+                out["value"].append(int(sub["value"].iloc[idx]))
+                out["n_rows"].append(n)
+        return from_pandas_clean(pd.DataFrame(out))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_key_part_tag(group_col, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )

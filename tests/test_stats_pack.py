@@ -1,0 +1,109 @@
+"""Tests for corpus statistics (exact percentiles, z-score) and stratified
+sampling: distributed results must equal direct scalar computation."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pdftext_ray.ops import sampling, stats
+
+
+def _int_table(values, extra=None):
+    cols = {"doc_id": list(range(len(values))), "n_chars": list(values)}
+    if extra:
+        cols.update(extra)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _quantile_disc(values, p):
+    # the SQL rank rule: 0-based index ceil(p*n) - 1 over sorted values
+    s = sorted(values)
+    return s[math.ceil(p * len(s)) - 1]
+
+
+def test_exact_percentiles_matches_rank_rule():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(10, 5000, size=997).tolist()
+    out = stats.exact_percentiles(_int_table(vals), "n_chars", (0.5, 0.9, 0.99))
+    got = {p: v for p, v in zip(out.column("pct").to_pylist(), out.column("value").to_pylist())}
+    for p in (0.5, 0.9, 0.99):
+        assert got[p] == _quantile_disc(vals, p)
+    assert out.column("n_rows").to_pylist() == [997] * 3
+
+
+def test_exact_percentiles_heavy_ties_and_edges():
+    vals = [7] * 50 + [9] * 50  # p<=0.5 -> 7, p>0.5 -> 9
+    out = stats.exact_percentiles(_int_table(vals), "n_chars", (0.5, 0.51, 1.0))
+    assert out.column("value").to_pylist() == [7, 9, 9]
+
+
+def test_exact_percentiles_refuses_unbounded_domains():
+    with pytest.raises(ValueError, match="distinct"):
+        stats.exact_percentiles(_int_table(list(range(100))), "n_chars", (0.5,), max_distinct=10)
+
+
+def test_grouped_percentiles_per_group_rank():
+    rng = np.random.default_rng(5)
+    langs = ["en", "de", "zh"]
+    df = pd.DataFrame({
+        "doc_id": range(600),
+        "lang": [langs[i % 3] for i in range(600)],
+        "n_chars": rng.integers(1, 300, size=600),
+    })
+    ds = ray.data.from_arrow(pa.table(df.to_dict("list")))
+    out = stats.grouped_percentiles(ds, "lang", "n_chars", (0.5, 0.9)).to_pandas()
+    for lang in langs:
+        vals = df[df["lang"] == lang]["n_chars"].tolist()
+        for p in (0.5, 0.9):
+            row = out[(out["lang"] == lang) & (out["pct"] == p)]
+            assert len(row) == 1
+            assert row["value"].iloc[0] == _quantile_disc(vals, p)
+            assert row["n_rows"].iloc[0] == len(vals)
+
+
+def test_zscore_matches_scalar_formula():
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    out = stats.zscore_normalize(_int_table(vals), "n_chars").to_pandas().sort_values("doc_id")
+    s, ss, c = float(sum(vals)), float(sum(v * v for v in vals)), float(len(vals))
+    mean = s / c
+    std = math.sqrt(ss / c - mean * mean)
+    got = out["zscore"].tolist()
+    for v, z in zip(vals, got):
+        assert abs(z - (v - mean) / std) < 1e-6
+    # exact ints -> layout-independent: rerun equals first run
+    again = stats.zscore_normalize(_int_table(vals), "n_chars").to_pandas().sort_values("doc_id")
+    assert got == again["zscore"].tolist()
+
+
+def test_zscore_rejects_degenerate_inputs():
+    with pytest.raises(ValueError, match="variance"):
+        stats.zscore_normalize(_int_table([5, 5, 5]), "n_chars")
+
+
+def test_stratified_sample_respects_group_fractions():
+    n = 4000
+    langs = ["en" if i % 2 else "zh" for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "lang": langs}))
+    out = sampling.stratified_sample(ds, "lang", {"zh": 1.0, "en": 0.25}).to_pandas()
+    zh = out[out["lang"] == "zh"]
+    en = out[out["lang"] == "en"]
+    assert len(zh) == n // 2  # fraction 1.0 keeps every row
+    assert 0.15 < len(en) / (n // 2) < 0.35
+    # deterministic + layout-independent: same keep set from a different block layout
+    out2 = sampling.stratified_sample(
+        ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "lang": langs})).repartition(7),
+        "lang",
+        {"zh": 1.0, "en": 0.25},
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_stratified_sample_default_fraction_zero_drops_unlisted():
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(100)), "lang": ["fr"] * 100})
+    )
+    assert sampling.stratified_sample(ds, "lang", {"en": 1.0}).count() == 0
