@@ -576,6 +576,14 @@ def _q_events_asof(sf_dir: str):
     )
 
 
+def _q_events_range_join(sf_dir: str):
+    from pdftext_ray.ops import joins
+
+    return joins.range_join_events(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 import functools
 
 
@@ -865,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": _q_join_orders_customer,
         "join_lineitem_orders": _q_join_lineitem_orders,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
         "top_users": _q_top_users,
@@ -1160,6 +1169,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_range_join": (
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "c.event_id AS matched_event_id, c.ts AS matched_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id "
+            "AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts"
         ),
         "events_sliding": (
             "SELECT to_timestamp((floor(epoch(ts) / 900) * 900 - k.k * 900))::TIMESTAMP AS window_start, "

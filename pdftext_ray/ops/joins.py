@@ -149,6 +149,101 @@ def semi_join(
     return large.map_batches(fn, batch_format="pyarrow")
 
 
+def range_join_events(
+    ds: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    key: str = "user_id",
+    ts: str = "ts",
+    window_sec: int = 6 * 3600,
+) -> ray.data.Dataset:
+    """Keyed interval (range) join inside one event log: every pair
+    (left, right) with the same key whose right event falls in the half-open
+    window ``[left.ts - window, left.ts)`` — the attribution-window lookup
+    (`clicks in the 6h before each purchase`). The reference has no joins at
+    all (SURVEY.md §2.4); this is the engine-side range-join operator the
+    brief names alongside as-of.
+
+    Plan (scale-correct, key-cardinality independent): filter to the two
+    types vectorized, ONE few-partition shuffle on hash(key), then per
+    partition a single vectorized pass: factorize keys, build a composite
+    ``code * span + (ts - t0)`` int64 sort key for the right side, and
+    ``np.searchsorted`` both window edges for ALL left rows at once; pairs
+    materialize via the repeat/arange range-expansion trick — no Python loop
+    over rows or keys. Skew note: a single hot key's pairs are emitted from
+    one partition; salt the key into sub-buckets (split the window) if one
+    key's output exceeds a worker's heap.
+
+    Output: event_id, user_id, ts, matched_event_id, matched_ts (one row per
+    qualifying pair, inner semantics).
+    """
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    n_parts = default_num_partitions()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"), value_set=pa.array([left_type, right_type]))
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow").map_batches(
+        _key_part_tag(key, n_parts), batch_format="pyarrow"
+    )
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            key: pd.Series([], dtype="int64"),
+            ts: pd.Series([], dtype="datetime64[us]"),
+            "matched_event_id": pd.Series([], dtype="int64"),
+            "matched_ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["event_type"] == left_type]
+        rhs = group[group["event_type"] == right_type]
+        if lhs.empty or rhs.empty:
+            return from_pandas_clean(empty)
+        w_us = np.int64(window_sec) * 1_000_000
+        lt = lhs[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rt = rhs[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0 = min(lt.min(), rt.min())
+        span = max(lt.max(), rt.max()) - t0 + w_us + 2
+        codes, uniques = pd.factorize(
+            pd.concat([lhs[key], rhs[key]], ignore_index=True), sort=True
+        )
+        lcode, rcode = codes[: len(lhs)], codes[len(lhs):]
+        rkey = rcode * span + (rt - t0)
+        order = np.argsort(rkey, kind="stable")
+        rkey = rkey[order]
+        r_event = rhs["event_id"].to_numpy()[order]
+        r_ts = rhs[ts].to_numpy()[order]
+        # [ts - w, ts): left-inclusive lower edge, exclusive upper edge
+        lo = np.searchsorted(rkey, lcode * span + np.maximum(lt - w_us - t0, 0), side="left")
+        hi = np.searchsorted(rkey, lcode * span + (lt - t0), side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return from_pandas_clean(empty)
+        l_idx = np.repeat(np.arange(len(lhs)), counts)
+        r_idx = np.arange(total) - np.repeat(counts.cumsum() - counts, counts) + np.repeat(lo, counts)
+        out = pd.DataFrame(
+            {
+                "event_id": lhs["event_id"].to_numpy()[l_idx],
+                key: lhs[key].to_numpy()[l_idx],
+                ts: lhs[ts].to_numpy()[l_idx],
+                "matched_event_id": r_event[r_idx],
+                "matched_ts": r_ts[r_idx],
+            }
+        )
+        return from_pandas_clean(out)
+
+    return filtered.groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
 def asof_join_events(
     ds: ray.data.Dataset,
     left_type: str = "purchase",

@@ -94,6 +94,34 @@ def test_asof_join_matches_merge_asof():
     assert list(got_u["matched_event_id"]) == [int(x) for x in want["m"]]
 
 
+def test_range_join_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    n = 300
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 72 * 3600, n), unit="s")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.randint(0, 6, n),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+            "ts": ts,
+        }
+    )
+    out = joins.range_join_events(
+        ray.data.from_pandas(df), window_sec=6 * 3600
+    ).to_pandas()
+    # brute-force oracle: all (purchase, click) same-user pairs in [ts-6h, ts)
+    p = df[df["event_type"] == "purchase"]
+    c = df[df["event_type"] == "click"]
+    want = p.merge(c, on="user_id", suffixes=("", "_c"))
+    want = want[
+        (want["ts_c"] >= want["ts"] - pd.Timedelta(hours=6)) & (want["ts_c"] < want["ts"])
+    ]
+    assert len(out) == len(want) > 0
+    got = set(zip(out["event_id"], out["matched_event_id"]))
+    exp = set(zip(want["event_id"], want["event_id_c"]))
+    assert got == exp
+
+
 def test_bloom_semi_join_prefilter():
     """Bloom mode: semi join admits no false negatives; anti join may drop a
     few FP rows — it's a pre-filter (exact mode is the reference)."""
