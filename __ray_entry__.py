@@ -284,6 +284,14 @@ def _q_tfidf_topk(sf_dir: str):
     return textstats.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
 
 
+def _q_decontaminate(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.decontaminate(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]), n=3
+    )
+
+
 def _q_pii_scrub(sf_dir: str):
     import pyarrow as pa
 
@@ -478,6 +486,13 @@ def _q_pricing_summary(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
     return relational.lineitem_pricing_summary(_read(sf_dir, "lineitem", cols))
+
+
+def _q_pricing_rollup(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
 def _q_events_hourly(sf_dir: str):
@@ -853,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_many": _q_similarity_topk_many,
         "pii_scrub": _q_pii_scrub,
         "tfidf_topk": _q_tfidf_topk,
+        "decontaminate": _q_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -867,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_exact": _q_similarity_ivf_exact,
         "similarity_ivf_recall": _q_similarity_ivf_recall,
         "pricing_summary": _q_pricing_summary,
+        "pricing_rollup": _q_pricing_rollup,
         "events_hourly": _q_events_hourly,
         "distinct_event_types": _q_distinct_event_types,
         "filter_project": _q_filter_project,
@@ -1122,6 +1139,15 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) rn FROM s) "
             "SELECT doc_id, term, tf, score FROM r WHERE rn <= 5"
         ),
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS g "
+            "FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0') "
+            "SELECT d.doc_id, count(DISTINCT d.g) AS n_hits "
+            "FROM grams d JOIN bench USING (g) "
+            "WHERE d.source <> 'src0' GROUP BY d.doc_id"
+        ),
         "pii_scrub": (
             # planting expression mirrors _q_pii_scrub's map token-for-token
             "WITH planted AS (SELECT doc_id, text || ' ' || 'contact user' || CAST(doc_id AS VARCHAR) || "
@@ -1147,6 +1173,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_base_price, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "pricing_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS n_rows FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -55,6 +55,55 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
     return final.map_batches(shape, batch_format="pyarrow")
 
 
+def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """ROLLUP(l_returnflag, l_linestatus) pricing aggregate: base groups,
+    per-returnflag subtotals, and the grand total in one result (the
+    GROUPING SETS family, absent from both the reference and Ray Data).
+
+    Plan: the scale-correct part is identical to the Q1 plan — batch-level
+    partial aggregation so the shuffle moves key-cardinality rows — and the
+    rollup EXPANSION runs on the already-aggregated tiny table (rows =
+    distinct base keys), where re-aggregating the two coarser levels is
+    driver-scale arithmetic inside one map_batches over a single partition.
+    Subtotal levels use the sentinel 'ALL' instead of SQL's NULLs so the
+    oracle comparison is null-convention independent.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return from_pandas_clean(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    base = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        metrics = ["sum_qty", "sum_price", "n_rows"]
+        lvl1 = df.groupby("l_returnflag", as_index=False)[metrics].sum()
+        lvl1["l_linestatus"] = "ALL"
+        lvl0 = df[metrics].sum().to_frame().T
+        lvl0["l_returnflag"] = "ALL"
+        lvl0["l_linestatus"] = "ALL"
+        out = pd.concat([df, lvl1, lvl0], ignore_index=True)
+        out["sum_qty"] = round_half_away(out["sum_qty"], 2)
+        out["sum_price"] = round_half_away(out["sum_price"], 2)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return from_pandas_clean(
+            out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]]
+        )
+
+    return base.repartition(1).map_batches(
+        expand, batch_format="pandas", batch_size=None
+    )
+
+
 def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type (batch-implemented streaming
     window, SURVEY.md §2.10): window_start, event_type, n_events, sum_value.

@@ -373,6 +373,90 @@ def tfidf_topk(
     )
 
 
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_col: str = "source",
+    bench_value: str = "src0",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """Train/test decontamination: for every non-benchmark document, count
+    the distinct token n-grams it shares with the benchmark side (rows where
+    ``bench_col == bench_value``). The standard contamination check run
+    before training (n=13 in the GPT-3/PaLM recipes; n is a parameter).
+
+    Plan: one pass explodes each doc to its DISTINCT lowercased \\S+-token
+    n-grams (per-doc set, so the shuffle carries ≤ one row per (doc, gram));
+    ONE few-partition shuffle on hash(gram) co-locates every holder of a
+    gram, so benchmark membership is a partition-local vectorized isin —
+    no broadcast gram set, no driver state. A second doc-keyed
+    ``hash_grouped_agg`` sums the per-partition partial counts. At corpus
+    scale, ship a 128-bit gram hash instead of the string (collision odds
+    ~n²/2¹²⁸); the gate uses the exact string so the DuckDB oracle compares
+    distinct-gram counts exactly. Output: (doc_id, n_hits), contaminated
+    docs only.
+    """
+    import re
+
+    import pandas as pd
+
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.dedup import _bucket_array
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    if n_parts is None:
+        n_parts = default_num_partitions()
+
+    def explode_grams(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        id_type = b.schema.field(id_col).type
+        ids_out, grams, bench = [], [], []
+        for i, t, src in zip(
+            b.column(id_col).to_pylist(),
+            b.column(text_col).to_pylist(),
+            b.column(bench_col).to_pylist(),
+        ):
+            toks = find(t.lower())
+            gset = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            ids_out.extend([i] * len(gset))
+            grams.extend(gset)
+            bench.extend([src == bench_value] * len(gset))
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(grams, pa.string()),
+                pa.array(ids_out, id_type),
+                pa.array(bench, pa.bool_()),
+            ],
+            names=["gram", id_col, "bench"],
+        )
+        return tbl.append_column(
+            "_part", pa.array(_bucket_array(tbl.column("gram").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def hits_part(g: pd.DataFrame) -> pa.Table:
+        bench_grams = g.loc[g["bench"], "gram"].unique()
+        hit = g[~g["bench"] & g["gram"].isin(bench_grams)]
+        out = hit.groupby(id_col, as_index=False).agg(n_hits=("gram", "size"))
+        id_dtype = g[id_col].dtype
+        id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out[id_col].to_numpy(), id_type),
+                pa.array(out["n_hits"].to_numpy(), pa.int64()),
+            ],
+            names=[id_col, "n_hits"],
+        )
+
+    partials = (
+        ds.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(hits_part, batch_format="pandas")
+    )
+    return hash_grouped_agg(partials, id_col, {"n_hits": ("n_hits", "sum")})
+
+
 def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 

@@ -237,6 +237,43 @@ def test_pii_scrub_replaces_and_counts():
     assert got.loc["b", "n_emails"] == 0 and got.loc["b", "n_urls"] == 0
 
 
+def test_decontaminate_counts_shared_ngrams():
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta gamma delta",        # benchmark
+            "alpha beta gamma epsilon",      # shares 2 distinct 3-grams? no: "alpha beta gamma" only
+            "zeta eta theta iota",           # clean
+            "Alpha BETA gamma delta",        # case-insensitive full match: 2 grams
+        ],
+        "source": ["bench", "train", "train", "train"],
+    }))
+    from pdftext_ray.ops.textstats import decontaminate
+
+    out = decontaminate(docs, bench_col="source", bench_value="bench", n=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {1: 1, 3: 2}
+
+
+def test_pricing_rollup_levels_sum():
+    df = pd.DataFrame({
+        "l_returnflag": ["A", "A", "B", "B"],
+        "l_linestatus": ["O", "F", "O", "O"],
+        "l_quantity": [1.0, 2.0, 3.0, 4.0],
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+    })
+    from pdftext_ray.ops.relational import lineitem_pricing_rollup
+
+    out = lineitem_pricing_rollup(ray.data.from_pandas(df)).to_pandas()
+    rows = {(r.l_returnflag, r.l_linestatus): (r.sum_qty, r.sum_price, r.n_rows)
+            for r in out.itertuples()}
+    assert rows[("A", "O")] == (1.0, 10.0, 1)
+    assert rows[("A", "ALL")] == (3.0, 30.0, 2)
+    assert rows[("B", "ALL")] == (7.0, 70.0, 2)
+    assert rows[("ALL", "ALL")] == (10.0, 100.0, 4)
+    assert len(rows) == 6  # 3 base + 2 flag subtotals + grand total
+
+
 def test_tfidf_topk_scores_and_order():
     import math
 
