@@ -44,6 +44,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_simhash": os.path.join(base, "expected_simhash.parquet"),
         "expected_winnow": os.path.join(base, "expected_winnow.parquet"),
         "expected_media": os.path.join(base, "expected_media.parquet"),
+        "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
     }
 
 
@@ -92,6 +93,17 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         paths["expected_media"],
         lambda: goldens.expected_media_features_table(max(30, n // 10)),
     )
+
+    def _kmeans_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        return goldens.expected_kmeans_table(
+            t.column("vec_id").to_pylist(),
+            np.asarray(t.column("embedding").to_pylist(), dtype=np.float64),
+        )
+
+    goldens.materialize_golden(paths["expected_kmeans"], _kmeans_builder)
     return paths
 
 
@@ -421,6 +433,16 @@ def _q_dedup_clusters(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4, exact_recall=True
     )
     return cluster.connected_components_distributed(pairs)
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table; compared against
+    an independent scalar golden (pipelines/goldens.expected_kmeans_table)
+    under the shared determinism contract (lowest-id init, 6-decimal
+    centroid rounding per update)."""
+    from pdftext_ray.ops import cluster
+
+    return cluster.kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
 def _q_dedup_embedding(sf_dir: str):
@@ -875,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "kmeans_clusters": _q_kmeans,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "embedding_pairs": _q_embedding_pairs,
@@ -956,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_dictionary": f"SELECT * FROM read_parquet('{p['expected_dict']}')",
         "winnow_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{p['expected_winnow']}')",
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
+        "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
         "media_features": f"SELECT * FROM read_parquet('{p['expected_media']}')",
         "dedup_clusters": (
             # recursive transitive closure over the SAME exact pair set the

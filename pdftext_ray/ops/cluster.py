@@ -157,3 +157,108 @@ def connected_components_distributed(
     from ray.data.aggregate import Min
 
     return labels.union(roots).groupby("doc_id").aggregate(Min("cluster_id", alias_name="cluster_id"))
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd k-means over an embedding column → (id, cluster,
+    dist). The corpus-clustering step of embedding-based data curation
+    (cluster-balanced sampling, semantic dedup).
+
+    Plan: the ONLY state is the k×d centroid matrix — driver-scale by
+    definition. Each iteration is one streaming pass: every batch assigns
+    its vectors (one matmul) and emits k partial rows (cluster, sum-vector,
+    count); the driver folds the tiny (k × n_blocks) partial table and
+    updates centroids. No shuffle at all, and the per-pass driver traffic is
+    k·d floats per block regardless of data size. Input is materialized once
+    up front (iterative algorithms re-read their input every pass otherwise;
+    at cluster scale this pins the vectors in the object store where
+    repeated passes are zero-copy).
+
+    Determinism contract (gate-compared vs an independent scalar golden):
+    init = the k lowest-id vectors; centroids are rounded to 6 decimals
+    after every update, so float-summation order across blocks cannot leak
+    into the assignment sequence (jitter ~1e-15 vs boundary spacing 1e-6);
+    empty clusters keep their previous centroid; ``dist`` is the direct
+    euclidean norm to the final centroid, rounded to 6.
+    """
+    import ray
+
+    from pdftext_ray.ops import round_half_away
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    # init: k lowest-id vectors — local head-k per batch, tiny driver merge
+    def local_lowk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch
+        sel = np.argsort(ids)[:k]
+        return batch.take(pa.array(np.sort(sel)))
+
+    seed_rows = sorted(
+        ds.map_batches(local_lowk, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )[:k]
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans needs >= k={k} rows, got {len(seed_rows)}")
+    cents = round_half_away(
+        np.asarray([r[vec_col] for r in seed_rows], dtype=np.float64), 6
+    )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            if len(vecs) == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            d2 = (vecs * vecs).sum(1)[:, None] - 2.0 * (vecs @ c.T) + (c * c).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = round_half_away(cents, 6)
+
+    final_ref = ray.put(cents)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        d2 = (vecs * vecs).sum(1)[:, None] - 2.0 * (vecs @ c.T) + (c * c).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        dist = round_half_away(np.linalg.norm(vecs - c[assign], axis=1), 6)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            "dist": pa.array(dist, pa.float64()),
+        })
+
+    return ds.map_batches(assign_out, batch_format="pyarrow")

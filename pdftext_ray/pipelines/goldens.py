@@ -322,3 +322,41 @@ def expected_dictionary_flat_table(n_docs: int, seed: int = 42, profile: str = "
         payloads = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
         flatten_dictionary_rows(doc["doc_id"], shape_dictionary(process_document(payloads, cfg), cfg), rows)
     return dict_flat_rows_to_table(rows)
+
+
+# ---------------------------------------------------------------------------
+# K-means (independent scalar path for ops/cluster.kmeans_assign)
+# ---------------------------------------------------------------------------
+
+def expected_kmeans_table(
+    ids: List[int], vecs: np.ndarray, k: int = 8, iters: int = 5
+) -> pa.Table:
+    """Golden Lloyd k-means — single-machine, per-cluster mask loops and
+    broadcast distance tensors (the Ray op uses the expanded-dot form with
+    per-block partial sums). Shares only the determinism CONTRACT with the
+    op: init = k lowest-id vectors, centroids rounded half-away to 6
+    decimals after every update, empty clusters keep their centroid, dist =
+    direct euclidean norm rounded to 6."""
+    from pdftext_ray.ops import round_half_away
+
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    cents = round_half_away(vecs[:k].copy(), 6)
+    for _ in range(iters):
+        diff = vecs[:, None, :] - cents[None, :, :]
+        assign = np.argmin((diff * diff).sum(-1), axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = round_half_away(cents, 6)
+    diff = vecs[:, None, :] - cents[None, :, :]
+    assign = np.argmin((diff * diff).sum(-1), axis=1)
+    dist = round_half_away(np.sqrt(((vecs - cents[assign]) ** 2).sum(-1)), 6)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+        "dist": pa.array(dist, pa.float64()),
+    })

@@ -37,6 +37,33 @@ def test_connected_components_chain_converges():
     assert set(df["cluster_id"]) == {0} and len(df) == 16
 
 
+def test_kmeans_separates_blobs_and_matches_golden():
+    import numpy as np
+
+    from pdftext_ray.pipelines.goldens import expected_kmeans_table
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0, 10.0] * 4])
+    vecs = np.concatenate([c + rng.randn(30, 8) * 0.3 for c in centers])
+    # interleave blobs so the k lowest ids seed one centroid per blob
+    # (all-in-one-blob seeding is a legitimate bad local optimum for Lloyd)
+    vecs = vecs[np.arange(90).reshape(3, 30).T.flatten()]
+    ids = np.arange(len(vecs), dtype=np.int64)
+    # shuffle row order so the op's lowest-id init has to find the seeds
+    perm = rng.permutation(len(vecs))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids[perm], "embedding": pa.array(list(vecs[perm]), pa.list_(pa.float64()))})
+    ).repartition(4)
+    out = cluster.kmeans_assign(ds, k=3, iters=5).to_pandas().sort_values("vec_id")
+    golden = expected_kmeans_table(ids.tolist(), vecs, k=3, iters=5).to_pandas()
+    assert list(out["cluster"]) == list(golden["cluster"])
+    assert np.allclose(out["dist"].to_numpy(), golden["dist"].to_numpy())
+    # each planted blob lands in exactly one cluster
+    labels = out["cluster"].to_numpy()
+    assert all(len(set(labels[i::3])) == 1 for i in range(3))
+    assert len(set(labels[:3])) == 3
+
+
 def test_registry_compose_and_replace():
     from pdftext_ray.pipelines import corpus_io
 
