@@ -235,6 +235,24 @@ def run_bench() -> dict:
 
     timed("hash_join", q_hash_join)
 
+    def q_range_join():
+        from pdftext_ray.ops import joins
+
+        joins.range_join_events(
+            sf_read("events", ["event_id", "ts", "user_id", "event_type"])
+        ).count()
+
+    timed("events_range_join", q_range_join)
+    timed("decontaminate", lambda: textstats.decontaminate(
+        sf_read("documents", ["doc_id", "text", "source"]), n=3).count())
+
+    def q_kmeans():
+        from pdftext_ray.ops import cluster
+
+        cluster.kmeans_assign(sf_read("embeddings", ["vec_id", "embedding"])).count()
+
+    timed("kmeans", q_kmeans)
+
     ray.shutdown()
     return {
         "metric": "pdftext_ray bench total (headline: interleaved-doc span extraction)",
