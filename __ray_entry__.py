@@ -445,6 +445,18 @@ def _q_kmeans(sf_dir: str):
     return cluster.kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means clusters (same determinism contract as
+    kmeans_clusters) then within-cluster cosine pruning; the oracle
+    recomputes the drop rule in SQL from the kmeans golden + exact
+    list_cosine_similarity."""
+    from pdftext_ray.ops import dedup
+
+    return dedup.semantic_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
 def _q_dedup_embedding(sf_dir: str):
     """Hyperplane-LSH near-dup in exact-verification configuration:
     probe_radius == n_planes co-buckets every pair (the similarity_ivf_exact
@@ -898,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "kmeans_clusters": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "embedding_pairs": _q_embedding_pairs,
@@ -980,6 +993,14 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{p['expected_winnow']}')",
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
+        "semantic_dedup": (
+            f"WITH a AS (SELECT vec_id, cluster FROM read_parquet('{p['expected_kmeans']}')) "
+            "SELECT e.vec_id, a1.cluster FROM embeddings e JOIN a a1 ON a1.vec_id = e.vec_id "
+            "WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings e2 JOIN a a2 ON a2.vec_id = e2.vec_id "
+            "WHERE a2.cluster = a1.cluster AND e2.vec_id < e.vec_id "
+            "AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) > 0.4)"
+        ),
         "media_features": f"SELECT * FROM read_parquet('{p['expected_media']}')",
         "dedup_clusters": (
             # recursive transitive closure over the SAME exact pair set the

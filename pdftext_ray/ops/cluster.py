@@ -165,6 +165,7 @@ def kmeans_assign(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> ray.data.Dataset:
     """Distributed Lloyd k-means over an embedding column → (id, cluster,
     dist). The corpus-clustering step of embedding-based data curation
@@ -248,17 +249,23 @@ def kmeans_assign(
         c = ray.get(final_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "cluster": pa.array([], pa.int64()),
-                             "dist": pa.array([], pa.float64())})
+            empty = {id_col: pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64()),
+                     "dist": pa.array([], pa.float64())}
+            if keep_vec:
+                empty[vec_col] = batch.column(vec_col)
+            return pa.table(empty)
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
         d2 = (vecs * vecs).sum(1)[:, None] - 2.0 * (vecs @ c.T) + (c * c).sum(1)[None, :]
         assign = np.argmin(d2, axis=1)
         dist = round_half_away(np.linalg.norm(vecs - c[assign], axis=1), 6)
-        return pa.table({
+        cols = {
             id_col: pa.array(ids.astype(np.int64), pa.int64()),
             "cluster": pa.array(assign.astype(np.int64), pa.int64()),
             "dist": pa.array(dist, pa.float64()),
-        })
+        }
+        if keep_vec:
+            cols[vec_col] = batch.column(vec_col)
+        return pa.table(cols)
 
     return ds.map_batches(assign_out, batch_format="pyarrow")

@@ -1060,3 +1060,52 @@ def embedding_dup_pairs(
     from ray.data.aggregate import Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means partitions the corpus, then cosine near-dup pruning runs only
+    WITHIN each cluster — O(n²/k) pair compute instead of the all-pairs
+    O(n²), which is what makes embedding dedup feasible at corpus scale
+    (size k ≈ n / target_cluster_size so a cluster's matrix fits a worker).
+
+    Drop rule (deterministic, SQL-expressible): a vector is dropped iff ANY
+    lower-id vector in the same cluster has cosine > threshold — the
+    keep-lowest-id convention shared with the corpus dedup ops. Plan:
+    ``kmeans_assign(keep_vec=True)`` (centroid state only, no shuffle), then
+    ONE groupby(cluster) shuffle and a single vectorized masked-matmul scan
+    per cluster. Output: (vec_id, cluster) of KEPT vectors.
+    """
+    import pandas as pd
+
+    from pdftext_ray.ops.cluster import kmeans_assign
+
+    assigned = kmeans_assign(
+        ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+
+    def prune(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _unit_rows(np.asarray(list(g[vec_col].to_numpy()[order]), dtype=np.float64))
+        sims = mat @ mat.T
+        # drop i iff any j < i (strict lower triangle) with cosine > threshold
+        drop = np.any(np.tril(sims > threshold, k=-1), axis=1)
+        keep = ~drop
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[keep].astype(np.int64), pa.int64()),
+                pa.array(g["cluster"].to_numpy()[order][keep].astype(np.int64), pa.int64()),
+            ],
+            names=[id_col, "cluster"],
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")

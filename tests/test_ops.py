@@ -237,6 +237,26 @@ def test_pii_scrub_replaces_and_counts():
     assert got.loc["b", "n_emails"] == 0 and got.loc["b", "n_urls"] == 0
 
 
+def test_semantic_dedup_prunes_within_cluster():
+    rng = np.random.RandomState(5)
+    blob_a = np.array([5.0] * 8) + rng.randn(20, 8) * 0.5
+    blob_b = np.array([-5.0] * 8) + rng.randn(20, 8) * 0.5
+    # interleave so lowest-id k-means seeds hit both blobs
+    vecs = np.empty((40, 8))
+    vecs[0::2], vecs[1::2] = blob_a, blob_b
+    # plant exact duplicates of rows 0 and 1 at high ids
+    vecs = np.concatenate([vecs, vecs[:2]])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(42, dtype=np.int64),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    }))
+    kept = dedup.semantic_dedup(ds, k=2, iters=4, threshold=0.9995).to_pandas()
+    kept_ids = set(kept["vec_id"])
+    # the duplicate copies (ids 40, 41) are dropped; originals survive
+    assert 40 not in kept_ids and 41 not in kept_ids
+    assert {0, 1} <= kept_ids and len(kept_ids) == 40
+
+
 def test_decontaminate_counts_shared_ngrams():
     docs = ray.data.from_arrow(pa.table({
         "doc_id": [0, 1, 2, 3],
