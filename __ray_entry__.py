@@ -296,6 +296,14 @@ def _q_tfidf_topk(sf_dir: str):
     return textstats.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
 
 
+def _q_bm25(sf_dir: str):
+    from pdftext_ray.ops import textstats
+
+    return textstats.bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), ["hash", "join", "stream"]
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     from pdftext_ray.ops import textstats
 
@@ -903,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
+        "bm25_topk": _q_bm25,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -1183,6 +1192,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf, df, n WHERE tf.term = df.term), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) rn FROM s) "
             "SELECT doc_id, term, tf, score FROM r WHERE rn <= 5"
+        ),
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') t FROM documents), "
+            "st AS (SELECT doc_id, len(t) AS dl, "
+            "len(list_filter(t, x -> x = 'hash')) AS tf0, "
+            "len(list_filter(t, x -> x = 'join')) AS tf1, "
+            "len(list_filter(t, x -> x = 'stream')) AS tf2 FROM toks), "
+            "g AS (SELECT count(*) AS n, avg(dl) AS avgdl, "
+            "count(*) FILTER (tf0 > 0) AS df0, "
+            "count(*) FILTER (tf1 > 0) AS df1, "
+            "count(*) FILTER (tf2 > 0) AS df2 FROM st) "
+            "SELECT doc_id, round("
+            "ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + "
+            "ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + "
+            "ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+            ", 6) AS score FROM st, g ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "decontaminate": (
             "WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') t FROM documents), "

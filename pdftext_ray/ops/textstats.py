@@ -457,6 +457,89 @@ def decontaminate(
     return hash_grouped_agg(partials, id_col, {"n_hits": ("n_hits", "sum")})
 
 
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: List[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """BM25 ranked retrieval for a fixed term set → top-k (doc_id, score).
+
+    Two streaming passes, no shuffle: pass 1 reduces per-batch partials
+    (doc count, total length, per-term document frequency) to a handful of
+    scalars on the driver; pass 2 scores every document against the
+    broadcast stats and emits only its local top-k, finalized by a top-k
+    sort over ≤ k rows per block. Term addition is left-associative and
+    stats are exact integer sums, so the score stream is bit-stable against
+    the SQL oracle (idf = ln((N-df+0.5)/(df+0.5)+1), Robertson/Lucene
+    form). At corpus scale the df pass piggybacks on any other full scan.
+    """
+    import ray
+
+    terms = list(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        find = re.compile(r"\S+").findall
+        n, sum_dl = 0, 0
+        dfs = [0] * len(terms)
+        for t in batch.column(text_col).to_pylist():
+            toks = find(t.lower())
+            n += 1
+            sum_dl += len(toks)
+            tokset = set(toks)
+            for j, term in enumerate(terms):
+                if term in tokset:
+                    dfs[j] += 1
+        cols = {"n": pa.array([n], pa.int64()), "sum_dl": pa.array([sum_dl], pa.int64())}
+        for j in range(len(terms)):
+            cols[f"df{j}"] = pa.array([dfs[j]], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    avgdl = sum(r["sum_dl"] for r in parts) / n_docs
+    dfs = [sum(r[f"df{j}"] for r in parts) for j in range(len(terms))]
+    idfs = [float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)) for df in dfs]
+    ref = ray.put((terms, idfs, avgdl))
+
+    def score_local(batch: pa.Table) -> pa.Table:
+        import re
+
+        tset, idf, adl = ray.get(ref)
+        find = re.compile(r"\S+").findall
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        texts = batch.column(text_col).to_pylist()
+        dls = np.empty(len(texts), dtype=np.float64)
+        tfs = np.zeros((len(texts), len(tset)), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = find(t.lower())
+            dls[i] = len(toks)
+            for j, term in enumerate(tset):
+                tfs[i, j] = toks.count(term)
+        denom_tail = k1 * (1.0 - b + b * dls / adl)
+        score = np.zeros(len(texts), dtype=np.float64)
+        for j in range(len(tset)):  # left-associative term sum (oracle parity)
+            score = score + idf[j] * tfs[:, j] / (tfs[:, j] + denom_tail)
+        score = round_half_away(score, 6)
+        take = min(topk, len(ids))
+        sel = np.lexsort((ids, -score))[:take]
+        return pa.table({
+            id_col: pa.array(ids[sel].astype(np.int64), pa.int64()),
+            "score": pa.array(score[sel], pa.float64()),
+        })
+
+    local = ds.map_batches(score_local, batch_format="pyarrow")
+    return local.sort(["score", id_col], descending=[True, False]).limit(topk)
+
+
 def bpe_token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
 

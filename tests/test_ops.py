@@ -257,6 +257,27 @@ def test_semantic_dedup_prunes_within_cluster():
     assert {0, 1} <= kept_ids and len(kept_ids) == 40
 
 
+def test_bm25_topk_matches_manual_formula():
+    texts = [
+        "apple apple banana",          # tf(apple)=2, dl=3
+        "apple pear pear pear",        # tf=1, dl=4
+        "pear pear",                   # tf=0, dl=2
+        "apple " * 10,                 # tf=10, dl=10 (repetition saturates)
+    ]
+    ds = _doc_table(texts)
+    out = textstats.bm25_topk(ds, ["apple"], topk=4).to_pandas()
+    n, avgdl = 4, (3 + 4 + 2 + 10) / 4
+    df = 3
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1)
+    def s(tf, dl):
+        return round(idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+    want = {0: s(2, 3), 1: s(1, 4), 2: 0.0, 3: s(10, 10)}
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert got == pytest.approx(want)
+    # saturation: tf=10 scores highest but far below 5x the tf=2 score
+    assert out.iloc[0]["doc_id"] == 3 and got[3] < 2.5 * got[0]
+
+
 def test_decontaminate_counts_shared_ngrams():
     docs = ray.data.from_arrow(pa.table({
         "doc_id": [0, 1, 2, 3],
