@@ -45,6 +45,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_winnow": os.path.join(base, "expected_winnow.parquet"),
         "expected_media": os.path.join(base, "expected_media.parquet"),
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
+        "expected_hll": os.path.join(base, "expected_hll.parquet"),
     }
 
 
@@ -104,6 +105,12 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
 
     goldens.materialize_golden(paths["expected_kmeans"], _kmeans_builder)
+
+    def _hll_builder():
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+        return goldens.expected_hll_table(t.column("event_id").to_pylist(), p=10)
+
+    goldens.materialize_golden(paths["expected_hll"], _hll_builder)
     return paths
 
 
@@ -294,6 +301,14 @@ def _q_tfidf_topk(sf_dir: str):
     from pdftext_ray.ops import textstats
 
     return textstats.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL sketch distinct count of event ids; compared against the scalar
+    bit_length golden (registers merge by max → layout-independent)."""
+    from pdftext_ray.ops import stats
+
+    return stats.approx_distinct(_read(sf_dir, "events", ["event_id"]), "event_id", p=10)
 
 
 def _q_bm25(sf_dir: str):
@@ -912,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25,
+        "approx_distinct_events": _q_approx_distinct,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -1002,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{p['expected_winnow']}')",
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
+        "approx_distinct_events": f"SELECT approx_n FROM read_parquet('{p['expected_hll']}')",
         "semantic_dedup": (
             f"WITH a AS (SELECT vec_id, cluster FROM read_parquet('{p['expected_kmeans']}')) "
             "SELECT e.vec_id, a1.cluster FROM embeddings e JOIN a a1 ON a1.vec_id = e.vec_id "

@@ -212,3 +212,97 @@ def grouped_percentiles(
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count
+# ---------------------------------------------------------------------------
+
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 — the shared deterministic hash
+    boundary between the Ray op and the scalar golden (like the media
+    FakeCodec: the hash IS the algorithm, so it is common by design)."""
+    z = (x + _SM1).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _SM2
+    z = (z ^ (z >> np.uint64(27))) * _SM3
+    return z ^ (z >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros (no float log2 — inexact near
+    powers of two). x == 0 → 64."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = (x >> np.uint64(64 - s)) == 0
+        n[mask] += s
+        x[mask] = (x[mask] << np.uint64(s)).astype(np.uint64)
+    return n
+
+
+def hll_estimate_from_registers(reg: np.ndarray) -> float:
+    """Canonical HLL estimator (Flajolet et al. 2007) with the small-range
+    linear-counting correction; register-order-deterministic float math."""
+    m = float(len(reg))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = float(np.sum(2.0 ** -reg.astype(np.float64)))
+    est = alpha * m * m / s
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, column: str, p: int = 10
+) -> ray.data.Dataset:
+    """HyperLogLog approximate COUNT(DISTINCT column) → one row
+    (approx_n double, rounded to 3). Standard error ≈ 1.04/√(2^p).
+
+    The sketch is the whole point at corpus scale: per batch, values hash
+    (splitmix64 for ints, blake2b-8 for strings) into 2^p registers holding
+    max leading-zero runs; registers MERGE by elementwise max — commutative
+    and idempotent, so the estimate is independent of block layout, task
+    order, and retries (exact distinct needs a full shuffle; this needs
+    2^p bytes per block → driver). The scalar golden recomputes the same
+    registers value-by-value with int.bit_length."""
+    m = 1 << p
+
+    def sketch(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(np.asarray(col).astype(np.uint64))
+        else:
+            import hashlib
+
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    for v in col.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(col),
+            )
+        reg = np.zeros(m, dtype=np.uint8)
+        if len(h):
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            w = (h << np.uint64(p)).astype(np.uint64)
+            rho = np.minimum(_clz64(w), 64 - p) + 1
+            np.maximum.at(reg, idx, rho.astype(np.uint8))
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    reg = np.zeros(m, dtype=np.uint8)
+    for r in parts:
+        reg = np.maximum(reg, np.frombuffer(r["reg"], dtype=np.uint8))
+    est = round_half_away(hll_estimate_from_registers(reg), 3)
+    return ray.data.from_arrow(
+        pa.table({"approx_n": pa.array([float(est)], pa.float64())})
+    )

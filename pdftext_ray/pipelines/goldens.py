@@ -360,3 +360,49 @@ def expected_kmeans_table(
         "cluster": pa.array(assign.astype(np.int64), pa.int64()),
         "dist": pa.array(dist, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (independent scalar path for ops/stats.approx_distinct)
+# ---------------------------------------------------------------------------
+
+def _splitmix64_scalar(x: int) -> int:
+    M = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return z ^ (z >> 31)
+
+
+def expected_hll_table(values, p: int = 10) -> pa.Table:
+    """Golden HLL estimate — per-value Python loop, ``int.bit_length`` for
+    the leading-zero run and a sequential register sum (the op uses
+    vectorized shift-cascade clz and np.maximum.at). Shares only the
+    splitmix64/blake2b hash boundary and the published estimator formula."""
+    import math
+
+    m = 1 << p
+    reg = [0] * m
+    for v in values:
+        if isinstance(v, (int, np.integer)):
+            h = _splitmix64_scalar(int(np.uint64(v)))
+        else:
+            h = int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        rho = min(64 - w.bit_length(), 64 - p) + 1
+        if rho > reg[idx]:
+            reg[idx] = rho
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0.0
+    for r in reg:
+        s += 2.0 ** -r
+    est = alpha * m * m / s
+    zeros = reg.count(0)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    from pdftext_ray.ops import round_half_away
+
+    return pa.table({"approx_n": pa.array([float(round_half_away(est, 3))], pa.float64())})

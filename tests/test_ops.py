@@ -257,6 +257,31 @@ def test_semantic_dedup_prunes_within_cluster():
     assert {0, 1} <= kept_ids and len(kept_ids) == 40
 
 
+def test_approx_distinct_accuracy_and_layout_invariance():
+    from pdftext_ray.ops.stats import approx_distinct
+    from pdftext_ray.pipelines.goldens import expected_hll_table
+
+    vals = np.arange(10_000, dtype=np.int64) * 7 + 3
+    # duplicates must not change the sketch
+    with_dups = np.concatenate([vals, vals[:3000]])
+    t = pa.table({"x": with_dups})
+    e1 = approx_distinct(ray.data.from_arrow(t), "x", p=10).to_pandas()["approx_n"][0]
+    e2 = approx_distinct(
+        ray.data.from_arrow(t).repartition(7), "x", p=10
+    ).to_pandas()["approx_n"][0]
+    assert e1 == e2  # register max-merge → bit-identical across layouts
+    assert abs(e1 - 10_000) / 10_000 < 0.08  # ~1.04/sqrt(1024) expected error
+    golden = expected_hll_table(with_dups.tolist(), p=10).to_pandas()["approx_n"][0]
+    assert e1 == golden
+    # string path agrees with its golden too
+    svals = [f"user-{i}" for i in range(500)]
+    es = approx_distinct(
+        ray.data.from_arrow(pa.table({"x": svals})), "x", p=10
+    ).to_pandas()["approx_n"][0]
+    gs = expected_hll_table(svals, p=10).to_pandas()["approx_n"][0]
+    assert es == gs and abs(es - 500) / 500 < 0.1
+
+
 def test_bm25_topk_matches_manual_formula():
     texts = [
         "apple apple banana",          # tf(apple)=2, dl=3
