@@ -46,6 +46,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_media": os.path.join(base, "expected_media.parquet"),
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
+        "expected_cms": os.path.join(base, "expected_cms.parquet"),
     }
 
 
@@ -111,6 +112,12 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_hll_table(t.column("event_id").to_pylist(), p=10)
 
     goldens.materialize_golden(paths["expected_hll"], _hll_builder)
+
+    def _cms_builder():
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+        return goldens.expected_cms_table(t.column("user_id").to_pylist(), threshold=80)
+
+    goldens.materialize_golden(paths["expected_cms"], _cms_builder)
     return paths
 
 
@@ -309,6 +316,21 @@ def _q_approx_distinct(sf_dir: str):
     from pdftext_ray.ops import stats
 
     return stats.approx_distinct(_read(sf_dir, "events", ["event_id"]), "event_id", p=10)
+
+
+def _q_cms_heavy_users(sf_dir: str):
+    """CMS heavy hitters over user_id (threshold 80 events); estimates are
+    layout-independent (counter addition commutes) and pinned by the scalar
+    golden."""
+    from pdftext_ray.ops import stats
+
+    return stats.cms_heavy_hitters(_read(sf_dir, "events", ["user_id"]), "user_id", threshold=80)
+
+
+def _q_events_props(sf_dir: str):
+    from pdftext_ray.ops import relational
+
+    return relational.events_props_summary(_read(sf_dir, "events", ["event_type", "props"]))
 
 
 def _q_bm25(sf_dir: str):
@@ -928,6 +950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25,
         "approx_distinct_events": _q_approx_distinct,
+        "cms_heavy_users": _q_cms_heavy_users,
+        "events_props_summary": _q_events_props,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -1019,6 +1043,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
         "approx_distinct_events": f"SELECT approx_n FROM read_parquet('{p['expected_hll']}')",
+        "cms_heavy_users": f"SELECT value, est_count FROM read_parquet('{p['expected_cms']}')",
+        "events_props_summary": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS sum_k, "
+            "round(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_k "
+            "FROM events GROUP BY event_type"
+        ),
         "semantic_dedup": (
             f"WITH a AS (SELECT vec_id, cluster FROM read_parquet('{p['expected_kmeans']}')) "
             "SELECT e.vec_id, a1.cluster FROM embeddings e JOIN a a1 ON a1.vec_id = e.vec_id "

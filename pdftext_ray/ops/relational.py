@@ -188,6 +188,40 @@ def events_sliding_window(
     return final.map_batches(shape, batch_format="pandas")
 
 
+def events_props_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """JSON payload parse + grouped aggregate: extract the integer field
+    ``k`` from the ``props`` JSON column (C-backed ``json.loads`` per value
+    — pyarrow has no JSON-path kernel), then the standard partial→final
+    grouped plan per event_type. Output: event_type, n, sum_k, avg_k
+    (avg computed from the final sums, NOT averaged per batch)."""
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(s)["k"] for s in batch.column("props").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(), "k": ks})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        )
+        return from_pandas_clean(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k")
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        df["sum_k"] = df["sum_k"].astype("int64")
+        df["avg_k"] = round_half_away(df["sum_k"].to_numpy() / df["n"].to_numpy(), 6)
+        return df[["event_type", "n", "sum_k", "avg_k"]]
+
+    return final.map_batches(shape, batch_format="pandas")
+
+
 def hash_grouped_agg(
     ds: ray.data.Dataset,
     keys,

@@ -306,3 +306,107 @@ def approx_distinct(
     return ray.data.from_arrow(
         pa.table({"approx_n": pa.array([float(est)], pa.float64())})
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+def _cms_hash_rows(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices from one 64-bit hash per value: row j uses
+    an independent splitmix64 round seeded by j (double hashing is fine for
+    CMS; full re-mix keeps rows decorrelated)."""
+    idx = np.empty((depth, len(h)), dtype=np.int64)
+    for j in range(depth):
+        idx[j] = (_splitmix64(h + np.uint64(j * 0x9E3779B9)) % np.uint64(width)).astype(np.int64)
+    return idx
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    column: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 2048,
+) -> ray.data.Dataset:
+    """Count-min-sketch heavy hitters: values whose estimated count ≥
+    threshold, with their CMS estimates. Output: (value, est_count), est ≥
+    true count always (one-sided error ≤ 2n/width per row, min over rows).
+
+    Two streaming passes, both layout-independent: pass 1 builds the
+    depth×width COUNT matrix per block (counter ADDITION is commutative, so
+    the merged sketch — unlike per-batch top-M candidate lists — does not
+    depend on batching); pass 2 re-scans values, probes the broadcast
+    sketch, and emits the distinct values passing the threshold (exact
+    membership, deterministic). The sketch is the scale story: the state is
+    depth×width ints regardless of cardinality; the candidate re-scan
+    replaces the driver-side candidate lists that break determinism."""
+    import ray
+
+    def sketch(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(np.asarray(col).astype(np.uint64))
+        else:
+            import hashlib
+
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    for v in col.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(col),
+            )
+        mat = np.zeros((depth, width), dtype=np.int64)
+        if len(h):
+            idx = _cms_hash_rows(h, depth, width)
+            for j in range(depth):
+                np.add.at(mat[j], idx[j], 1)
+        return pa.table({"cms": pa.array([mat.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for r in parts:
+        mat += np.frombuffer(r["cms"], dtype=np.int64).reshape(depth, width)
+    ref = ray.put(mat)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        col = t.column(column)
+        vals = col.to_pylist()
+        if not vals:
+            return pa.table({"value": pa.array([], col.type),
+                             "est_count": pa.array([], pa.int64())})
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(np.asarray(col).astype(np.uint64))
+        else:
+            import hashlib
+
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    for v in vals
+                ),
+                dtype=np.uint64,
+                count=len(vals),
+            )
+        idx = _cms_hash_rows(h, depth, width)
+        est = m[0, idx[0]]
+        for j in range(1, depth):
+            est = np.minimum(est, m[j, idx[j]])
+        keep = est >= threshold
+        out = pa.table({"value": pa.array([v for v, k in zip(vals, keep) if k], col.type),
+                        "est_count": pa.array(est[keep], pa.int64())})
+        return out
+
+    hits = ds.map_batches(probe, batch_format="pyarrow")
+    # distinct (value, est_count) — est is a pure function of value, so
+    # first-seen per value == every occurrence; a small grouped max dedups
+    from ray.data.aggregate import Max
+
+    return hits.groupby("value").aggregate(Max("est_count", alias_name="est_count"))

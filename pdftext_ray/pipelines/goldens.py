@@ -406,3 +406,40 @@ def expected_hll_table(values, p: int = 10) -> pa.Table:
     from pdftext_ray.ops import round_half_away
 
     return pa.table({"approx_n": pa.array([float(round_half_away(est, 3))], pa.float64())})
+
+
+def expected_cms_table(values, threshold: int, depth: int = 4, width: int = 2048) -> pa.Table:
+    """Golden count-min heavy hitters — sequential dict-free scalar loop
+    (the op uses vectorized np.add.at matrices and a broadcast probe pass).
+    Shares the splitmix64/blake2b hash boundary by design."""
+    M = (1 << 64) - 1
+
+    def base_hash(v):
+        if isinstance(v, (int, np.integer)):
+            return _splitmix64_scalar(int(np.uint64(v)))
+        return int.from_bytes(
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+        )
+
+    mat = [[0] * width for _ in range(depth)]
+    for v in values:
+        h = base_hash(v)
+        for j in range(depth):
+            mat[j][_splitmix64_scalar((h + j * 0x9E3779B9) & M) % width] += 1
+    out = {}
+    for v in values:
+        if v in out:
+            continue
+        h = base_hash(v)
+        est = min(
+            mat[j][_splitmix64_scalar((h + j * 0x9E3779B9) & M) % width]
+            for j in range(depth)
+        )
+        if est >= threshold:
+            out[v] = est
+    keys = sorted(out)
+    vtype = pa.int64() if keys and isinstance(keys[0], (int, np.integer)) else pa.string()
+    return pa.table({
+        "value": pa.array(keys, vtype),
+        "est_count": pa.array([out[k] for k in keys], pa.int64()),
+    })

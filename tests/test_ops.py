@@ -257,6 +257,44 @@ def test_semantic_dedup_prunes_within_cluster():
     assert {0, 1} <= kept_ids and len(kept_ids) == 40
 
 
+def test_cms_heavy_hitters_one_sided_and_layout_invariant():
+    from pdftext_ray.ops.stats import cms_heavy_hitters
+    from pdftext_ray.pipelines.goldens import expected_cms_table
+
+    rng = np.random.RandomState(9)
+    # two heavy values (500, 300) over a long tail of 2000 singletons
+    vals = np.concatenate([
+        np.full(500, 7, dtype=np.int64),
+        np.full(300, 42, dtype=np.int64),
+        np.arange(1000, 3000, dtype=np.int64),
+    ])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    out = cms_heavy_hitters(ds, "v", threshold=200).to_pandas().sort_values("value")
+    out7 = cms_heavy_hitters(
+        ray.data.from_arrow(pa.table({"v": vals})).repartition(7), "v", threshold=200
+    ).to_pandas().sort_values("value")
+    assert out.values.tolist() == out7.values.tolist()  # sketch merge commutes
+    got = dict(zip(out["value"], out["est_count"]))
+    assert set(got) == {7, 42}
+    assert got[7] >= 500 and got[42] >= 300  # one-sided overestimate
+    assert got[7] <= 500 + 20 and got[42] <= 300 + 20  # ≤ 2n/width slack
+    golden = expected_cms_table(vals.tolist(), threshold=200).to_pandas()
+    assert dict(zip(golden["value"], golden["est_count"])) == got
+
+
+def test_events_props_summary_json_parse():
+    from pdftext_ray.ops.relational import events_props_summary
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "props": ['{"k": 1}', '{"k": 2}', '{"k": 10}'],
+    })
+    out = events_props_summary(ray.data.from_pandas(df)).to_pandas()
+    rows = {r.event_type: (r.n, r.sum_k, r.avg_k) for r in out.itertuples()}
+    assert rows == {"a": (2, 3, 1.5), "b": (1, 10, 10.0)}
+
+
 def test_approx_distinct_accuracy_and_layout_invariance():
     from pdftext_ray.ops.stats import approx_distinct
     from pdftext_ray.pipelines.goldens import expected_hll_table
