@@ -804,6 +804,16 @@ def _q_train_val_split(sf_dir: str):
     )
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature (count^alpha) source rebalancing; the oracle reproduces
+    the per-group rate computation AND the 64-bit hash gate in SQL."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.temperature_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), group_col="lang", alpha=0.5
+    )
+
+
 def _q_clean_extracted(sf_dir: str):
     """Composed END-TO-END flow: interleaved-corpus extraction → per-doc
     plain text → exact dedup — the extraction engine feeding the
@@ -986,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_extracted": _q_clean_extracted,
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
+        "temperature_sample": _q_temperature_sample,
         "stratified_sample": _q_stratified_sample,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by_lang,
@@ -1082,6 +1093,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
             "// 4294967296) % 10000) < 1000"
+        ),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), "
+            "tot AS (SELECT sum(cnt) AS n, sum(pow(cnt, 0.5)) AS z FROM c), "
+            "th AS (SELECT lang, CAST(floor(least(1.0, n * pow(cnt, 0.5) / z / cnt) * 10000) AS BIGINT) AS gate "
+            "FROM c, tot) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) WHERE "
+            "((((CAST(d.doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296) % 10000) < gate"
         ),
         "train_val_split": (
             "SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "

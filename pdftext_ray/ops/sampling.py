@@ -19,6 +19,7 @@ from typing import Dict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # odd 64-bit multiplier (Fibonacci hashing); buckets live in [0, 10000)
@@ -53,6 +54,19 @@ def _key_buckets(col, seed: int) -> np.ndarray:
         ],
         dtype=np.int64,
     )
+
+
+def _gate_lookup(col, gates: Dict, default_gate: int) -> np.ndarray:
+    """Vectorized per-row gate from a small group→gate dict: one
+    ``pc.index_in`` against the key set + one numpy take (no Python loop
+    over rows). Null or unseen group values get ``default_gate`` (or the
+    dict's explicit ``None`` entry)."""
+    keys = [k for k in gates if k is not None]
+    vals = np.array(
+        [gates[k] for k in keys] + [gates.get(None, default_gate)], dtype=np.int64
+    )
+    idx = pc.fill_null(pc.index_in(col, value_set=pa.array(keys)), len(keys))
+    return vals[np.asarray(idx)]
 
 
 def hash_sample(
@@ -94,10 +108,7 @@ def stratified_sample(
 
     def keep(t: pa.Table) -> pa.Table:
         b = _key_buckets(t.column(key_col).combine_chunks(), seed)
-        gate = np.array(
-            [gates.get(g, default_gate) for g in t.column(group_col).to_pylist()],
-            dtype=np.int64,
-        )
+        gate = _gate_lookup(t.column(group_col), gates, default_gate)
         return t.filter(pa.array(b < gate))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -130,3 +141,43 @@ def hash_split(
         return t.append_column("split", pa.array([names[i] for i in idx], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Temperature-based source rebalancing (the multilingual-LM mixing
+    rule: sample groups ∝ count^alpha, alpha<1 flattens dominant sources,
+    alpha=1 is natural, alpha=0 uniform). Per-group keep rate
+    ``min(1, N·w_g/c_g)`` with ``w_g = c_g^alpha / Σ c^alpha`` becomes a
+    per-group integer bucket threshold ``floor(rate·10000)`` on the same
+    hash gate as ``hash_sample`` — so the draw stays deterministic,
+    layout-independent and shuffle-free after ONE tiny grouped count (the
+    group cardinality table). SQL-reproducible end to end (pow/floor parity;
+    the gate checks it at sf0.01)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    counts = hash_grouped_agg(
+        ds.select_columns([group_col]), group_col, {"cnt": (group_col, "size")}
+    ).take_all()
+    c = {r[group_col]: float(r["cnt"]) for r in counts}
+    n = sum(c.values())
+    z = sum(np.power(v, alpha) for v in sorted(c.values()))
+    gates = {
+        g: int(np.floor(min(1.0, (n * np.power(v, alpha) / z) / v) * _BUCKETS))
+        for g, v in c.items()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = _key_buckets(t.column(key_col).combine_chunks(), seed)
+        gate = _gate_lookup(t.column(group_col), gates, default_gate=0)
+        return t.filter(pa.array(b < gate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

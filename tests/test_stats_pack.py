@@ -107,3 +107,42 @@ def test_stratified_sample_default_fraction_zero_drops_unlisted():
         pa.table({"doc_id": list(range(100)), "lang": ["fr"] * 100})
     )
     assert sampling.stratified_sample(ds, "lang", {"en": 1.0}).count() == 0
+
+
+def _skewed_source_table(n=3000):
+    # 80/15/5 source skew — the temperature rule should flatten it
+    src = ["web"] * (n * 80 // 100) + ["books"] * (n * 15 // 100) + ["code"] * (n * 5 // 100)
+    return ray.data.from_arrow(pa.table({"doc_id": list(range(len(src))), "source": src}))
+
+
+def test_temperature_sample_flattens_dominant_groups():
+    n = 3000
+    out = sampling.temperature_sample(_skewed_source_table(n), alpha=0.5).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    # scalar replication of the rule: rate_g = min(1, N * c^a / Z / c)
+    c = {"web": n * 80 // 100, "books": n * 15 // 100, "code": n * 5 // 100}
+    z = sum(v**0.5 for v in sorted(float(v) for v in c.values()))
+    total = float(sum(c.values()))
+    for g, cnt in c.items():
+        rate = min(1.0, total * cnt**0.5 / z / cnt)
+        if rate >= 1.0:
+            assert got.get(g, 0) == cnt  # rare groups kept whole
+        else:
+            assert abs(got.get(g, 0) / cnt - rate) < 0.05
+    # alpha=0.5 must strictly shrink the dominant group's share
+    assert got["web"] / len(out) < 0.80
+    # deterministic + layout-independent
+    out2 = sampling.temperature_sample(
+        _skewed_source_table(n).repartition(7), alpha=0.5
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_sample_alpha_one_is_identity():
+    ds = _skewed_source_table(1000)
+    assert sampling.temperature_sample(ds, alpha=1.0).count() == 1000
+
+
+def test_temperature_sample_rejects_bad_alpha():
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(_skewed_source_table(100), alpha=1.5)
