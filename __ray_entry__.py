@@ -814,6 +814,17 @@ def _q_temperature_sample(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: global prefix-sum placement of each doc
+    in a 1024-token training stream (distributed scan: block sums + scan of
+    bucket sums). Oracle: the same placement via a SQL window function."""
+    from pdftext_ray.ops import pack
+
+    return pack.pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]), budget=1024
+    )
+
+
 def _q_clean_extracted(sf_dir: str):
     """Composed END-TO-END flow: interleaved-corpus extraction → per-doc
     plain text → exact dedup — the extraction engine feeding the
@@ -997,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
+        "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by_lang,
@@ -1102,6 +1114,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) WHERE "
             "((((CAST(d.doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
             "// 4294967296) % 10000) < gate"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n "
+            "FROM documents), o AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
+            "FROM t) SELECT doc_id, n AS n_tokens, s AS start_offset, s // 1024 AS seq_id, "
+            "s % 1024 AS seq_pos, CASE WHEN n > 0 THEN (s + n - 1) // 1024 - s // 1024 + 1 "
+            "ELSE 0 END AS n_seqs FROM o"
         ),
         "train_val_split": (
             "SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "
