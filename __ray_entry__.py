@@ -480,6 +480,18 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster.connected_components_distributed(pairs)
 
 
+def _q_dedup_keepbest(sf_dir: str):
+    """End-to-end fuzzy dedup with best-doc retention: MinHash pairs →
+    distributed components → per-cluster argmax (longest doc, tie lowest
+    id), singletons kept. Oracle: the same transitive-closure CTE plus a
+    window-function argmax in SQL."""
+    from pdftext_ray.ops import dedup
+
+    return dedup.fuzzy_dedup_keepbest(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+    )
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table; compared against
     an independent scalar golden (pipelines/goldens.expected_kmeans_table)
@@ -979,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keepbest": _q_dedup_keepbest,
         "kmeans_clusters": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1091,6 +1104,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, a FROM edges UNION "
             "SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a) "
             "SELECT node AS doc_id, min(reach) AS cluster_id FROM closure GROUP BY node"
+        ),
+        "dedup_keepbest": (
+            # same closure as dedup_clusters, then a window-fn argmax keeps
+            # the longest doc per cluster (tie → lowest id); singletons pass
+            "WITH RECURSIVE p AS (" + _minhash_pairs_sql(0.4) + "), "
+            "edges AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "closure(node, reach) AS ("
+            "SELECT a, a FROM edges UNION "
+            "SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a), "
+            "cl AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM closure GROUP BY node), "
+            "tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n "
+            "FROM documents), "
+            "cm AS (SELECT c.doc_id, c.cluster_id, t.n FROM cl c JOIN tok t USING (doc_id)), "
+            "win AS (SELECT doc_id, n, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS sz, "
+            "row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, doc_id ASC) AS rn FROM cm) "
+            "SELECT doc_id, n AS n_tokens, sz AS n_dups FROM win WHERE rn = 1 "
+            "UNION ALL SELECT t.doc_id, t.n, CAST(1 AS BIGINT) FROM tok t "
+            "LEFT JOIN cl USING (doc_id) WHERE cl.doc_id IS NULL"
         ),
         "dedup_embedding": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) "

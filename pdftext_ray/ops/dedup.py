@@ -1109,3 +1109,110 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup: pairs → components → keep best per cluster
+# ---------------------------------------------------------------------------
+
+def fuzzy_dedup_keepbest(
+    ds: ray.data.Dataset,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_recall: bool = True,
+) -> ray.data.Dataset:
+    """Full fuzzy-dedup flow with best-doc retention — the shape production
+    corpus cleaning actually ships: MinHash near-dup pairs →
+    distributed connected components → per-cluster ARGMAX keeping the
+    longest doc (ties → lowest id), singletons kept as-is.
+
+    Output (all int64): ``(doc_id, n_tokens, n_dups)`` — one row per
+    SURVIVING doc, ``n_dups`` = number of docs it represents (cluster size;
+    1 for singletons).
+
+    Plan: the cluster label table (only clustered docs — tiny vs corpus) is
+    attached to the narrow (id, n_tokens) projection with ONE co-partitioned
+    bucket merge on doc_id (Dataset.join avoided per the empty-partition
+    caveat); winners resolve with one hash(cluster_id) shuffle and a
+    vectorized per-partition argmax. The text column never enters a shuffle.
+    """
+    from pdftext_ray.ops import cluster as _cluster
+    from pdftext_ray.ops import default_num_partitions
+
+    pairs = minhash_lsh_pairs(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col,
+        exact_recall=exact_recall,
+    )
+    labels = _cluster.connected_components_distributed(pairs, "doc_a", "doc_b")
+    n_parts = default_num_partitions(per_cpu=2, lo=4, hi=128)
+
+    def tag_len(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col).combine_chunks(), pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pc.cast(pc.count_substring_regex(t.column(text_col), r"\S+"), pa.int64()),
+            "cluster_id": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
+            "_is_lab": pa.array(np.zeros(len(t), dtype=np.int8), pa.int8()),
+            "_bucket": pa.array(_bucket_array(ids, n_parts), pa.int64()),
+        })
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id").combine_chunks(), pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(np.zeros(len(t), dtype=np.int64), pa.int64()),
+            "cluster_id": pc.cast(t.column("cluster_id").combine_chunks(), pa.int64()),
+            "_is_lab": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            "_bucket": pa.array(_bucket_array(ids, n_parts), pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame):
+        lens = g[g["_is_lab"] == 0][["doc_id", "n_tokens"]]
+        labs = g[g["_is_lab"] == 1][["doc_id", "cluster_id"]]
+        m = lens.merge(labs, on="doc_id", how="left")
+        m["cluster_id"] = m["cluster_id"].fillna(-1).astype(np.int64)
+        return from_pandas_clean(m)
+
+    merged = (
+        ds.map_batches(tag_len, batch_format="pyarrow")
+        .union(labels.map_batches(tag_lab, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # narrow (24 B/doc); consumed by both branches below
+    )
+
+    def singles(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.equal(t.column("cluster_id"), -1))
+        return pa.table({
+            "doc_id": pc.cast(k.column("doc_id"), pa.int64()),
+            "n_tokens": pc.cast(k.column("n_tokens"), pa.int64()),
+            "n_dups": pa.array(np.ones(len(k), dtype=np.int64), pa.int64()),
+        })
+
+    def clustered(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.not_equal(t.column("cluster_id"), -1))
+        return pa.table({
+            "doc_id": pc.cast(k.column("doc_id"), pa.int64()),
+            "n_tokens": pc.cast(k.column("n_tokens"), pa.int64()),
+            "cluster_id": pc.cast(k.column("cluster_id"), pa.int64()),
+            "_part": pa.array(_bucket_array(pc.cast(k.column("cluster_id"), pa.int64()).combine_chunks(), n_parts), pa.int64()),
+        })
+
+    def win(g: pd.DataFrame):
+        g = g.sort_values(["cluster_id", "n_tokens", "doc_id"], ascending=[True, False, True])
+        sizes = g.groupby("cluster_id", sort=False)["doc_id"].transform("size")
+        first = ~g["cluster_id"].duplicated()
+        out = pd.DataFrame({
+            "doc_id": g.loc[first, "doc_id"].astype(np.int64),
+            "n_tokens": g.loc[first, "n_tokens"].astype(np.int64),
+            "n_dups": sizes[first].astype(np.int64),
+        })
+        return from_pandas_clean(out)
+
+    winners = (
+        merged.map_batches(clustered, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(win, batch_format="pandas")
+    )
+    return merged.map_batches(singles, batch_format="pyarrow").union(winners)
