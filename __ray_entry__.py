@@ -372,6 +372,38 @@ def _q_pii_scrub(sf_dir: str):
     return textstats.pii_scrub(planted)
 
 
+def _q_domain_counts(sf_dir: str):
+    """Per-domain URL statistics (occurrences + distinct docs). The gate
+    table has no URLs, so two deterministic URLs per doc are planted
+    (20 + 7 recurring domains — mirrored verbatim in the oracle SQL) and
+    the extractor + grouped combine run over the planted corpus."""
+    import pyarrow as pa
+
+    from pdftext_ray.ops import textstats
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import numpy as np
+
+        ids = b.column("doc_id")
+        ids_np = ids.combine_chunks().to_numpy(zero_copy_only=False)
+        s20 = pc.cast(pa.array(ids_np % 20, pa.int64()), pa.string())
+        s7 = pc.cast(pa.array(ids_np % 7, pa.int64()), pa.string())
+        txt = pc.binary_join_element_wise(
+            b.column("text"),
+            pc.binary_join_element_wise(
+                "see http://site", s20, ".org/p/", pc.cast(ids, pa.string()),
+                " and http://cdn", s7, ".net/x", ""
+            ),
+            " ",
+        )
+        return pa.Table.from_arrays([ids, txt], names=["doc_id", "text"])
+
+    planted = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
+    return textstats.url_domain_counts(planted)
+
+
 def _q_similarity_topk_many(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -979,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "similarity_topk_many": _q_similarity_topk_many,
         "pii_scrub": _q_pii_scrub,
+        "domain_counts": _q_domain_counts,
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25,
@@ -1336,6 +1369,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, count(DISTINCT d.g) AS n_hits "
             "FROM grams d JOIN bench USING (g) "
             "WHERE d.source <> 'src0' GROUP BY d.doc_id"
+        ),
+        "domain_counts": (
+            # planting expression mirrors _q_domain_counts's map token-for-token
+            "WITH planted AS (SELECT doc_id, text || ' ' || 'see http://site' || "
+            "CAST(doc_id % 20 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) || "
+            "' and http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.net/x' AS text FROM documents), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url "
+            "FROM planted) SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain, "
+            "CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM u GROUP BY domain"
         ),
         "pii_scrub": (
             # planting expression mirrors _q_pii_scrub's map token-for-token

@@ -564,3 +564,56 @@ def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL / domain statistics
+# ---------------------------------------------------------------------------
+
+_DOMAIN_RE = None  # compiled lazily once per worker process
+
+
+def url_domain_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL domain stats: extract every URL's domain and emit
+    one pre-aggregated (domain, n_urls, n_docs) row per distinct domain in
+    the batch — the combiner that keeps the global shuffle tiny (distinct
+    domains, not URL occurrences, cross the wire).
+
+    Regex matching over variable-length text is inherently per-string;
+    the pattern compiles once per worker process and everything after the
+    match loop is a dict combine."""
+    global _DOMAIN_RE
+    if _DOMAIN_RE is None:
+        import re
+
+        _DOMAIN_RE = re.compile(r"https?://([^/\s]+)")
+    n_urls: dict = {}
+    n_docs: dict = {}
+    for s in batch.column("text").to_pylist():
+        if not s:
+            continue
+        doms = _DOMAIN_RE.findall(s)
+        for d in doms:
+            n_urls[d] = n_urls.get(d, 0) + 1
+        for d in set(doms):
+            n_docs[d] = n_docs.get(d, 0) + 1
+    keys = sorted(n_urls)
+    return pa.table({
+        "domain": pa.array(keys, pa.string()),
+        "n_urls": pa.array([n_urls[k] for k in keys], pa.int64()),
+        "n_docs": pa.array([n_docs[k] for k in keys], pa.int64()),
+    })
+
+
+def url_domain_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Global per-domain URL statistics over a corpus: how many URL
+    occurrences and how many distinct docs mention each domain. Plan:
+    batch-local combine (above) then ONE keyed merge of the partials
+    (`hash_grouped_agg` — each domain lives in exactly one partition, so
+    partition-local sums are final)."""
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    partials = ds.map_batches(url_domain_counts_batch, batch_format="pyarrow")
+    return hash_grouped_agg(
+        partials, "domain", {"n_urls": ("n_urls", "sum"), "n_docs": ("n_docs", "sum")}
+    )
