@@ -44,6 +44,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_simhash": os.path.join(base, "expected_simhash.parquet"),
         "expected_winnow": os.path.join(base, "expected_winnow.parquet"),
         "expected_media": os.path.join(base, "expected_media.parquet"),
+        "expected_imedia": os.path.join(base, "expected_imedia.parquet"),
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
@@ -94,6 +95,11 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
     goldens.materialize_golden(
         paths["expected_media"],
         lambda: goldens.expected_media_features_table(max(30, n // 10)),
+    )
+    # depends on expected_flat (materialized by _ensure_corpus before this)
+    goldens.materialize_golden(
+        paths["expected_imedia"],
+        lambda: goldens.expected_interleaved_media_table(paths["expected_flat"]),
     )
 
     def _kmeans_builder():
@@ -915,6 +921,55 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_media_pipeline(sf_dir: str):
+    """Composed INTERLEAVED multimodal flow, end to end in one lazy graph:
+    corpus extraction → media spans → blob hydration (the synthetic
+    object-store fetch) → actor-pool featurize (decode/resize/frame-sample)
+    → exploded features. Oracle: scalar golden re-deriving the featurizer
+    math over the expected_flat span golden's media refs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import media
+    from pdftext_ray.pipelines import extract as P
+
+    paths = _ensure_corpus(sf_dir)
+    spans = P.extract_spans_exploded(P.read_documents(paths["corpus"]))
+
+    def media_refs(t: pa.Table) -> pa.Table:
+        # flatten the nested span lists, keep media spans' refs only
+        flat = pc.list_flatten(t.column("spans").combine_chunks())
+        kinds = pc.struct_field(flat, "kind")
+        refs = pc.struct_field(flat, "media_ref")
+        keep = pc.equal(kinds, "media")
+        return pa.table({"media_ref": pc.cast(refs.filter(keep), pa.string())})
+
+    feats = media.featurize_media(
+        media.hydrate_media_refs(
+            spans.map_batches(media_refs, batch_format="pyarrow")
+        )
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        fv = t.column("feature").combine_chunks()
+        parents = pc.list_parent_indices(fv)
+        refs = t.column("media_ref").combine_chunks()
+        doc = pc.struct_field(
+            pc.extract_regex(refs, r"media://(?P<d>[^/]+)/"), "d"
+        )
+        idx = [i for ln in pc.list_value_length(fv).to_pylist() for i in range(ln)]
+        return pa.table({
+            "doc_id": pc.cast(doc, pa.string()).take(parents),
+            "media_ref": refs.take(parents),
+            "media_type": t.column("media_type").take(parents),
+            "frames_sampled": pc.cast(t.column("frames_sampled"), pa.int32()).take(parents),
+            "feat_idx": pa.array(idx, pa.int32()),
+            "feat_value": pc.cast(pc.list_flatten(fv), pa.float64()),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_similarity_ivf_recall(sf_dir: str):
     """Numeric contract for the APPROXIMATE IVF path: measured recall@10 vs
     the exact brute-force top-k on the same input (VERDICT r1 item 9). The
@@ -1060,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles_by_lang": _q_length_percentiles_by_lang,
         "zscore_chars": _q_zscore_chars,
         "media_features": _q_media_features,
+        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -1128,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
             "AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) > 0.4)"
         ),
         "media_features": f"SELECT * FROM read_parquet('{p['expected_media']}')",
+        "media_pipeline": f"SELECT * FROM read_parquet('{p['expected_imedia']}')",
         "dedup_clusters": (
             # recursive transitive closure over the SAME exact pair set the
             # distributed star-contraction consumes; cluster id = min member

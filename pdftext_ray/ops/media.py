@@ -153,3 +153,53 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
         ],
         schema=MEDIA_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ref → blob hydration (the synthetic stand-in for an object-store fetch)
+# ---------------------------------------------------------------------------
+
+def hydrate_ref_scalar(ref: str) -> dict:
+    """Deterministic media record for a ``media://…`` ref — the single-ref
+    definition of the synthetic blob store (pure function of the ref, same
+    contract as corpus.py's doc generator). Shared by the pipeline stage and
+    the scalar golden: it DEFINES the data; the featurizer math is what the
+    golden re-derives independently."""
+    d = hashlib.blake2b(ref.encode(), digest_size=32).digest()
+    h = int.from_bytes(d[:8], "big")
+    mtype = ["image", "video", "audio"][h % 3]
+    return {
+        "media_ref": ref,
+        "media_type": mtype,
+        "payload": d * 8,  # 256 bytes
+        "width": 16 + (h >> 8) % 112,
+        "height": 16 + (h >> 16) % 112,
+        "n_frames": 1 + (h >> 24) % 31 if mtype == "video" else 1,
+    }
+
+
+def hydrate_media_refs(
+    ds: ray.data.Dataset,
+    ref_col: str = "media_ref",
+    keep_cols: tuple = (),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Hydrate media refs into payload rows (MEDIA_SCHEMA [+ keep_cols]).
+
+    In production this is the I/O stage that GETs each blob from object
+    storage — an actor-pool map_batches with small batches so payload ×
+    batch × concurrency fits the worker heap; here the fetch is the
+    deterministic synthesis above. Output columns are explicitly typed so
+    empty blocks keep a joinable schema."""
+    def hyd(t: pa.Table) -> pa.Table:
+        rows = [hydrate_ref_scalar(r) for r in t.column(ref_col).to_pylist()]
+        cols = {c: t.column(c) for c in keep_cols}
+        cols["media_ref"] = pa.array([r["media_ref"] for r in rows], pa.string())
+        cols["media_type"] = pa.array([r["media_type"] for r in rows], pa.string())
+        cols["payload"] = pa.array([r["payload"] for r in rows], pa.binary())
+        cols["width"] = pa.array([r["width"] for r in rows], pa.int32())
+        cols["height"] = pa.array([r["height"] for r in rows], pa.int32())
+        cols["n_frames"] = pa.array([r["n_frames"] for r in rows], pa.int32())
+        return pa.table(cols)
+
+    return ds.map_batches(hyd, batch_format="pyarrow", batch_size=batch_size)

@@ -177,6 +177,68 @@ def expected_media_features_table(n: int, seed: int = 3, out_size: int = 32, fra
     })
 
 
+def _scalar_feature(payload: bytes, mtype: str, w: int, h: int, nf: int,
+                    out_size: int = 32, frame_stride: int = 4):
+    """Scalar re-derivation of MediaFeaturizer for ONE media row — nested
+    Python loops (the pipeline uses np.histogram + np.ix_). Returns
+    (frames_sampled, 48 float32 feature values)."""
+    if mtype == "video":
+        frame_ids = list(range(0, max(nf, 1), frame_stride))
+    else:
+        frame_ids = [0]
+    int_acc = [0] * 48
+    ys = [min(y * h // out_size, h - 1) for y in range(out_size)]
+    xs = [min(x * w // out_size, w - 1) for x in range(out_size)]
+    for fi in frame_ids:
+        img = _fake_decode(payload + fi.to_bytes(4, "big"), w, h)
+        for y in ys:
+            for x in xs:
+                for c in range(3):
+                    int_acc[c * 16 + int(img[y, x, c]) // 16] += 1
+    acc = np.asarray(int_acc, dtype=np.float64)
+    acc /= max(len(frame_ids), 1)
+    return len(frame_ids), (acc / max(acc.sum(), 1e-9)).astype(np.float32)
+
+
+def expected_interleaved_media_table(flat_path: str) -> pa.Table:
+    """Golden for the composed interleaved pipeline: the expected_flat span
+    golden's media refs, hydrated through the shared synthetic blob-store
+    definition (ops/media.hydrate_ref_scalar) and featurized with the scalar
+    loop above. Exploded to (doc_id, media_ref, media_type, frames_sampled,
+    feat_idx, feat_value) rows for full-value comparison."""
+    import pyarrow.parquet as _pq
+
+    from pdftext_ray.ops.media import hydrate_ref_scalar
+
+    flat = _pq.read_table(flat_path, columns=["doc_id", "kind", "media_ref"])
+    o_doc, o_ref, o_type, o_fs, o_idx, o_val = [], [], [], [], [], []
+    for doc_id, kind, ref in sorted(
+        zip(flat.column("doc_id").to_pylist(), flat.column("kind").to_pylist(),
+            flat.column("media_ref").to_pylist())
+    ):
+        if kind != "media":
+            continue
+        r = hydrate_ref_scalar(ref)
+        fs, feats = _scalar_feature(
+            r["payload"], r["media_type"], r["width"], r["height"], r["n_frames"]
+        )
+        for i, v in enumerate(feats):
+            o_doc.append(doc_id)
+            o_ref.append(ref)
+            o_type.append(r["media_type"])
+            o_fs.append(fs)
+            o_idx.append(i)
+            o_val.append(float(v))
+    return pa.table({
+        "doc_id": pa.array(o_doc, pa.string()),
+        "media_ref": pa.array(o_ref, pa.string()),
+        "media_type": pa.array(o_type, pa.string()),
+        "frames_sampled": pa.array(o_fs, pa.int32()),
+        "feat_idx": pa.array(o_idx, pa.int32()),
+        "feat_value": pa.array(o_val, pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Table-cell extraction golden (T1/T2, single-doc kernel oracle)
 # ---------------------------------------------------------------------------
