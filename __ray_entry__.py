@@ -864,6 +864,14 @@ def _q_temperature_sample(sf_dir: str):
     )
 
 
+def _q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle order (distributed rank over the 32-bit
+    key hash); the oracle reproduces hash + row_number in SQL."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.shuffle_rank(_read(sf_dir, "documents", ["doc_id"]))
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: global prefix-sum placement of each doc
     in a 1024-token training stream (distributed scan: block sums + scan of
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
         "pack_sequences": _q_pack_sequences,
+        "shuffle_rank": _q_shuffle_rank,
         "stratified_sample": _q_stratified_sample,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by_lang,
@@ -1235,6 +1244,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) WHERE "
             "((((CAST(d.doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
             "// 4294967296) % 10000) < gate"
+        ),
+        "shuffle_rank": (
+            "SELECT doc_id, row_number() OVER (ORDER BY "
+            "(((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296), doc_id) - 1 AS shuffle_rank FROM documents"
         ),
         "pack_sequences": (
             "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n "

@@ -181,3 +181,72 @@ def temperature_sample(
         return t.filter(pa.array(b < gate))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _key_hash32(col, seed: int) -> np.ndarray:
+    """Per-row 32-bit hash (the PRE-modulo value behind ``_key_buckets``) —
+    the sort key for deterministic global shuffling. Same SQL parity story:
+    integer keys ``(((k + seed) * K) % 2^64) // 2^32``, string keys the
+    first 8 md5 hex digits."""
+    if pa.types.is_integer(col.type):
+        raw = np.asarray(col)
+        if len(raw) and raw.min() < 0:
+            raise ValueError("hash shuffling requires non-negative integer keys")
+        ids = raw.astype(np.uint64)
+        return (((ids + np.uint64(seed)) * np.uint64(_K)) >> np.uint64(32)).astype(np.int64)
+    return np.array(
+        [int(hashlib.md5(f"{v}{seed}".encode("utf-8")).hexdigest()[:8], 16) for v in col.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def shuffle_rank(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    seed: int = 17,
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle ORDER for training data: each row's
+    ``shuffle_rank`` is its position in the corpus sorted by
+    ``(hash32(key), key)`` — a reproducible, layout-independent permutation
+    (unlike ``Dataset.random_shuffle``, whose draw depends on task layout,
+    this one is a pure function of keys and survives re-runs/resumes).
+
+    Plan is the distributed-sort counting form: hash values are uniform, so
+    RANGE-partitioning the 32-bit hash space gives balanced parts for free —
+    per-part counts (tiny aggregate) → driver exclusive scan → one P-key
+    shuffle and a vectorized per-part argsort. Only (key, h) pairs move.
+    Output: (key_col, shuffle_rank), both int64/original type.
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+
+    if n_parts is None:
+        n_parts = default_num_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(key_col).combine_chunks()
+        h = _key_hash32(col, seed)
+        return pa.table({
+            key_col: col,
+            "_h": pa.array(h, pa.int64()),
+            "_p": pa.array(h * n_parts // (1 << 32), pa.int64()),
+        })
+
+    narrow = ds.select_columns([key_col]).map_batches(tag, batch_format="pyarrow").materialize()
+    totals = narrow.groupby("_p").aggregate(ray.data.aggregate.Count()).take_all()
+    per_part = {int(r["_p"]): int(r["count()"]) for r in totals}
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    for b in range(n_parts):
+        base[b + 1] = base[b] + per_part.get(b, 0)
+
+    import pandas as pd
+
+    def rank(g: pd.DataFrame):
+        g = g.sort_values(["_h", key_col], kind="mergesort")
+        start = base[int(g["_p"].iat[0])]
+        return from_pandas_clean(pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "shuffle_rank": start + np.arange(len(g), dtype=np.int64),
+        }))
+
+    return narrow.groupby("_p").map_groups(rank, batch_format="pandas")

@@ -146,3 +146,27 @@ def test_temperature_sample_alpha_one_is_identity():
 def test_temperature_sample_rejects_bad_alpha():
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_sample(_skewed_source_table(100), alpha=1.5)
+
+
+def test_shuffle_rank_is_a_permutation_and_layout_independent():
+    import numpy as np
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(500))}))
+    a = sampling.shuffle_rank(ds).to_pandas().sort_values("doc_id")
+    assert sorted(a["shuffle_rank"]) == list(range(500))
+    b = (
+        sampling.shuffle_rank(
+            ray.data.from_arrow(pa.table({"doc_id": list(range(499, -1, -1))})).repartition(7)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert np.array_equal(a["shuffle_rank"].values, b["shuffle_rank"].values)
+    # actually shuffled: rank order differs from key order
+    assert not np.array_equal(a["shuffle_rank"].values, np.arange(500))
+    # scalar replication: rank = position in sort by (h32, key)
+    K = 0x9E3779B97F4A7C15
+    h = [(((i + 17) * K) % (1 << 64)) >> 32 for i in range(500)]
+    want = {i: r for r, (hh, i) in enumerate(sorted(zip(h, range(500))))}
+    got = dict(zip(a["doc_id"], a["shuffle_rank"]))
+    assert got == want
