@@ -378,6 +378,14 @@ def _q_pii_scrub(sf_dir: str):
     return textstats.pii_scrub(planted)
 
 
+def _q_top_ngrams(sf_dir: str):
+    """Corpus-wide top-50 bigram frequency table (vocab-induction input);
+    deterministic (count desc, gram asc) tie-break on both sides."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.top_ngrams(_read(sf_dir, "documents", ["text"]), n=2, k=50)
+
+
 def _q_domain_counts(sf_dir: str):
     """Per-domain URL statistics (occurrences + distinct docs). The gate
     table has no URLs, so two deterministic URLs per doc are planted
@@ -1075,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_many": _q_similarity_topk_many,
         "pii_scrub": _q_pii_scrub,
         "domain_counts": _q_domain_counts,
+        "top_ngrams": _q_top_ngrams,
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25,
@@ -1440,6 +1449,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, count(DISTINCT d.g) AS n_hits "
             "FROM grams d JOIN bench USING (g) "
             "WHERE d.source <> 'src0' GROUP BY d.doc_id"
+        ),
+        "top_ngrams": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '\\S+') t FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram "
+            "FROM toks WHERE len(t) >= 2) "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram "
+            "ORDER BY n DESC, gram ASC LIMIT 50"
         ),
         "domain_counts": (
             # planting expression mirrors _q_domain_counts's map token-for-token

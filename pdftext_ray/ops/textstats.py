@@ -617,3 +617,59 @@ def url_domain_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     return hash_grouped_agg(
         partials, "domain", {"n_urls": ("n_urls", "sum"), "n_docs": ("n_docs", "sum")}
     )
+
+
+def top_ngrams(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus-wide top-k most frequent token n-grams (OCCURRENCE counts,
+    not per-doc sets) — the frequency table a vocab/BPE-induction or
+    collocation pass starts from.
+
+    Plan: batch-local Counter combine (distinct grams per batch, not
+    occurrences, cross the wire) → ONE keyed merge of the partials
+    (`hash_grouped_agg`, final per-partition counts) → per-block local
+    top-k (each block forwards ≤ k rows) → tiny global sort + limit.
+    Tie-break (count desc, gram asc) is deterministic on both sides of the
+    oracle, so the k-boundary cut is stable."""
+    import re
+
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        counts: dict = {}
+        for t in b.column(text_col).to_pylist():
+            toks = find(t.lower()) if t else []
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j:j + n])
+                counts[g] = counts.get(g, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "gram": pa.array(keys, pa.string()),
+            "n": pa.array([counts[g] for g in keys], pa.int64()),
+        })
+
+    totals = hash_grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "gram", {"n": ("n", "sum")},
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("gram", "ascending")]
+        )[:k]
+        out = t.take(idx)
+        return pa.table({
+            "gram": pc.cast(out.column("gram"), pa.string()),
+            "n": pc.cast(out.column("n"), pa.int64()),
+        })
+
+    return (
+        totals.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(k)
+    )

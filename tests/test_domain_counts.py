@@ -41,3 +41,22 @@ def test_url_domain_counts_layout_independent():
         b.sort_values("domain")[key].reset_index(drop=True)
     )
     assert a["n_urls"].sum() == 120
+
+
+def test_top_ngrams_counts_and_tiebreak():
+    from pdftext_ray.ops import textstats
+
+    t = pa.table({"text": ["a b a b c", "b c b c", "a b", ""]})
+    got = textstats.top_ngrams(ray.data.from_arrow(t), n=2, k=3).to_pandas()
+    assert list(got["gram"]) == ["a b", "b c", "b a"]
+    assert list(got["n"]) == [3, 3, 1]
+
+
+def test_top_ngrams_layout_independent():
+    from pdftext_ray.ops import textstats
+
+    texts = [f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3}" for i in range(80)]
+    t = pa.table({"text": texts})
+    a = textstats.top_ngrams(ray.data.from_arrow(t), n=2, k=10).to_pandas()
+    b = textstats.top_ngrams(ray.data.from_arrow(t).repartition(9), n=2, k=10).to_pandas()
+    assert a.equals(b)
