@@ -253,6 +253,24 @@ def run_bench() -> dict:
 
     timed("kmeans", q_kmeans)
 
+    def q_pack():
+        from pdftext_ray.ops import pack
+
+        pack.pack_sequences(docs_ds(), budget=1024).count()
+
+    timed("pack_sequences", q_pack)
+
+    def q_shuffle_rank():
+        from pdftext_ray.ops import sampling
+
+        sampling.shuffle_rank(sf_read("documents", ["doc_id"])).count()
+
+    timed("shuffle_rank", q_shuffle_rank)
+    timed("top_ngrams", lambda: textstats.top_ngrams(
+        sf_read("documents", ["text"]), n=2, k=50).count())
+    timed("dedup_keepbest", lambda: dedup.fuzzy_dedup_keepbest(
+        docs_ds(), threshold=0.4).count())
+
     ray.shutdown()
     return {
         "metric": "pdftext_ray bench total (headline: interleaved-doc span extraction)",
