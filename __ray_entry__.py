@@ -872,6 +872,31 @@ def _q_temperature_sample(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Length-weighted sample without replacement (Efraimidis–Spirakis
+    exponential races on a quantized deterministic priority); the oracle
+    reproduces the hash→uniform→ln-priority arithmetic in SQL."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.weighted_sample(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), k=50, weight_col="n_chars"
+    )
+
+
+def _q_sample_quantiles(sf_dir: str):
+    """Approximate quantiles from a mergeable bottom-k (KMV) hash sample —
+    the unbounded-domain counterpart of length_percentiles; the oracle
+    draws the identical sample in SQL (ORDER BY hash LIMIT k)."""
+    from pdftext_ray.ops import stats
+
+    return stats.sample_quantiles(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars",
+        percentiles=(0.5, 0.9, 0.99),
+        sample_size=256,
+    )
+
+
 def _q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle order (distributed rank over the 32-bit
     key hash); the oracle reproduces hash + row_number in SQL."""
@@ -1126,6 +1151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
+        "weighted_sample": _q_weighted_sample,
+        "sample_quantiles": _q_sample_quantiles,
         "pack_sequences": _q_pack_sequences,
         "shuffle_rank": _q_shuffle_rank,
         "stratified_sample": _q_stratified_sample,
@@ -1253,6 +1280,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang) WHERE "
             "((((CAST(d.doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
             "// 4294967296) % 10000) < gate"
+        ),
+        "weighted_sample": (
+            # identical double-precision expression to ops/sampling.
+            # weighted_sample: u = (hash52 + 1) / 2^52, priority =
+            # floor(ln(u) / w * 2^32) — verified bit-identical vs numpy on
+            # all three sf tables (the quantization grid is the contract)
+            "SELECT doc_id, n_chars, CAST(floor(ln(((((CAST(doc_id + 17 AS HUGEINT) * "
+            "11400714819323198485) % 18446744073709551616) // 4096) + 1) / 4503599627370496.0) "
+            "/ n_chars * 4294967296.0) AS BIGINT) AS priority "
+            "FROM documents ORDER BY priority DESC, doc_id LIMIT 50"
+        ),
+        "sample_quantiles": (
+            # the identical bottom-256 hash sample drawn in SQL, then the
+            # same ceil(p*n) discrete-rank rule (= quantile_disc)
+            "WITH sample AS (SELECT n_chars FROM documents ORDER BY "
+            "(((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296), doc_id LIMIT 256) "
+            "SELECT 0.5 AS pct, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value, "
+            "count(*) AS sample_n FROM sample UNION ALL "
+            "SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT), count(*) FROM sample "
+            "UNION ALL "
+            "SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT), count(*) FROM sample"
         ),
         "shuffle_rank": (
             "SELECT doc_id, row_number() OVER (ORDER BY "

@@ -183,6 +183,77 @@ def temperature_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement of exactly ``k``
+    rows (Efraimidis–Spirakis 2006 exponential races): each row gets a
+    priority ``ln(u) / w`` with ``u`` a deterministic uniform drawn from the
+    key hash, and the k LARGEST priorities win — inclusion probability
+    proportional to weight, no shuffle of the full corpus, no RNG state.
+
+    Determinism contract (what makes the draw layout-independent AND
+    SQL-reproducible bit-for-bit, verified at sf0.001/0.01/0.1):
+
+    * ``u = (((key + seed) * K mod 2^64) >> 12 + 1) / 2^52`` — a 52-bit
+      uniform in (0, 1], exact in a double;
+    * ``priority = floor(ln(u) / w * 2^32)`` as int64 — the QUANTIZED race
+      key. ln() may differ by 1 ulp across libm implementations; the 2^32
+      grid makes a flip require the pre-floor value to sit within ~2^-32
+      relative of a grid line (never observed on the test tables; the
+      quantization IS the operator contract, not a convenience);
+    * ties (same grid cell) break by ascending key.
+
+    Plan: one vectorized ``map_batches`` computes priorities and emits only
+    its LOCAL top-k (≤ k rows per block leave the node), then a small
+    ``sort().limit(k)`` finalizes — the same local-head/global-head shape as
+    ops/similarity.brute_force_topk. Output: (key_col, weight_col,
+    priority), ordered by (priority desc, key asc).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).combine_chunks()
+        if pa.types.is_integer(keys.type):
+            raw = np.asarray(keys)
+            if len(raw) and raw.min() < 0:
+                raise ValueError("weighted_sample requires non-negative integer keys")
+            h52 = ((raw.astype(np.uint64) + np.uint64(seed)) * np.uint64(_K)) >> np.uint64(12)
+            u = (h52.astype(np.float64) + 1.0) / float(1 << 52)
+        else:
+            u = (
+                np.array(
+                    [
+                        int(hashlib.md5(f"{v}{seed}".encode("utf-8")).hexdigest()[:13], 16)
+                        for v in keys.to_pylist()
+                    ],
+                    dtype=np.float64,
+                )
+                + 1.0
+            ) / float(1 << 52)
+        w = np.asarray(t.column(weight_col).combine_chunks(), dtype=np.float64)
+        if len(w) and (not np.all(np.isfinite(w)) or w.min() <= 0):
+            raise ValueError(f"{weight_col} must be finite and > 0 for weighted sampling")
+        q = np.floor(np.log(u) / w * 4294967296.0).astype(np.int64)
+        take = min(k, len(q))
+        idx = np.lexsort((np.asarray(keys), -q))[:take]
+        return pa.table({
+            key_col: keys.take(pa.array(idx, pa.int64())),
+            weight_col: t.column(weight_col).combine_chunks().take(pa.array(idx, pa.int64())),
+            "priority": pa.array(q[idx], pa.int64()),
+        })
+
+    local = ds.select_columns([key_col, weight_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    return local.sort(["priority", key_col], descending=[True, False]).limit(k)
+
+
 def _key_hash32(col, seed: int) -> np.ndarray:
     """Per-row 32-bit hash (the PRE-modulo value behind ``_key_buckets``) —
     the sort key for deterministic global shuffling. Same SQL parity story:

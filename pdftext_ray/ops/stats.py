@@ -214,6 +214,76 @@ def grouped_percentiles(
     )
 
 
+def sample_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    key_col: str = "doc_id",
+    percentiles: Iterable[float] = (0.5, 0.9, 0.99),
+    sample_size: int = 256,
+    seed: int = 17,
+) -> pa.Table:
+    """Approximate quantiles from a BOTTOM-K uniform sample — the mergeable
+    sketch for UNBOUNDED value domains where ``exact_percentiles``'s
+    distinct-value histogram can't apply.
+
+    The sketch is the k smallest key-hash rows (the KMV / bottom-k design
+    behind Theta sketches): a uniform sample without replacement that is a
+    pure function of the key set — layout-independent, retry-safe, and
+    mergeable by "union then re-take bottom-k", with rank error O(1/√k).
+    Unlike KLL/GK compaction (whose state depends on arrival order), bottom-k
+    gives bit-identical output on any block layout AND is SQL-expressible
+    (ORDER BY hash LIMIT k), so the gate checks it exactly.
+
+    Plan: one vectorized ``map_batches`` emits each block's local bottom-k
+    (≤ k rows per block move), a small ``sort().limit(k)`` merges, and the
+    quantile ranks are read off the k-row sample on the driver with the same
+    ``ceil(p·n)`` rule as ``exact_percentiles`` (matches SQL quantile_disc).
+    Output: (pct, value, sample_n).
+    """
+    from pdftext_ray.ops.sampling import _key_hash32
+
+    pcts = [float(p) for p in percentiles]
+    if any(not 0.0 < p <= 1.0 for p in pcts):
+        raise ValueError(f"percentiles must be in (0, 1], got {pcts}")
+    if sample_size <= 0:
+        raise ValueError(f"sample_size must be positive, got {sample_size}")
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).combine_chunks()
+        h = _key_hash32(keys, seed)
+        take = min(sample_size, len(h))
+        idx = np.lexsort((np.asarray(keys), h))[:take]
+        sel = pa.array(idx, pa.int64())
+        vals = np.asarray(t.column(value_col).combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "_h": pa.array(h[idx], pa.int64()),
+            key_col: keys.take(sel),
+            "value": pa.array(vals[idx], pa.int64()),
+        })
+
+    sample = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(local_bottomk, batch_format="pyarrow")
+        .sort(["_h", key_col])
+        .limit(sample_size)
+        .take_all()
+    )
+    vals = np.sort(np.array([r["value"] for r in sample], dtype=np.int64))
+    n = len(vals)
+    if n == 0:
+        raise ValueError("sample_quantiles over an empty dataset")
+    out_p: List[float] = []
+    out_v: List[int] = []
+    for p in pcts:
+        out_p.append(p)
+        out_v.append(int(vals[math.ceil(p * n) - 1]))
+    return pa.table({
+        "pct": pa.array(out_p, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+        "sample_n": pa.array([n] * len(out_p), pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog approximate distinct count
 # ---------------------------------------------------------------------------

@@ -148,6 +148,75 @@ def test_temperature_sample_rejects_bad_alpha():
         sampling.temperature_sample(_skewed_source_table(100), alpha=1.5)
 
 
+def _es_priorities(ids, weights, seed=17):
+    # scalar replication of the weighted_sample priority contract
+    K = 0x9E3779B97F4A7C15
+    out = []
+    for i, w in zip(ids, weights):
+        h52 = (((i + seed) * K) % (1 << 64)) >> 12
+        u = (h52 + 1) / float(1 << 52)
+        out.append(math.floor(math.log(u) / w * 4294967296.0))
+    return out
+
+
+def test_weighted_sample_matches_scalar_race_and_layouts():
+    rng = np.random.default_rng(11)
+    n = 2000
+    w = rng.integers(1, 900, size=n).tolist()
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "n_chars": w}))
+    out = sampling.weighted_sample(ds, k=40, weight_col="n_chars").to_pandas()
+    assert len(out) == 40
+    # exactly the top-40 scalar priorities, in (priority desc, id asc) order
+    pri = _es_priorities(range(n), w)
+    want = sorted(zip(pri, range(n)), key=lambda t: (-t[0], t[1]))[:40]
+    assert list(zip(out["priority"], out["doc_id"])) == [(p, i) for p, i in want]
+    # layout-independent: reversed 7-block layout selects the same rows
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(n - 1, -1, -1)), "n_chars": w[::-1]})
+    ).repartition(7)
+    out2 = sampling.weighted_sample(ds2, k=40, weight_col="n_chars").to_pandas()
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_weighted_sample_prefers_heavy_rows():
+    # weights 1 vs 1000: the heavy half should dominate the sample
+    n = 1000
+    w = [1 if i < n // 2 else 1000 for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "n_chars": w}))
+    out = sampling.weighted_sample(ds, k=100, weight_col="n_chars").to_pandas()
+    heavy = (out["doc_id"] >= n // 2).sum()
+    assert heavy > 90
+
+
+def test_weighted_sample_rejects_nonpositive_weights():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "n_chars": [5, 0]}))
+    with pytest.raises((ValueError, Exception)):
+        sampling.weighted_sample(ds, k=1, weight_col="n_chars").take_all()
+
+
+def test_sample_quantiles_full_sample_is_exact_and_layout_independent():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(10, 100000, size=900).tolist()
+    ds = _int_table(vals)
+    # sample_size >= n: the "sample" is the whole corpus -> exact quantiles
+    out = stats.sample_quantiles(ds, "n_chars", sample_size=2000)
+    got = dict(zip(out.column("pct").to_pylist(), out.column("value").to_pylist()))
+    for p in (0.5, 0.9, 0.99):
+        assert got[p] == _quantile_disc(vals, p)
+    # bottom-k subsample: deterministic across block layouts
+    a = stats.sample_quantiles(ds, "n_chars", sample_size=128)
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(899, -1, -1)), "n_chars": vals[::-1]})
+    ).repartition(9)
+    b = stats.sample_quantiles(ds2, "n_chars", sample_size=128)
+    assert a.to_pydict() == b.to_pydict()
+    assert a.column("sample_n").to_pylist() == [128] * 3
+    # and close to the exact answer (uniform sample, n=128)
+    approx = dict(zip(a.column("pct").to_pylist(), a.column("value").to_pylist()))
+    exact = _quantile_disc(vals, 0.5)
+    assert abs(approx[0.5] - exact) / exact < 0.2
+
+
 def test_shuffle_rank_is_a_permutation_and_layout_independent():
     import numpy as np
 
