@@ -46,6 +46,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_media": os.path.join(base, "expected_media.parquet"),
         "expected_imedia": os.path.join(base, "expected_imedia.parquet"),
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
+        "expected_pq": os.path.join(base, "expected_pq.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
     }
@@ -112,6 +113,16 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
 
     goldens.materialize_golden(paths["expected_kmeans"], _kmeans_builder)
+
+    def _pq_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        ids = t.column("vec_id").to_pylist()
+        vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        return goldens.expected_pq_table(ids, vecs, vecs[ids.index(0)], k=10)
+
+    goldens.materialize_golden(paths["expected_pq"], _pq_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -1011,6 +1022,38 @@ def _q_media_pipeline(sf_dir: str):
     return feats.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_similarity_pq(sf_dir: str):
+    """Product-quantization ANN top-k (16 subspaces × 16 centroids = 16-byte
+    codes); compared against an independent scalar golden
+    (pipelines/goldens.expected_pq_table) under the shared determinism
+    contract (id-sorted unit sample, first-ksub init, 6-decimal centroid
+    rounding per update)."""
+    from pdftext_ray.ops import similarity
+
+    return similarity.pq_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    )
+
+
+def _q_similarity_pq_recall(sf_dir: str):
+    """Numeric contract for PQ quality: measured recall@10 vs the exact
+    brute-force top-k on the same input — seeded AND layout-independent, so
+    the oracle pins the constant (same pattern as similarity_ivf_recall)."""
+    import pandas as pd
+
+    from pdftext_ray.ops import round_half_away, similarity
+
+    _require_gate_corpus(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).take_all()}
+    approx = {r["vec_id"] for r in similarity.pq_topk(emb, q, k=10).take_all()}
+    hits = len(exact & approx)
+    return pd.DataFrame(
+        {"k": [10], "n_hits": [hits], "recall": [float(round_half_away(hits / 10, 4))]}
+    )
+
+
 def _q_similarity_ivf_recall(sf_dir: str):
     """Numeric contract for the APPROXIMATE IVF path: measured recall@10 vs
     the exact brute-force top-k on the same input (VERDICT r1 item 9). The
@@ -1131,6 +1174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_exact": _q_similarity_ivf_exact,
         "similarity_ivf_recall": _q_similarity_ivf_recall,
+        "similarity_pq": _q_similarity_pq,
+        "similarity_pq_recall": _q_similarity_pq_recall,
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
         "events_hourly": _q_events_hourly,
@@ -1212,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{p['expected_winnow']}')",
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
+        "similarity_pq": f"SELECT vec_id, adc_dist FROM read_parquet('{p['expected_pq']}')",
         "approx_distinct_events": f"SELECT approx_n FROM read_parquet('{p['expected_hll']}')",
         "cms_heavy_users": f"SELECT value, est_count FROM read_parquet('{p['expected_cms']}')",
         "events_props_summary": (
@@ -1356,6 +1402,14 @@ def oracle_sql() -> dict[str, str]:
             # single-doc plain-text golden
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             f"count(*) AS dup_count FROM read_parquet('{p['expected_plain']}') GROUP BY md5(text)"
+        ),
+        "similarity_pq_recall": (
+            # pinned numeric contract for the PQ path (same rationale as
+            # similarity_ivf_recall): seeded + layout-independent, so
+            # recall@10 vs brute force is a constant on the gate corpus.
+            # 0.5 on RANDOM 64-dim embeddings (no cluster structure — the
+            # adversarial case for PQ); regression = quantizer changed
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_hits, 0.5 AS recall"
         ),
         "similarity_ivf_recall": (
             # pinned numeric contract for the approximate IVF path: the

@@ -237,3 +237,148 @@ def ivf_topk(
 
     local = ds.map_batches(probe_topk, batch_format="pyarrow", batch_size=4096)
     return local.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+class PQIndex:
+    """Product quantizer: split dim into ``m`` subspaces, Lloyd k-means with
+    ``ksub`` centroids per subspace. Pure numpy, deterministic.
+
+    Determinism contract (shared with the scalar golden,
+    pipelines/goldens.expected_pq_table — same contract style as
+    ops/cluster.kmeans_assign): the training sample arrives id-sorted and
+    unit-normalized; per-subspace init = the first ``ksub`` sample rows'
+    sub-vectors; centroids round half-away to 6 decimals after EVERY update
+    (so summation order can't leak into assignments); empty clusters keep
+    their previous centroid; encode = argmin squared L2 (numpy argmin's
+    first-minimum rule breaks ties toward the lowest code).
+    """
+
+    def __init__(self, sample: np.ndarray, m: int = 8, ksub: int = 16, iters: int = 8):
+        sample = _unit(np.asarray(sample, dtype=np.float64))
+        n, d = sample.shape
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+        if n < ksub:
+            raise ValueError(f"PQ training needs >= ksub={ksub} sample rows, got {n}")
+        self.m, self.ksub, self.dsub = m, ksub, d // m
+        self.codebooks = np.empty((m, ksub, self.dsub), dtype=np.float64)
+        for s in range(m):
+            sub = sample[:, s * self.dsub : (s + 1) * self.dsub]
+            cents = round_half_away(sub[:ksub].copy(), 6)
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                assign = np.argmin(d2, axis=1)
+                for c in range(ksub):
+                    members = sub[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+                cents = round_half_away(cents, 6)
+            self.codebooks[s] = cents
+
+    def encode(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, d) unit vectors → (n, m) uint8 codes, vectorized per subspace."""
+        vecs = _unit(np.asarray(vecs, dtype=np.float64))
+        codes = np.empty((len(vecs), self.m), dtype=np.uint8)
+        for s in range(self.m):
+            sub = vecs[:, s * self.dsub : (s + 1) * self.dsub]
+            d2 = ((sub[:, None, :] - self.codebooks[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return codes
+
+    def adc_table(self, query: np.ndarray) -> np.ndarray:
+        """(m, ksub) table of squared-L2 partial distances from the unit
+        query to every centroid — the asymmetric-distance lookup table."""
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        tab = np.empty((self.m, self.ksub), dtype=np.float64)
+        for s in range(self.m):
+            qs = q[s * self.dsub : (s + 1) * self.dsub]
+            tab[s] = ((self.codebooks[s] - qs[None, :]) ** 2).sum(-1)
+        return tab
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Product-quantization approximate top-k — the memory-scale ANN path:
+    each vector compresses to ``m`` bytes (64-dim float32 → 16 bytes, 16×),
+    so a 100 TB embedding corpus's codes fit a fraction of the object store
+    and scoring is ``m`` table lookups + adds per candidate instead of a
+    d-dim dot product (Jégou et al. 2011, IEEE TPAMI — public method).
+
+    Plan: codebooks train on the deterministic hash sample (id-sorted — the
+    same layout-independence argument as ivf_topk); the (index, ADC table)
+    broadcast once via ``ray.put``; one stateless ``map_batches`` pass
+    encodes each block and emits its local top-k by quantized distance; a
+    small ``sort().limit(k)`` finalizes. Output: (vec_id, adc_dist) rounded
+    to 6, ordered by (adc_dist asc, vec_id asc). Approximate by
+    construction; gate-compared against an independent scalar golden and a
+    pinned recall@k contract vs the exact path.
+    """
+    sample = _deterministic_sample(ds, sample_fraction, seed, id_col, vec_col, 4 * ksub)
+    index = PQIndex(np.asarray([r[vec_col] for r in sample]), m=m, ksub=ksub)
+    tab = index.adc_table(np.asarray(query_vec, dtype=np.float64))
+    ref = ray.put((index, tab))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pq_idx, adc = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.Table.from_arrays([pa.array([], pa.int64()), pa.array([], pa.float64())],
+                                        names=[id_col, "adc_dist"])
+        codes = pq_idx.encode(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        dist = round_half_away(
+            adc[np.arange(pq_idx.m)[None, :], codes.astype(np.int64)].sum(axis=1), 6
+        )
+        take = min(k, len(ids))
+        sel = np.lexsort((ids, dist))[:take]
+        return pa.Table.from_arrays(
+            [pa.array(ids[sel], pa.int64()), pa.array(dist[sel], pa.float64())],
+            names=[id_col, "adc_dist"],
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+    return local.sort(["adc_dist", id_col]).limit(k)
+
+
+def _deterministic_sample(
+    ds: ray.data.Dataset, fraction: float, seed: int, id_col: str, vec_col: str, min_rows: int
+):
+    """Hash-gated, id-sorted training sample — layout-independent (shared by
+    ivf_topk and pq_topk; Dataset.random_sample would tie the trained index
+    to Ray's block layout)."""
+    import hashlib
+
+    gate32 = int(min(max(fraction, 0.0), 1.0) * (1 << 32))
+
+    def hash_gate(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if pa.types.is_integer(col.type):
+            ids = np.asarray(col).astype(np.uint64)
+            h = ((ids + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            keep = h < np.uint64(gate32)
+        else:
+            keep = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(repr((seed, v)).encode(), digest_size=4).digest(), "big"
+                    )
+                    < gate32
+                    for v in col.to_pylist()
+                ],
+                dtype=bool,
+            )
+        return t.filter(pa.array(keep))
+
+    sample = ds.map_batches(hash_gate, batch_format="pyarrow").take_all()
+    if len(sample) < min_rows:
+        sample = ds.limit(min_rows).take_all()
+    return sorted(sample, key=lambda r: r[id_col])

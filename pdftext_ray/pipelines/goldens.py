@@ -505,3 +505,79 @@ def expected_cms_table(values, threshold: int, depth: int = 4, width: int = 2048
         "value": pa.array(keys, vtype),
         "est_count": pa.array([out[k] for k in keys], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (independent scalar path for ops/similarity.pq_topk)
+# ---------------------------------------------------------------------------
+
+def expected_pq_table(
+    ids: List[int],
+    vecs: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 8,
+) -> pa.Table:
+    """Golden PQ top-k — scalar per-row/per-centroid loops throughout (the
+    Ray op trains and encodes with broadcast tensors). Shares only the
+    determinism CONTRACT with ops/similarity.PQIndex: id-sorted unit-
+    normalized training rows, per-subspace init = first ksub sub-vectors,
+    centroids rounded half-away to 6 after every update, empty clusters
+    keep their centroid, encode = first-minimum argmin, adc_dist rounded
+    to 6, output ordered by (adc_dist, vec_id) limit k."""
+    from pdftext_ray.ops import round_half_away
+
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):
+        unit[i] = vecs[i] / max(float(np.linalg.norm(vecs[i])), 1e-12)
+    d = unit.shape[1]
+    dsub = d // m
+
+    codebooks = []
+    for s in range(m):
+        sub = unit[:, s * dsub : (s + 1) * dsub]
+        cents = [round_half_away(sub[c].copy(), 6) for c in range(ksub)]
+        for _ in range(iters):
+            assign = []
+            for row in sub:
+                best, best_d = 0, float("inf")
+                for c in range(ksub):
+                    dd = float(((row - cents[c]) ** 2).sum())
+                    if dd < best_d:
+                        best, best_d = c, dd
+                assign.append(best)
+            for c in range(ksub):
+                members = [sub[i] for i, a in enumerate(assign) if a == c]
+                if members:
+                    cents[c] = round_half_away(np.mean(members, axis=0), 6)
+                else:
+                    cents[c] = round_half_away(cents[c], 6)
+        codebooks.append(cents)
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    rows = []
+    for i in range(len(ids)):
+        total = 0.0
+        for s in range(m):
+            sub = unit[i, s * dsub : (s + 1) * dsub]
+            best, best_d = 0, float("inf")
+            for c in range(ksub):
+                dd = float(((sub - codebooks[s][c]) ** 2).sum())
+                if dd < best_d:
+                    best, best_d = c, dd
+            qs = q[s * dsub : (s + 1) * dsub]
+            total += float(((qs - codebooks[s][best]) ** 2).sum())
+        rows.append((int(ids[i]), float(round_half_away(total, 6))))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "adc_dist": pa.array([r[1] for r in rows], pa.float64()),
+    })

@@ -92,6 +92,52 @@ def test_ivf_recall_vs_brute_force():
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_pq_topk_matches_scalar_golden_and_layouts():
+    from pdftext_ray.pipelines.goldens import expected_pq_table
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((300, 32))
+    ids = list(range(300))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    q = vecs[5]
+    got = similarity.pq_topk(ds, q, k=10, m=8, ksub=16).to_pandas()
+    want = expected_pq_table(ids, vecs, q, k=10, m=8, ksub=16).to_pandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["adc_dist"].tolist() == want["adc_dist"].tolist()
+    # layout-independent: reversed 7-block layout gives identical output
+    ds2 = ray.data.from_arrow(
+        pa.table({"vec_id": ids[::-1], "embedding": [v.tolist() for v in vecs[::-1]]})
+    ).repartition(7)
+    got2 = similarity.pq_topk(ds2, q, k=10, m=8, ksub=16).to_pandas()
+    assert got2["vec_id"].tolist() == got["vec_id"].tolist()
+
+
+def test_pq_quantized_self_distance_is_smallest():
+    # the query's own row should quantize closest to the query on clustered
+    # data (PQ preserves coarse geometry even if exact ranks shuffle)
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((4, 32)) * 5
+    vecs = np.vstack([centers[i % 4] + 0.1 * rng.standard_normal(32) for i in range(200)])
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(200)), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = similarity.pq_topk(ds, vecs[3], k=50, m=8, ksub=16).to_pandas()
+    assert 3 in set(out["vec_id"])  # own cluster retrieved
+    # all top-50 from the query's cluster (coarse geometry preserved)
+    assert all(v % 4 == 3 for v in out["vec_id"])
+
+
+def test_pq_index_validates_inputs():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.PQIndex(np.zeros((40, 30)), m=8, ksub=4)
+    with _pytest.raises(ValueError, match="sample rows"):
+        similarity.PQIndex(np.zeros((4, 32)), m=8, ksub=16)
+
+
 def test_textstats_token_semantics():
     ds = _doc_table(["the  quick\tfox", ""])
     out = textstats.token_counts(ds).to_pandas().sort_values("doc_id")
