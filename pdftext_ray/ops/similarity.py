@@ -352,9 +352,10 @@ def pq_topk(
 def _deterministic_sample(
     ds: ray.data.Dataset, fraction: float, seed: int, id_col: str, vec_col: str, min_rows: int
 ):
-    """Hash-gated, id-sorted training sample — layout-independent (shared by
-    ivf_topk and pq_topk; Dataset.random_sample would tie the trained index
-    to Ray's block layout)."""
+    """Hash-gated, id-sorted training sample — layout-independent (same
+    rationale as ivf_topk's inline gate, which keeps its own looser <2-row
+    fallback; Dataset.random_sample would tie the trained index to Ray's
+    block layout)."""
     import hashlib
 
     gate32 = int(min(max(fraction, 0.0), 1.0) * (1 << 32))
