@@ -397,6 +397,31 @@ def _q_top_ngrams(sf_dir: str):
     return textstats.top_ngrams(_read(sf_dir, "documents", ["text"]), n=2, k=50)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + lowercase + whitespace-collapse normalization. The gate
+    table is already lowercase single-spaced ASCII, so the query PLANTS
+    case variants, NFD combining sequences and double spaces (mirrored
+    verbatim in the oracle SQL) — the normalizer provably fires on every
+    row instead of passing vacuously (same pattern as pii_scrub)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import textstats
+
+    def plant(b: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
+        cased = pc.if_else(mask, pc.utf8_upper(b.column("text")), b.column("text"))
+        # suffix uses DECOMPOSED sequences (E+U+0301, o+U+0308) and
+        # double spaces: NFC must compose, lower must fold, collapse fires
+        txt = pc.binary_join_element_wise(cased, " ÉCOLE  NöEL ", "")
+        return pa.Table.from_arrays([b.column("doc_id"), txt], names=["doc_id", "text"])
+
+    planted = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return textstats.normalize_text(planted)
+
+
 def _q_domain_counts(sf_dir: str):
     """Per-domain URL statistics (occurrences + distinct docs). The gate
     table has no URLs, so two deterministic URLs per doc are planted
@@ -1150,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "similarity_topk_many": _q_similarity_topk_many,
         "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
         "domain_counts": _q_domain_counts,
         "top_ngrams": _q_top_ngrams,
         "tfidf_topk": _q_tfidf_topk,
@@ -1569,6 +1595,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM planted) SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain, "
             "CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM u GROUP BY domain"
+        ),
+        "normalize_text": (
+            # identical plant (upper on even ids, NFD suffix, double spaces)
+            # then the SQL normalization pipeline the op contract documents
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+            "(CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END) "
+            "|| ' E' || chr(769) || 'COLE  No' || chr(776) || 'EL ')), "
+            "'\\s+', ' ', 'g')) AS text FROM documents"
         ),
         "pii_scrub": (
             # planting expression mirrors _q_pii_scrub's map token-for-token

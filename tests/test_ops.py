@@ -283,6 +283,25 @@ def test_pii_scrub_replaces_and_counts():
     assert got.loc["b", "n_emails"] == 0 and got.loc["b", "n_urls"] == 0
 
 
+def test_normalize_text_nfc_case_whitespace():
+    import unicodedata
+
+    from pdftext_ray.ops import textstats
+
+    decomposed = "Cafe\u0301   du  MONDE"  # NFD accent + runs of spaces
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [decomposed, "  plain  ascii ", "UPPER\t\ntext"]})
+    )
+    out = textstats.normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["caf\u00e9 du monde", "plain ascii", "upper text"]
+    # composed output: the accent is NFC (single codepoint), not NFD
+    assert unicodedata.is_normalized("NFC", out["text"].iloc[0])
+    assert "\u0301" not in out["text"].iloc[0]
+    # ascii-only batches stay on the pure-Arrow path (same result either way)
+    ds2 = ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["A  B"]}))
+    assert textstats.normalize_text(ds2).take_all()[0]["text"] == "a b"
+
+
 def test_semantic_dedup_prunes_within_cluster():
     rng = np.random.RandomState(5)
     blob_a = np.array([5.0] * 8) + rng.randn(20, 8) * 0.5
