@@ -952,6 +952,18 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_training_mixture(sf_dir: str):
+    """The composed LM data-prep flow (quality gates → exact dedup →
+    temperature rebalancing → sequence packing) checked END TO END against
+    one CTE-chain SQL oracle — the composition itself, not just its
+    already-verified stages, is value-compared."""
+    from pdftext_ray.pipelines import mixture
+
+    return mixture.training_mixture(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]), budget=512, alpha=0.5
+    )
+
+
 def _q_clean_extracted(sf_dir: str):
     """Composed END-TO-END flow: interleaved-corpus extraction → per-doc
     plain text → exact dedup — the extraction engine feeding the
@@ -1219,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "clean_corpus": _q_clean_corpus,
         "clean_extracted": _q_clean_extracted,
+        "training_mixture": _q_training_mixture,
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
@@ -1701,6 +1714,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, "
             "round(min(alpha_raw), 6) AS alpha_ratio, round(min(stop_raw), 6) AS stop_ratio "
             "FROM kept GROUP BY text_hash"
+        ),
+        "training_mixture": (
+            # the full composed flow in one CTE chain, each stage the same
+            # expression its standalone oracle uses (gates = clean_corpus,
+            # rebalance = temperature_sample, placement = pack_sequences)
+            "WITH g AS (SELECT doc_id, lang, md5(text) AS text_hash, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / greatest(length(text), 1) AS alpha_raw, "
+            f"CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop_raw "
+            "FROM documents), "
+            "kept AS (SELECT * FROM g WHERE n_tokens >= 20 AND alpha_raw >= 0.5 AND stop_raw >= 0.02), "
+            "dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, "
+            "CAST(min(n_tokens) AS BIGINT) AS n_tokens FROM kept GROUP BY text_hash), "
+            "c AS (SELECT lang, count(*) AS cnt FROM dd GROUP BY lang), "
+            "tot AS (SELECT sum(cnt) AS n, sum(pow(cnt, 0.5)) AS z FROM c), "
+            "th AS (SELECT lang, CAST(floor(least(1.0, n * pow(cnt, 0.5) / z / cnt) * 10000) AS BIGINT) AS gate FROM c, tot), "
+            "samp AS (SELECT dd.* FROM dd JOIN th USING (lang) WHERE "
+            "((((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296) % 10000) < gate), "
+            "o AS (SELECT doc_id, lang, n_tokens, CAST(coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
+            "FROM samp) "
+            "SELECT doc_id, lang, n_tokens, s AS start_offset, s // 512 AS seq_id, "
+            "s % 512 AS seq_pos, CASE WHEN n_tokens > 0 THEN "
+            "(s + n_tokens - 1) // 512 - s // 512 + 1 ELSE 0 END AS n_seqs FROM o"
         ),
         "events_semi_join": (
             "SELECT event_id, user_id, event_type, value FROM events WHERE user_id IN "

@@ -66,15 +66,34 @@ def pack_sequences(
             names=["doc_id", "n_tokens"],
         )
 
-    narrow = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    return pack_from_counts(ds.map_batches(counts, batch_format="pyarrow"), budget=budget)
+
+
+def pack_from_counts(
+    ds: ray.data.Dataset,
+    budget: int = 1024,
+    extra_cols: tuple = (),
+) -> ray.data.Dataset:
+    """Packing core over a pre-computed (doc_id, n_tokens) table (+ any
+    ``extra_cols`` carried through unchanged) — lets composed pipelines
+    that already know token counts (e.g. the training-mixture flow) skip
+    the text pass. Same three-pass distributed-scan plan as
+    ``pack_sequences`` (which is just counts → this)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    out_cols = ["doc_id", "n_tokens", "start_offset", "seq_id", "seq_pos", "n_seqs"]
+    narrow = ds.materialize()
     if narrow.count() == 0:
-        return narrow.map_batches(
-            lambda t: pa.table(
-                {c: pa.array([], pa.int64())
-                 for c in ["doc_id", "n_tokens", "start_offset", "seq_id", "seq_pos", "n_seqs"]}
-            ),
-            batch_format="pyarrow",
-        )
+        schema = narrow.schema()
+
+        def _empty(t: pa.Table) -> pa.Table:
+            cols = {c: pa.array([], pa.int64()) for c in out_cols}
+            for c in extra_cols:
+                cols[c] = pa.array([], schema.base_schema.field(c).type)
+            return pa.table(cols)
+
+        return narrow.map_batches(_empty, batch_format="pyarrow")
 
     bounds = narrow.aggregate(
         ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Max("doc_id")
@@ -109,17 +128,16 @@ def pack_sequences(
         start = base[int(g["_rb"].iat[0])] + np.concatenate([[0], np.cumsum(n[:-1])])
         seq_id = start // budget
         n_seqs = np.where(n > 0, (start + np.maximum(n, 1) - 1) // budget - seq_id + 1, 0)
-        return from_pandas_clean(
-            pd.DataFrame(
-                {
-                    "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
-                    "n_tokens": n,
-                    "start_offset": start,
-                    "seq_id": seq_id,
-                    "seq_pos": start % budget,
-                    "n_seqs": n_seqs.astype(np.int64),
-                }
-            )
-        )
+        out = {
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n,
+            "start_offset": start,
+            "seq_id": seq_id,
+            "seq_pos": start % budget,
+            "n_seqs": n_seqs.astype(np.int64),
+        }
+        for c in extra_cols:
+            out[c] = g[c].to_numpy()
+        return from_pandas_clean(pd.DataFrame(out))
 
     return tagged.groupby("_rb").map_groups(place, batch_format="pandas")

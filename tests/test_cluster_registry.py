@@ -147,3 +147,36 @@ def test_clean_corpus_gates_and_dedups():
     out = clean_corpus(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [1, 5]
     assert (out["n_tokens"] >= 20).all()
+
+
+def test_training_mixture_composes_stages():
+    import numpy as np
+    import pandas as pd
+    from pdftext_ray.pipelines.mixture import training_mixture
+
+    base = ("the quick brown fox and a dog ran over to the stream in the woods "
+            "where a tall tree stood and the sun rose over the hills far away")
+    rows = []
+    for i in range(200):
+        lang = "en" if i % 4 else "zh"
+        rows.append((i, f"{base} variant {i}", lang))
+    # plant exact dups (same text as doc 0) and junk rows
+    rows += [(500, f"{base} variant 0", "en"), (501, "short", "en"),
+             (502, "9999 " * 40, "en")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = training_mixture(
+        ray.data.from_pandas(df), budget=64, alpha=0.5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # junk and the duplicate never survive
+    assert not set(out["doc_id"]) & {500, 501, 502}
+    # packed stream: offsets are the exclusive prefix sum in doc_id order
+    n = out["n_tokens"].to_numpy()
+    start = out["start_offset"].to_numpy()
+    assert np.array_equal(start, np.concatenate([[0], np.cumsum(n[:-1])]))
+    assert np.array_equal(out["seq_id"], start // 64)
+    assert np.array_equal(out["seq_pos"], start % 64)
+    # layout independence: a 7-block reversed layout yields identical rows
+    out2 = training_mixture(
+        ray.data.from_pandas(df.iloc[::-1]).repartition(7), budget=64, alpha=0.5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2[out.columns])
