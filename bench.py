@@ -268,6 +268,15 @@ def run_bench() -> dict:
     timed("shuffle_rank", q_shuffle_rank)
     timed("top_ngrams", lambda: textstats.top_ngrams(
         sf_read("documents", ["text"]), n=2, k=50).count())
+
+    def q_mixture():
+        from pdftext_ray.pipelines.mixture import training_mixture
+
+        training_mixture(
+            sf_read("documents", ["doc_id", "text", "lang"]), budget=1024
+        ).count()
+
+    timed("training_mixture", q_mixture)
     timed("dedup_keepbest", lambda: dedup.fuzzy_dedup_keepbest(
         docs_ds(), threshold=0.4).count())
 
