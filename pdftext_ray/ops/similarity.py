@@ -304,6 +304,7 @@ def pq_topk(
     m: int = 16,
     ksub: int = 16,
     sample_fraction: float = 1.0,
+    max_train: int = 100_000,
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -323,7 +324,9 @@ def pq_topk(
     construction; gate-compared against an independent scalar golden and a
     pinned recall@k contract vs the exact path.
     """
-    sample = _deterministic_sample(ds, sample_fraction, seed, id_col, vec_col, 4 * ksub)
+    sample = _deterministic_sample(
+        ds, sample_fraction, seed, id_col, vec_col, 4 * ksub, max_rows=max_train
+    )
     index = PQIndex(np.asarray([r[vec_col] for r in sample]), m=m, ksub=ksub)
     tab = index.adc_table(np.asarray(query_vec, dtype=np.float64))
     ref = ray.put((index, tab))
@@ -350,12 +353,21 @@ def pq_topk(
 
 
 def _deterministic_sample(
-    ds: ray.data.Dataset, fraction: float, seed: int, id_col: str, vec_col: str, min_rows: int
+    ds: ray.data.Dataset,
+    fraction: float,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    min_rows: int,
+    max_rows: int = 100_000,
 ):
     """Hash-gated, id-sorted training sample — layout-independent (same
     rationale as ivf_topk's inline gate, which keeps its own looser <2-row
     fallback; Dataset.random_sample would tie the trained index to Ray's
-    block layout)."""
+    block layout). ``max_rows`` is the driver-memory guard: the collected
+    sample HARD-CAPS at the id-sorted prefix (itself layout-independent) —
+    size ``fraction`` so fraction×N lands near the cap rather than relying
+    on it; codebook quality saturates long before 10^5 training rows."""
     import hashlib
 
     gate32 = int(min(max(fraction, 0.0), 1.0) * (1 << 32))
@@ -379,7 +391,20 @@ def _deterministic_sample(
             )
         return t.filter(pa.array(keep))
 
-    sample = ds.map_batches(hash_gate, batch_format="pyarrow").take_all()
+    def local_head(t: pa.Table) -> pa.Table:
+        # per-block truncation keeps the cap shuffle payload bounded
+        if len(t) <= max_rows:
+            return t
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(ids, kind="stable")[:max_rows], pa.int64()))
+
+    gated = ds.map_batches(hash_gate, batch_format="pyarrow")
+    sample = (
+        gated.map_batches(local_head, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(max_rows)
+        .take_all()
+    )
     if len(sample) < min_rows:
         sample = ds.limit(min_rows).take_all()
     return sorted(sample, key=lambda r: r[id_col])
