@@ -584,6 +584,18 @@ def _q_kmeans(sf_dir: str):
     return cluster.kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def _q_cluster_balanced(sf_dir: str):
+    """Cluster-balanced embedding subsample (≤20 rows per kmeans cluster,
+    chosen by the deterministic bottom-k hash draw); the oracle replays the
+    selection in SQL over the kmeans golden — composition of two verified
+    contracts (kmeans determinism + hash-draw arithmetic)."""
+    from pdftext_ray.ops import cluster
+
+    return cluster.cluster_balanced_sample(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), per_cluster=20
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means clusters (same determinism contract as
     kmeans_clusters) then within-cluster cosine pruning; the oracle
@@ -1205,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keepbest": _q_dedup_keepbest,
         "kmeans_clusters": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "cluster_balanced": _q_cluster_balanced,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "embedding_pairs": _q_embedding_pairs,
@@ -1297,6 +1310,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
         "similarity_pq": f"SELECT vec_id, adc_dist FROM read_parquet('{p['expected_pq']}')",
+        "cluster_balanced": (
+            # replay the deterministic bottom-20-per-cluster draw over the
+            # kmeans golden (same hash arithmetic as the sampling oracles)
+            "SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster "
+            "ORDER BY (((CAST(vec_id + 17 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616) // 4294967296), vec_id) AS rn "
+            f"FROM read_parquet('{p['expected_kmeans']}')) WHERE rn <= 20"
+        ),
         "approx_distinct_events": f"SELECT approx_n FROM read_parquet('{p['expected_hll']}')",
         "cms_heavy_users": f"SELECT value, est_count FROM read_parquet('{p['expected_cms']}')",
         "events_props_summary": (

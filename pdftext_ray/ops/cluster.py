@@ -269,3 +269,58 @@ def kmeans_assign(
         return pa.table(cols)
 
     return ds.map_batches(assign_out, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(
+    ds: ray.data.Dataset,
+    per_cluster: int,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Cluster-balanced embedding curation: k-means the corpus, then keep at
+    most ``per_cluster`` rows PER CLUSTER — the diversity-preserving
+    subsample behind SemDeDup-style pipelines (dominant modes stop drowning
+    out rare ones; every cluster contributes equally).
+
+    Selection within a cluster is the deterministic bottom-``per_cluster``
+    by (hash32(id), id) — the same layout-independent KMV draw as
+    ops/stats.sample_quantiles, so the kept set is a pure function of the
+    id set and the (gate-verified) kmeans assignment. Plan: per-block local
+    head per cluster (≤ k·per_cluster rows leave a block) → one k-key
+    groupby → vectorized per-cluster head. Output: (id, cluster).
+    """
+    import pandas as pd
+
+    from pdftext_ray.ops import from_pandas_clean
+    from pdftext_ray.ops.sampling import _key_hash32
+
+    if per_cluster <= 0:
+        raise ValueError(f"per_cluster must be positive, got {per_cluster}")
+
+    labeled = kmeans_assign(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    def local_head(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        h = _key_hash32(ids, seed)
+        df = pd.DataFrame({
+            id_col: np.asarray(ids),
+            "cluster": np.asarray(t.column("cluster").combine_chunks()),
+            "_h": h,
+        })
+        kept = df.sort_values(["_h", id_col], kind="mergesort").groupby(
+            "cluster", sort=False
+        ).head(per_cluster)
+        return from_pandas_clean(kept)
+
+    def final_head(g: pd.DataFrame) -> pa.Table:
+        kept = g.sort_values(["_h", id_col], kind="mergesort").head(per_cluster)
+        return from_pandas_clean(kept[[id_col, "cluster"]])
+
+    return (
+        labeled.map_batches(local_head, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(final_head, batch_format="pandas")
+    )

@@ -180,3 +180,37 @@ def test_training_mixture_composes_stages():
         ray.data.from_pandas(df.iloc[::-1]).repartition(7), budget=64, alpha=0.5
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2[out.columns])
+
+
+def test_cluster_balanced_sample_caps_and_layout():
+    import numpy as np
+    from pdftext_ray.ops.cluster import cluster_balanced_sample
+    from pdftext_ray.pipelines.goldens import expected_kmeans_table
+
+    rng = np.random.RandomState(6)
+    centers = rng.standard_normal((4, 16)) * 8
+    ids = list(range(224))
+    # round-robin so the lowest-id kmeans seeds span all true clusters
+    vecs = [centers[i % 4] + 0.05 * rng.standard_normal(16) for i in ids]
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    out = cluster_balanced_sample(ds, per_cluster=10, k=4).to_pandas()
+    per = out.groupby("cluster").size()
+    assert (per <= 10).all() and len(out) == 40
+    # scalar replication: kmeans golden assignment + bottom-10 hash draw
+    golden = expected_kmeans_table(ids, np.asarray(vecs), k=4).to_pandas()
+    K = 0x9E3779B97F4A7C15
+    golden["_h"] = [(((i + 17) * K) % (1 << 64)) >> 32 for i in golden["vec_id"]]
+    want = (
+        golden.sort_values(["_h", "vec_id"]).groupby("cluster").head(10)
+    )
+    assert set(map(tuple, out[["vec_id", "cluster"]].values.tolist())) == set(
+        map(tuple, want[["vec_id", "cluster"]].values.tolist())
+    )
+    # layout-independent: reversed 5-block layout keeps the same ids
+    ds2 = ray.data.from_arrow(
+        pa.table({"vec_id": ids[::-1], "embedding": [v.tolist() for v in vecs[::-1]]})
+    ).repartition(5)
+    out2 = cluster_balanced_sample(ds2, per_cluster=10, k=4).to_pandas()
+    assert sorted(out2["vec_id"]) == sorted(out["vec_id"])
