@@ -1747,8 +1747,10 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop_raw "
             "FROM documents), "
             "kept AS (SELECT * FROM g WHERE n_tokens >= 20 AND alpha_raw >= 0.5 AND stop_raw >= 0.02), "
-            "dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, "
-            "CAST(min(n_tokens) AS BIGINT) AS n_tokens FROM kept GROUP BY text_hash), "
+            # ARG-min keep-first: the surviving row keeps its OWN lang
+            "dd AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn "
+            "FROM kept) WHERE rn = 1), "
             "c AS (SELECT lang, count(*) AS cnt FROM dd GROUP BY lang), "
             "tot AS (SELECT sum(cnt) AS n, sum(pow(cnt, 0.5)) AS z FROM c), "
             "th AS (SELECT lang, CAST(floor(least(1.0, n * pow(cnt, 0.5) / z / cnt) * 10000) AS BIGINT) AS gate FROM c, tot), "

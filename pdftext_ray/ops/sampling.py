@@ -206,7 +206,10 @@ def weighted_sample(
       grid makes a flip require the pre-floor value to sit within ~2^-32
       relative of a grid line (never observed on the test tables; the
       quantization IS the operator contract, not a convenience);
-    * ties (same grid cell) break by ascending key.
+    * ties (same grid cell) break by ascending key;
+    * priorities saturate at -2^62 (weights under ~2e-9 would overflow the
+      int64 grid); the SQL mirror omits the clamp because it only engages
+      ~14 orders of magnitude below any realistic length/score weight.
 
     Plan: one vectorized ``map_batches`` computes priorities and emits only
     its LOCAL top-k (≤ k rows per block leave the node), then a small
@@ -239,7 +242,15 @@ def weighted_sample(
         w = np.asarray(t.column(weight_col).combine_chunks(), dtype=np.float64)
         if len(w) and (not np.all(np.isfinite(w)) or w.min() <= 0):
             raise ValueError(f"{weight_col} must be finite and > 0 for weighted sampling")
-        q = np.floor(np.log(u) / w * 4294967296.0).astype(np.int64)
+        # saturate at -2^62 BEFORE the int cast: weights below ~2e-9 would
+        # otherwise overflow int64 (numpy float→int64 overflow yields
+        # INT64_MIN, whose negation in lexsort wraps back to INT64_MIN and
+        # silently sorts the near-zero-weight rows FIRST). Saturated rows
+        # tie at the floor and resolve by ascending key — documented
+        # behavior for weights at the edge of double range.
+        q = np.floor(
+            np.clip(np.log(u) / w * 4294967296.0, -float(2**62), 0.0)
+        ).astype(np.int64)
         take = min(k, len(q))
         idx = np.lexsort((np.asarray(keys), -q))[:take]
         return pa.table({

@@ -361,50 +361,45 @@ def _deterministic_sample(
     min_rows: int,
     max_rows: int = 100_000,
 ):
-    """Hash-gated, id-sorted training sample — layout-independent (same
-    rationale as ivf_topk's inline gate, which keeps its own looser <2-row
-    fallback; Dataset.random_sample would tie the trained index to Ray's
-    block layout). ``max_rows`` is the driver-memory guard: the collected
-    sample HARD-CAPS at the id-sorted prefix (itself layout-independent) —
+    """Hash-gated, id-sorted training sample — layout-independent
+    throughout (Dataset.random_sample would tie the trained index to Ray's
+    block layout; ivf_topk predates this helper and keeps its own inline
+    gate to protect its pinned recall contract). The gate reuses
+    ops/sampling's hash contract (one implementation of the Fibonacci-hash
+    arithmetic, including its negative-int-key refusal). ``max_rows`` is
+    the driver-memory guard: the collected sample HARD-CAPS at the
+    id-sorted prefix via per-block truncation + a distributed sort/limit —
     size ``fraction`` so fraction×N lands near the cap rather than relying
-    on it; codebook quality saturates long before 10^5 training rows."""
-    import hashlib
+    on it; codebook quality saturates long before 10^5 training rows. A
+    too-small gated sample falls back to the id-sorted prefix of the WHOLE
+    dataset (same truncation plan), which is also layout-independent."""
+    from pdftext_ray.ops.sampling import _BUCKETS, _key_buckets
 
-    gate32 = int(min(max(fraction, 0.0), 1.0) * (1 << 32))
+    gate = int(min(max(fraction, 0.0), 1.0) * _BUCKETS)
 
     def hash_gate(t: pa.Table) -> pa.Table:
-        col = t.column(id_col)
-        if pa.types.is_integer(col.type):
-            ids = np.asarray(col).astype(np.uint64)
-            h = ((ids + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            keep = h < np.uint64(gate32)
-        else:
-            keep = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(repr((seed, v)).encode(), digest_size=4).digest(), "big"
-                    )
-                    < gate32
-                    for v in col.to_pylist()
-                ],
-                dtype=bool,
-            )
-        return t.filter(pa.array(keep))
+        b = _key_buckets(t.column(id_col).combine_chunks(), seed)
+        return t.filter(pa.array(b < gate))
 
-    def local_head(t: pa.Table) -> pa.Table:
+    def local_head(n: int):
         # per-block truncation keeps the cap shuffle payload bounded
-        if len(t) <= max_rows:
-            return t
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        return t.take(pa.array(np.argsort(ids, kind="stable")[:max_rows], pa.int64()))
+        def head(t: pa.Table) -> pa.Table:
+            if len(t) <= n:
+                return t
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.take(pa.array(np.argsort(ids, kind="stable")[:n], pa.int64()))
 
-    gated = ds.map_batches(hash_gate, batch_format="pyarrow")
-    sample = (
-        gated.map_batches(local_head, batch_format="pyarrow")
-        .sort(id_col)
-        .limit(max_rows)
-        .take_all()
-    )
+        return head
+
+    def sorted_prefix(source: ray.data.Dataset, n: int):
+        return (
+            source.map_batches(local_head(n), batch_format="pyarrow")
+            .sort(id_col)
+            .limit(n)
+            .take_all()
+        )
+
+    sample = sorted_prefix(ds.map_batches(hash_gate, batch_format="pyarrow"), max_rows)
     if len(sample) < min_rows:
-        sample = ds.limit(min_rows).take_all()
+        sample = sorted_prefix(ds, min_rows)
     return sorted(sample, key=lambda r: r[id_col])

@@ -695,16 +695,20 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """
     import unicodedata
 
-    text = batch.column(text_col)
-    has_nonascii = pc.match_substring_regex(text, _NONASCII_RE)
-    if pc.any(pc.fill_null(has_nonascii, False)).as_py():
-        mask = np.asarray(pc.fill_null(has_nonascii, False).combine_chunks())
-        vals = text.to_pylist()
-        fixed = [
-            unicodedata.normalize("NFC", v) if (m and v is not None) else v
-            for v, m in zip(vals, mask)
+    text = batch.column(text_col).combine_chunks()
+    mask = pc.fill_null(pc.match_substring_regex(text, _NONASCII_RE), False)
+    if pc.any(mask).as_py():
+        # normalize ONLY the flagged rows (one python pass over hits, not
+        # the batch); merge back with one Arrow if_else — unflagged rows
+        # never leave Arrow even in a batch with some non-ASCII content
+        flag = np.asarray(mask)
+        idx = np.flatnonzero(flag)
+        hits = text.take(pa.array(idx, pa.int64())).to_pylist()
+        repl = np.full(len(flag), None, dtype=object)
+        repl[idx] = [
+            unicodedata.normalize("NFC", v) if v is not None else None for v in hits
         ]
-        text = pa.array(fixed, pa.string())
+        text = pc.if_else(mask, pa.array(repl.tolist(), pa.string()), text)
     lowered = pc.utf8_lower(text)
     collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
     trimmed = pc.utf8_trim_whitespace(collapsed)

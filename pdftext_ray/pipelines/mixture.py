@@ -39,9 +39,9 @@ def training_mixture(
     packed position: (doc_id, lang, n_tokens, start_offset, seq_id,
     seq_pos, n_seqs), deterministic and layout-independent end to end.
     """
-    from ray.data.aggregate import Min
-
+    from pdftext_ray.ops import default_num_partitions
     from pdftext_ray.ops.pack import pack_from_counts
+    from pdftext_ray.ops.relational import _key_part_tag
     from pdftext_ray.ops.sampling import temperature_sample
 
     gated = ds.map_batches(
@@ -56,17 +56,29 @@ def training_mixture(
         ),
         batch_format="pyarrow",
     )
-    # keep-min-id per content hash; lang/n_tokens ride along via min
-    # (constant within an exact-duplicate group up to the min-id choice,
-    # which the SQL oracle mirrors with the same min() aggregates)
-    survivors = (
-        gated.groupby("text_hash")
-        .aggregate(
-            Min(id_col, alias_name=id_col),
-            Min(lang_col, alias_name=lang_col),
-            Min("n_tokens", alias_name="n_tokens"),
+    # ARG-min dedup: keep the min-id row WHOLE per content hash, so the
+    # survivor carries its OWN lang (a column-wise min(lang) could borrow a
+    # duplicate's label and skew the rebalance). text_hash cardinality ≈
+    # corpus size, so this is a few-partition hash shuffle + vectorized
+    # keep-first per partition (CLAUDE.md rule 9), not a per-key aggregate.
+    n_parts = default_num_partitions()
+
+    def keep_first(g):
+        from pdftext_ray.ops import from_pandas_clean
+
+        first = (
+            g.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("text_hash", keep="first")
         )
-        .drop_columns(["text_hash"])
+        return from_pandas_clean(
+            first[[id_col, lang_col, "n_tokens"]].reset_index(drop=True)
+        )
+
+    survivors = (
+        gated.select_columns([id_col, lang_col, "n_tokens", "text_hash"])
+        .map_batches(_key_part_tag("text_hash", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_first, batch_format="pandas")
     )
     sampled = temperature_sample(
         survivors, group_col=lang_col, key_col=id_col, alpha=alpha, seed=seed

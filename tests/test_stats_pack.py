@@ -190,8 +190,20 @@ def test_weighted_sample_prefers_heavy_rows():
 
 def test_weighted_sample_rejects_nonpositive_weights():
     ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "n_chars": [5, 0]}))
-    with pytest.raises((ValueError, Exception)):
+    # the ValueError surfaces wrapped in Ray's task error; match the message
+    with pytest.raises(Exception, match="finite and > 0"):
         sampling.weighted_sample(ds, k=1, weight_col="n_chars").take_all()
+
+
+def test_weighted_sample_tiny_weights_saturate_not_invert():
+    # weights below ~2e-9 overflow the int64 grid; they must SATURATE (and
+    # lose to ordinary weights), not wrap around and win the sample
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "w": [1e-12, 1e-12, 1000.0, 2000.0]})
+    )
+    out = sampling.weighted_sample(ds, k=2, weight_col="w").to_pandas()
+    assert sorted(out["doc_id"]) == [3, 4]
+    assert (out["priority"] > -(2**62)).all()
 
 
 def test_sample_quantiles_full_sample_is_exact_and_layout_independent():
