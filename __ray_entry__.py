@@ -964,6 +964,16 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_streaming_dedup(sf_dir: str):
+    """First-seen streaming dedup against a sharded mutable actor index —
+    the raw-actor pattern the Dataset API can't express. The gate compares
+    the ORDER-INDEPENDENT contract (per-text totals + survivor count); the
+    survivor CHOICE follows arrival order by design."""
+    from pdftext_ray.ops import streaming
+
+    return streaming.streaming_dedup_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_training_mixture(sf_dir: str):
     """The composed LM data-prep flow (quality gates → exact dedup →
     temperature rebalancing → sequence packing) checked END TO END against
@@ -1245,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "clean_extracted": _q_clean_extracted,
         "training_mixture": _q_training_mixture,
+        "streaming_dedup": _q_streaming_dedup,
         "sample_10pct": _q_sample_10pct,
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
@@ -1736,6 +1747,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, "
             "round(min(alpha_raw), 6) AS alpha_ratio, round(min(stop_raw), 6) AS stop_ratio "
             "FROM kept GROUP BY text_hash"
+        ),
+        "streaming_dedup": (
+            "SELECT md5(text) AS text_hash, count(*) AS dup_count "
+            "FROM documents GROUP BY md5(text)"
         ),
         "training_mixture": (
             # the full composed flow in one CTE chain, each stage the same

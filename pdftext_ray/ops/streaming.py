@@ -1,0 +1,148 @@
+"""Streaming first-seen dedup against a SHARED MUTABLE hash index.
+
+This is the one shape the Dataset API deliberately can't express — state
+that every batch reads AND writes while the stream is in flight (task brief:
+"drop to raw Ray actors only where the Dataset API genuinely can't express
+the semantics, e.g. a shared mutable index"). The index is a pool of
+``n_shards`` tiny actors, each owning a hash-partitioned slice of the
+seen-set; a ``map_batches`` task routes its batch's keys to the owning
+shards in ONE message per shard (vectorized membership, not per-row RPCs)
+and keeps only rows whose key is seen for the first time anywhere in the
+stream.
+
+Scale notes:
+
+* shard state is ``dict[bytes16 → count]`` — memory is bounded by DISTINCT
+  keys / n_shards per actor, and the shard count is the scale dial (256
+  nodes → hundreds of shards, each placed by Ray wherever there's room);
+* WHICH duplicate survives depends on arrival order (inherent to streaming
+  dedup — retries/backpressure reorder batches), so only ORDER-INDEPENDENT
+  outputs are contract-worthy: the surviving key SET, the per-key totals,
+  and the survivor count. ``streaming_dedup_counts`` returns exactly those
+  (the batch-level dedup is ``streaming_dedup`` for pipelines that want the
+  surviving rows and accept arrival-order survivor choice);
+* vs ``ops.dedup.exact_dedup`` (groupby shuffle): the actor index needs NO
+  all-to-all over the corpus and yields survivors INCREMENTALLY — right for
+  ingest-time dedup where the stream must stay a stream; the shuffle form
+  is right for batch jobs wanting deterministic min-id survivors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0.25)
+class _SeenShard:
+    """One hash-partitioned slice of the shared seen-set."""
+
+    def __init__(self):
+        self._counts: dict = {}
+
+    def offer(self, keys: List[bytes]) -> List[int]:
+        """Atomically record each key and return its PRIOR occurrence count
+        (0 = first seen in the whole stream). One message per batch-shard
+        pair — the actor's single-threaded event loop IS the atomicity."""
+        counts = self._counts
+        out = []
+        for k in keys:
+            c = counts.get(k, 0)
+            counts[k] = c + 1
+            out.append(c)
+        return out
+
+    def totals(self) -> List[tuple]:
+        """(key, total occurrences) for this shard's slice."""
+        return list(self._counts.items())
+
+
+def _digest16(texts: List) -> List[bytes]:
+    return [
+        hashlib.md5(t.encode("utf-8")).digest() if t is not None else b"\x00" * 16
+        for t in texts
+    ]
+
+
+def _route(keys: List[bytes], n_shards: int) -> np.ndarray:
+    # first 4 digest bytes pick the shard — independent of the dict-key bytes
+    return np.array([int.from_bytes(k[:4], "big") % n_shards for k in keys], dtype=np.int64)
+
+
+def streaming_dedup(
+    ds: ray.data.Dataset,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Keep the FIRST-ARRIVING row per exact text; duplicates drop as they
+    stream past the shared index. Survivor choice follows arrival order (see
+    module docstring); the surviving key set and count are deterministic."""
+    shards = [_SeenShard.remote() for _ in range(n_shards)]
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        keys = _digest16(t.column(text_col).to_pylist())
+        if not keys:
+            return t
+        shard_of = _route(keys, n_shards)
+        prior = np.empty(len(keys), dtype=np.int64)
+        futures, slots = [], []
+        for s in range(n_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx):
+                futures.append(shards[s].offer.remote([keys[i] for i in idx]))
+                slots.append(idx)
+        for idx, res in zip(slots, ray.get(futures)):
+            prior[idx] = res
+        return t.filter(pa.array(prior == 0))
+
+    return ds.map_batches(dedup_batch, batch_format="pyarrow")
+
+
+def streaming_dedup_counts(
+    ds: ray.data.Dataset,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> pa.Table:
+    """Run the stream through the shared index and return the
+    ORDER-INDEPENDENT contract: (text_hash hex, dup_count) per distinct
+    text, plus implicitly the survivor count (= row count). The stream is
+    consumed (survivors counted, not kept); the totals come from one
+    ``totals()`` sweep over the shards afterwards."""
+    shards = [_SeenShard.remote() for _ in range(n_shards)]
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        keys = _digest16(t.column(text_col).to_pylist())
+        if not keys:
+            return t.select([text_col])
+        shard_of = _route(keys, n_shards)
+        futures, slots = [], []
+        for s in range(n_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx):
+                futures.append(shards[s].offer.remote([keys[i] for i in idx]))
+                slots.append(idx)
+        prior = np.empty(len(keys), dtype=np.int64)
+        for idx, res in zip(slots, ray.get(futures)):
+            prior[idx] = res
+        return t.select([text_col]).filter(pa.array(prior == 0))
+
+    survivors = ds.map_batches(dedup_batch, batch_format="pyarrow").count()
+
+    rows = []
+    for s in shards:
+        rows.extend(ray.get(s.totals.remote()))
+    if survivors != len(rows):
+        raise AssertionError(
+            f"streaming dedup invariant broken: {survivors} survivors vs "
+            f"{len(rows)} distinct keys in the index"
+        )
+    rows.sort()
+    return pa.table({
+        "text_hash": pa.array([k.hex() for k, _ in rows], pa.string()),
+        "dup_count": pa.array([c for _, c in rows], pa.int64()),
+    })

@@ -461,3 +461,27 @@ def test_tfidf_topk_scores_and_order():
     assert abs(a.iloc[0]["score"] - round(math.log(3.0), 6)) < 1e-9
     assert a.iloc[1]["term"] == "common" and a.iloc[1]["score"] == 0.0
     assert len(got[got["doc_id"] == "b"]) == 1  # only one distinct term
+
+
+def test_streaming_dedup_shared_index():
+    from pdftext_ray.ops import streaming
+
+    texts = [BASE, BASE, BASE + " x", BASE + " x", BASE + " y", "", ""]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    # surviving rows: exactly one per distinct text (which one is
+    # arrival-order-dependent and deliberately not asserted)
+    out = streaming.streaming_dedup(ds, n_shards=4).to_pandas()
+    assert len(out) == 4
+    assert sorted(out["text"]) == sorted(set(texts))
+    # order-independent contract: per-text totals are exact
+    counts = streaming.streaming_dedup_counts(
+        ray.data.from_arrow(pa.table({"text": texts})).repartition(3), n_shards=4
+    ).to_pandas()
+    import hashlib as _h
+
+    want = {
+        _h.md5(t.encode()).hexdigest(): texts.count(t) for t in set(texts)
+    }
+    assert dict(zip(counts["text_hash"], counts["dup_count"])) == want
