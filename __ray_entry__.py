@@ -227,10 +227,13 @@ def _q_extract_spans_skew(sf_dir: str):
 
 
 def _q_extract_plain_text(sf_dir: str):
+    """Plain text via the skew-bucketed production plan (fused small bucket
+    + page-exploded large bucket); the oracle is the same single-doc golden
+    as the fused plan — two physical plans, one contract."""
     from pdftext_ray.pipelines import extract as P
 
     paths = _ensure_corpus(sf_dir)
-    return P.extract_plain_text(P.read_documents(paths["corpus"]))
+    return P.extract_plain_text_corpus_skew_aware(paths["corpus"])
 
 
 def _q_extract_paginated(sf_dir: str):

@@ -183,7 +183,7 @@ def run_bench() -> dict:
     def docs_ds():
         return sf_read("documents", ["doc_id", "text"])
 
-    timed("plain_text", lambda: P.extract_plain_text(P.read_documents(corpus_path))
+    timed("plain_text", lambda: P.extract_plain_text_corpus_skew_aware(corpus_path)
           .write_parquet(os.path.join(out_dir, "plain")))
     timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs_ds(), threshold=0.5).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs_ds()).count())

@@ -196,6 +196,57 @@ def extract_plain_text(
     return ds.map_batches(X.PlainTextExtractor(cfg), batch_format="pyarrow", batch_size=batch_size)
 
 
+def extract_plain_text_corpus_skew_aware(
+    path: str,
+    cfg: Optional[ExtractConfig] = None,
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """Skew-bucketed PLAIN-TEXT plan over an ingested corpus — same routing
+    as extract_corpus_skew_aware (hive size buckets, predicate-pushdown
+    fallback), same reason: the fused doc-parallel map measures ~1.7 ms/doc
+    single-core, but monster documents straggle whole batches (measured 25 s
+    vs 16 s for the equivalent spans plans at 100k docs/32 cpus). Small
+    bucket: fused PlainTextExtractor; large bucket: page-exploded decode →
+    one keyed shuffle → doc-wide link resolution + merge."""
+    import os
+
+    import pyarrow.compute as pc
+
+    cfg = cfg or ExtractConfig()
+    from pdftext_ray.pipelines.corpus_io import SIZE_BUCKET_THRESHOLD
+
+    small_dir = os.path.join(path, "size_bucket=small")
+    large_dir = os.path.join(path, "size_bucket=large")
+    nblocks = _read_parallelism()
+    if os.path.isdir(small_dir):
+        small = ray.data.read_parquet(
+            small_dir, columns=["doc_id", "spans"], override_num_blocks=nblocks
+        )
+        large = (
+            ray.data.read_parquet(large_dir, columns=["doc_id", "spans"])
+            if os.path.isdir(large_dir)
+            else None
+        )
+    else:
+        small = ray.data.read_parquet(
+            path, columns=["doc_id", "spans"], override_num_blocks=nblocks,
+            filter=(pc.field("n_bytes") <= SIZE_BUCKET_THRESHOLD),
+        )
+        large = ray.data.read_parquet(
+            path, columns=["doc_id", "spans"], filter=(pc.field("n_bytes") > SIZE_BUCKET_THRESHOLD)
+        )
+    small_out = extract_plain_text(small, cfg, batch_size=batch_size)
+    if large is None:
+        return small_out
+    pages = large.map_batches(X.explode_pages, batch_format="pyarrow").map_batches(
+        X.PageExtractor(cfg), batch_format="pyarrow", batch_size=32
+    )
+    large_out = pages.groupby("doc_id").map_groups(
+        lambda g: X.assemble_plain_text(g, cfg), batch_format="pyarrow"
+    )
+    return small_out.union(large_out)
+
+
 def extract_paginated_plain_text(
     ds: ray.data.Dataset, cfg: Optional[ExtractConfig] = None, batch_size: int = 64
 ) -> ray.data.Dataset:

@@ -399,3 +399,35 @@ def assemble_document(group: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
         ],
         schema=schemas.SPAN_SEQ_SCHEMA,
     )
+
+
+def assemble_plain_text(group: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
+    """map_groups(doc_id) reassembly for the PLAIN-TEXT skew branch: order
+    pages, resolve links doc-wide (link splitting changes span text, so it
+    cannot run per page), emit one merged string — the plain-text analogue
+    of assemble_document."""
+    from pdftext_ray.kernel import links as klinks
+    from pdftext_ray.kernel.document import plain_text
+
+    cfg = cfg or ExtractConfig()
+    pos = group.column("page_pos").to_numpy(zero_copy_only=False)
+    order = np.argsort(pos, kind="stable")
+    states = group.column("page_state").to_pylist()
+    pages = [pickle.loads(states[i]) for i in order]
+    doc_errors = [p["__error__"] for p in pages if "__error__" in p]
+    if doc_errors:
+        # mirror the fused branch, which lets a decode error propagate
+        raise RuntimeError(doc_errors[0])
+    if not cfg.disable_links:
+        klinks.add_links_and_refs(pages, [pg["links"] for pg in pages])
+    else:
+        for pg in pages:
+            pg["refs"] = []
+    doc_id = group.column("doc_id")[0].as_py()
+    return pa.Table.from_arrays(
+        [
+            pa.array([doc_id], pa.string()),
+            pa.array([plain_text(pages, sort=cfg.sort, hyphens=cfg.hyphens)], pa.string()),
+        ],
+        schema=schemas.PLAIN_TEXT_SCHEMA,
+    )

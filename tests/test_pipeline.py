@@ -100,3 +100,13 @@ def test_equality_holds_at_unseen_seed():
     ds = ray.data.from_arrow(table.select(["doc_id", "spans"]))
     got = _collect(P.flat_spans(P.extract_spans(ds, batch_size=13)))
     _assert_equal(got, corpus_io.expected_flat_table(60, seed=7))
+
+
+def test_plain_text_skew_plan_matches_fused(tmp_path):
+    """The page-exploded plain-text branch must be bit-identical to the
+    fused doc-parallel plan (link resolution runs doc-wide in both)."""
+    corpus = str(tmp_path / "corpus")
+    corpus_io.materialize_corpus(corpus, 90, 42)
+    fused = {r["doc_id"]: r["text"] for r in P.extract_plain_text(P.read_documents(corpus)).take_all()}
+    skew = {r["doc_id"]: r["text"] for r in P.extract_plain_text_corpus_skew_aware(corpus).take_all()}
+    assert fused == skew and len(fused) == 90
