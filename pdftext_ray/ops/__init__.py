@@ -19,15 +19,32 @@ def round_half_away(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
-def default_num_partitions(per_cpu: int = 4, lo: int = 8, hi: int = 256) -> int:
+def default_num_partitions(
+    per_cpu: int = 4,
+    lo: int = 8,
+    hi: int = 256,
+    rows: int = None,
+    rows_per_part: int = 20_000,
+) -> int:
     """Partition count for few-partition keyed shuffles (shared policy for
-    the pair-count, blob-merge and CC-contraction plans)."""
+    the pair-count, blob-merge and CC-contraction plans).
+
+    Pass ``rows`` when the shuffled row count is already known for free
+    (e.g. from a materialized upstream table): tiny inputs then get tiny
+    partition counts — each partition of a keyed shuffle carries ~0.5-1 s of
+    fixed cost on this executor, so 128 partitions over 5k rows doubles an
+    op's wall time for nothing. Results are partition-count-independent
+    (hash-bucket aggregation is associative), so the hint is purely a
+    scheduling knob."""
     try:
         import ray
 
-        return max(lo, min(hi, int(ray.cluster_resources().get("CPU", 8)) * per_cpu))
+        base = max(lo, min(hi, int(ray.cluster_resources().get("CPU", 8)) * per_cpu))
     except Exception:
-        return 32
+        base = 32
+    if rows is not None:
+        base = min(base, max(lo, -(-int(rows) // rows_per_part)))
+    return base
 
 
 def from_pandas_clean(df):

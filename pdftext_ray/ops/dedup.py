@@ -303,6 +303,7 @@ def _postings_candidate_pairs(
     a_col: str,
     b_col: str,
     max_doc_freq: Optional[int] = None,
+    n_parts: Optional[int] = None,
 ) -> ray.data.Dataset:
     """(bucket, id) postings → distinct candidate pairs (a < b), fully
     vectorized: one few-partition shuffle keyed on hash(bucket) co-locates
@@ -310,10 +311,12 @@ def _postings_candidate_pairs(
     few-partition shuffle dedups pairs. Replaces the per-row Python
     AggregateFn collection (the 800k-posting stress probe spent its time in
     per-row accumulate calls, not in pair math). ``max_doc_freq`` drops
-    hotter-than-N buckets (recall knob; None = every bucket)."""
+    hotter-than-N buckets (recall knob; None = every bucket); ``n_parts``
+    lets callers who know the posting count for free size the shuffle."""
     from pdftext_ray.ops import default_num_partitions
 
-    n_parts = default_num_partitions()
+    if n_parts is None:
+        n_parts = default_num_partitions()
 
     def tag_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -626,13 +629,25 @@ def minhash_lsh_pairs(
         })
 
     postings = sigs.map_batches(band_keys, batch_format="pyarrow")
+    # sigs is materialized, so the doc count is free — size every downstream
+    # keyed shuffle to the data (tiny corpora stop paying 128 partitions of
+    # fixed cost; see default_num_partitions rows hint)
+    from pdftext_ray.ops import default_num_partitions
+
+    n_docs = sigs.count()
     if exact_recall:
         # inverted-shingle-index postings (perfect recall for j>0) share the
         # candidate generator with the band postings — a bucket is just a
         # co-occurrence key, and verification makes any superset exact
         postings = postings.union(_shingle_postings(sigs, id_col))
-    cands = _postings_candidate_pairs(postings, id_col, "doc_a", "doc_b")
-    return _verify_pairs_exact_jaccard(cands, sigs, id_col, "doc_a", "doc_b", threshold)
+    cands = _postings_candidate_pairs(
+        postings, id_col, "doc_a", "doc_b",
+        n_parts=default_num_partitions(rows=n_docs * bands * (6 if exact_recall else 1)),
+    )
+    return _verify_pairs_exact_jaccard(
+        cands, sigs, id_col, "doc_a", "doc_b", threshold,
+        num_partitions=default_num_partitions(per_cpu=1, lo=2, hi=64, rows=n_docs),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -693,8 +708,12 @@ def simhash_pairs(
     """
     from pdftext_ray.ops import default_num_partitions
 
-    sigs = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow")
-    n_parts = default_num_partitions()
+    # materialized: the sig table is ~40 B/doc, and the free row count sizes
+    # the bucket shuffle to the data (tiny corpora skip fixed partition cost)
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    n_parts = default_num_partitions(rows=4 * sigs.count())
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -1214,8 +1233,14 @@ def fuzzy_dedup_keepbest(
     # iterative CC rounds (a groupby per round) and the label join-back
     # shuffle — measured 21 s → ~9 s at 100k docs / 256 pairs. Past the cap
     # the fully distributed plan below takes over unchanged.
-    if pairs.count() <= small_pairs_cap:
-        return _keepbest_broadcast_labels(ds, pairs, n_parts, id_col, text_col)
+    n_pairs = pairs.count()
+    if n_pairs <= small_pairs_cap:
+        # argmax groupby only carries clustered rows (≤ 2·pairs) — size it so
+        return _keepbest_broadcast_labels(
+            ds, pairs,
+            default_num_partitions(per_cpu=2, lo=4, hi=128, rows=2 * n_pairs),
+            id_col, text_col,
+        )
 
     labels = _cluster.connected_components_distributed(pairs, "doc_a", "doc_b")
 
