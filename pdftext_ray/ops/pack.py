@@ -99,7 +99,8 @@ def pack_from_counts(
         ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Max("doc_id")
     )
     lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
-    n_parts = default_num_partitions()
+    # narrow is materialized → the row count is free; size the range shuffle
+    n_parts = default_num_partitions(rows=narrow.count())
     span = max(hi - lo + 1, 1)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:

@@ -302,8 +302,10 @@ def shuffle_rank(
     """
     from pdftext_ray.ops import default_num_partitions, from_pandas_clean
 
+    keys = ds.select_columns([key_col]).materialize()
     if n_parts is None:
-        n_parts = default_num_partitions()
+        # materialized key projection → free count sizes the rank shuffle
+        n_parts = default_num_partitions(rows=keys.count())
 
     def tag(t: pa.Table) -> pa.Table:
         col = t.column(key_col).combine_chunks()
@@ -314,7 +316,7 @@ def shuffle_rank(
             "_p": pa.array(h * n_parts // (1 << 32), pa.int64()),
         })
 
-    narrow = ds.select_columns([key_col]).map_batches(tag, batch_format="pyarrow").materialize()
+    narrow = keys.map_batches(tag, batch_format="pyarrow").materialize()
     totals = narrow.groupby("_p").aggregate(ray.data.aggregate.Count()).take_all()
     per_part = {int(r["_p"]): int(r["count()"]) for r in totals}
     base = np.zeros(n_parts + 1, dtype=np.int64)
