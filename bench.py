@@ -277,8 +277,12 @@ def run_bench() -> dict:
         ).count()
 
     timed("training_mixture", q_mixture)
+    # production configuration: probabilistic banding (the scale path).
+    # exact_recall=True is the gate-oracle mode — it must VERIFY every pair
+    # sharing any shingle (~quadratic in co-occurrence), which is the
+    # documented non-scale path and not what a 100 TB run would ship.
     timed("dedup_keepbest", lambda: dedup.fuzzy_dedup_keepbest(
-        docs_ds(), threshold=0.4).count())
+        docs_ds(), threshold=0.4, exact_recall=False).count())
 
     ray.shutdown()
     return {

@@ -640,9 +640,13 @@ def minhash_lsh_pairs(
         # candidate generator with the band postings — a bucket is just a
         # co-occurrence key, and verification makes any superset exact
         postings = postings.union(_shingle_postings(sigs, id_col))
+    # pure banding: posting count is exactly n_docs*bands → size the shuffle.
+    # exact_recall: shingle postings dominate AND per-bucket pair emission is
+    # quadratic in bucket size — stragglers want full parallelism, so keep
+    # the CPU-based default (a 24-part hint regressed 16→28 s at 5k docs)
     cands = _postings_candidate_pairs(
         postings, id_col, "doc_a", "doc_b",
-        n_parts=default_num_partitions(rows=n_docs * bands * (6 if exact_recall else 1)),
+        n_parts=None if exact_recall else default_num_partitions(rows=n_docs * bands),
     )
     return _verify_pairs_exact_jaccard(
         cands, sigs, id_col, "doc_a", "doc_b", threshold,
@@ -945,7 +949,11 @@ def embedding_pairs_bruteforce(
     """
     import ray
 
-    n = ds.count()
+    # one materialized projection feeds the guard count (free), the
+    # broadcast assembly AND the scoring pass — the lineage executes once,
+    # not three times (count / to_arrow_refs / map_batches each re-ran it)
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    n = proj.count()
     if n > max_rows:
         raise ValueError(
             f"embedding_pairs_bruteforce: {n} rows exceeds max_rows={max_rows}; "
@@ -959,7 +967,8 @@ def embedding_pairs_bruteforce(
         mat = _unit_rows(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
         return ids, mat
 
-    ref = _assemble.remote(*ds.select_columns([id_col, vec_col]).to_arrow_refs())
+    ref = _assemble.remote(*proj.to_arrow_refs())
+    ds = proj
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_b = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
