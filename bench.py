@@ -57,6 +57,13 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # map_groups partitions that receive zero rows make Ray emit a schema-less
+    # empty RefBundle and log a benign "different schema" WARNING before the
+    # group fn is ever invoked — internal to Ray's shuffle, not an op defect
+    # (typed-empty discipline for OUR emitters is invariant 12 in CLAUDE.md).
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import pyarrow.parquet as pq
 
