@@ -19,6 +19,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+import pdftext_ray  # noqa: F401  (sets OpenBLAS env before numpy when standalone)
 import numpy as np
 import pyarrow.parquet as pq
 

@@ -24,6 +24,8 @@ import subprocess
 import sys
 import time
 
+import pdftext_ray  # noqa: F401  (sets OpenBLAS env before ray/numpy load)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "20"))

@@ -13,6 +13,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.getcwd())
+import pdftext_ray  # noqa: E402,F401  (sets OpenBLAS env before ray/numpy load)
+
 import duckdb
 import numpy as np
 import pandas as pd

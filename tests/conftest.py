@@ -1,3 +1,4 @@
+import pdftext_ray  # noqa: F401  (sets OpenBLAS env before ray/numpy load)
 import pytest
 import ray
 
