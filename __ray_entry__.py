@@ -1338,7 +1338,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_users": f"SELECT value, est_count FROM read_parquet('{p['expected_cms']}')",
         "events_props_summary": (
             "SELECT event_type, count(*) AS n, "
-            "sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS sum_k, "
+            # CAST the sum itself: DuckDB sum(BIGINT) returns HUGEINT, which
+            # pandas renders as float64 — the engine emits int64 and the
+            # driver's value hash is dtype-sensitive (VERDICT r2 item 1).
+            "CAST(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k, "
             "round(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_k "
             "FROM events GROUP BY event_type"
         ),

@@ -54,6 +54,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
     g, w = canon(got), canon(want)
     for c in g.columns:
         gv, wv = g[c], w[c]
+        # dtype-KIND mismatch (int vs float vs object) is a driver hash
+        # failure even when the values coerce equal — fail it here so the
+        # local gate can't pass what the driver fails (VERDICT r2 item 2).
+        gk = "i" if gv.dtype.kind in "iu" else gv.dtype.kind
+        wk = "i" if wv.dtype.kind in "iu" else wv.dtype.kind
+        if gk != wk:
+            issues.append(f"col {c} dtype kind mismatch: {gv.dtype} != {wv.dtype}")
+            continue
         if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
             exact = (gv.astype(float).values == wv.astype(float).values) | (
                 pd.isna(gv).values & pd.isna(wv).values
