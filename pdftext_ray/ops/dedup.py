@@ -11,6 +11,7 @@ pre-shrunk shingle-hash arrays needed for candidate verification.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Optional
 
 import numpy as np
@@ -333,13 +334,26 @@ def _postings_candidate_pairs(
         starts = np.flatnonzero(np.r_[True, buckets_arr[1:] != buckets_arr[:-1]])
         ends = np.r_[starts[1:], len(buckets_arr)]
         out_a, out_b = [], []
+        n_pruned = 0
         for s0, e0 in zip(starts, ends):
             k = e0 - s0
-            if k < 2 or (max_doc_freq is not None and k > max_doc_freq):
+            if k < 2:
+                continue
+            if max_doc_freq is not None and k > max_doc_freq:
+                n_pruned += 1
                 continue
             ia, ib = np.triu_indices(k, 1)
             out_a.append(ids_arr[s0:e0][ia])
             out_b.append(ids_arr[s0:e0][ib])
+        if n_pruned:
+            # no silent caps: say how many hot buckets the recall knob dropped
+            logging.getLogger("pdftext_ray.dedup").warning(
+                "candidate generation pruned %d bucket(s) hotter than "
+                "max_doc_freq=%d in this partition; pairs supported ONLY by "
+                "pruned buckets are missed (recall knob)",
+                n_pruned,
+                max_doc_freq,
+            )
         if not out_a:
             empty = g[id_col].iloc[:0]
             return from_pandas_clean(pd.DataFrame({a_col: empty, b_col: empty}))
@@ -799,6 +813,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: Optional[int] = None,
+    hot_df_limit: Optional[int] = 1000,
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity self-join (pairs ≥ threshold).
 
@@ -824,6 +839,15 @@ def ngram_jaccard_pairs(
     per-bucket work at C(N,2) while keeping every EMITTED jaccard value
     exact; only pairs whose shared grams are ALL hotter than N can be
     missed (a recall knob, like LSH banding — default None is fully exact).
+
+    The exact default is DF-GUARDED, not silently quadratic: any gram whose
+    document frequency exceeds ``hot_df_limit`` (default 1000 → up to
+    C(1000,2) ≈ 500k emitted rows for that one gram) raises with the df and
+    the two remedies (``max_doc_freq=N`` for the bounded two-phase plan, or
+    a higher explicit limit to accept the cost). ``hot_df_limit=None``
+    restores the unguarded exact plan. In the two-phase plan the pruned
+    (dropped) gram-bucket count is logged per partition — no silent caps in
+    either direction.
     """
     if max_doc_freq is not None:
         def gram_sets(batch: pa.Table) -> pa.Table:
@@ -881,6 +905,14 @@ def ngram_jaccard_pairs(
             k = e0 - s0
             if k < 2:
                 continue
+            if hot_df_limit is not None and k > hot_df_limit:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: gram with doc_freq={k} exceeds "
+                    f"hot_df_limit={hot_df_limit}; exact emission costs "
+                    f"C(df,2)={k * (k - 1) // 2} pair rows for this one gram. "
+                    "Pass max_doc_freq=N for the DF-pruned two-phase plan, or "
+                    "raise hot_df_limit explicitly to accept the cost."
+                )
             ia, ib = np.triu_indices(k, 1)
             o_a.append(ids_arr[s0:e0][ia])
             o_b.append(ids_arr[s0:e0][ib])

@@ -40,21 +40,42 @@ import ray.data
 
 @ray.remote(num_cpus=0.25)
 class _SeenShard:
-    """One hash-partitioned slice of the shared seen-set."""
+    """One hash-partitioned slice of the shared seen-set.
+
+    Offers are IDEMPOTENT per batch: each carries a fingerprint of the full
+    originating batch (all columns, Arrow IPC bytes), and a replayed offer —
+    a Ray task retry after worker death/OOM re-running the same block —
+    returns the cached answer instead of re-counting (ADVICE r2). The replay
+    cache stores only the batch's duplicate positions (first-seen rows need
+    no entry), so its memory is O(#batches + #duplicate rows)/shard; a
+    production deployment would evict entries behind a checkpoint barrier."""
 
     def __init__(self):
         self._counts: dict = {}
+        self._done: dict = {}
 
-    def offer(self, keys: List[bytes]) -> List[int]:
+    def offer(self, batch_fp: bytes, keys: List[bytes]) -> List[int]:
         """Atomically record each key and return its PRIOR occurrence count
         (0 = first seen in the whole stream). One message per batch-shard
         pair — the actor's single-threaded event loop IS the atomicity."""
+        cached = self._done.get(batch_fp)
+        if cached is not None:
+            n, dup_idx, dup_val = cached
+            out = [0] * n
+            for i, v in zip(dup_idx, dup_val):
+                out[i] = v
+            return out
         counts = self._counts
         out = []
         for k in keys:
             c = counts.get(k, 0)
             counts[k] = c + 1
             out.append(c)
+        self._done[batch_fp] = (
+            len(out),
+            [i for i, v in enumerate(out) if v],
+            [v for v in out if v],
+        )
         return out
 
     def totals(self) -> List[tuple]:
@@ -74,6 +95,19 @@ def _route(keys: List[bytes], n_shards: int) -> np.ndarray:
     return np.array([int.from_bytes(k[:4], "big") % n_shards for k in keys], dtype=np.int64)
 
 
+def _batch_fingerprint(t: pa.Table) -> bytes:
+    """Identity of a batch for replay absorption: md5 over the batch's Arrow
+    IPC bytes (ALL columns). A Ray task retry reprocesses the identical
+    block → identical fingerprint → the shard returns its cached answer.
+    Two byte-identical batches (every column equal, ids included) are
+    indistinguishable from a retry by construction — with a unique id column
+    in the stream that cannot occur."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.md5(sink.getvalue()).digest()
+
+
 def streaming_dedup(
     ds: ray.data.Dataset,
     n_shards: int = 8,
@@ -81,26 +115,35 @@ def streaming_dedup(
 ) -> ray.data.Dataset:
     """Keep the FIRST-ARRIVING row per exact text; duplicates drop as they
     stream past the shared index. Survivor choice follows arrival order (see
-    module docstring); the surviving key set and count are deterministic."""
+    module docstring); the surviving key set and count are deterministic.
+
+    The result is MATERIALIZED before returning: the dedup pass mutates the
+    shard index as a side effect, so executing the lineage twice (a consumer
+    calling count() then take_all(), or Ray reconstructing evicted blocks)
+    would re-offer every key against the already-populated index and return
+    zero rows (ADVICE r2). Pinning the blocks makes the side-effectful pass
+    run exactly once; per-batch replay absorption (``_batch_fingerprint``)
+    additionally makes task RETRIES within that single pass idempotent."""
     shards = [_SeenShard.remote() for _ in range(n_shards)]
 
     def dedup_batch(t: pa.Table) -> pa.Table:
         keys = _digest16(t.column(text_col).to_pylist())
         if not keys:
             return t
+        fp = _batch_fingerprint(t)
         shard_of = _route(keys, n_shards)
         prior = np.empty(len(keys), dtype=np.int64)
         futures, slots = [], []
         for s in range(n_shards):
             idx = np.flatnonzero(shard_of == s)
             if len(idx):
-                futures.append(shards[s].offer.remote([keys[i] for i in idx]))
+                futures.append(shards[s].offer.remote(fp, [keys[i] for i in idx]))
                 slots.append(idx)
         for idx, res in zip(slots, ray.get(futures)):
             prior[idx] = res
         return t.filter(pa.array(prior == 0))
 
-    return ds.map_batches(dedup_batch, batch_format="pyarrow")
+    return ds.map_batches(dedup_batch, batch_format="pyarrow").materialize()
 
 
 def streaming_dedup_counts(
@@ -119,12 +162,13 @@ def streaming_dedup_counts(
         keys = _digest16(t.column(text_col).to_pylist())
         if not keys:
             return t.select([text_col])
+        fp = _batch_fingerprint(t)
         shard_of = _route(keys, n_shards)
         futures, slots = [], []
         for s in range(n_shards):
             idx = np.flatnonzero(shard_of == s)
             if len(idx):
-                futures.append(shards[s].offer.remote([keys[i] for i in idx]))
+                futures.append(shards[s].offer.remote(fp, [keys[i] for i in idx]))
                 slots.append(idx)
         prior = np.empty(len(keys), dtype=np.int64)
         for idx, res in zip(slots, ray.get(futures)):

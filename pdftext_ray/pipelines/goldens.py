@@ -519,6 +519,7 @@ def expected_pq_table(
     m: int = 16,
     ksub: int = 16,
     iters: int = 8,
+    max_train: int = 100_000,
 ) -> pa.Table:
     """Golden PQ top-k — scalar per-row/per-centroid loops throughout (the
     Ray op trains and encodes with broadcast tensors). Shares only the
@@ -539,9 +540,15 @@ def expected_pq_table(
     d = unit.shape[1]
     dsub = d // m
 
+    # mirror pq_topk's driver-memory guard: codebooks train on the id-sorted
+    # PREFIX capped at max_train rows (ops/similarity._deterministic_sample
+    # with sample_fraction=1.0); the scan below still covers ALL rows. On
+    # any corpus beyond max_train embeddings the two sides would otherwise
+    # train on different sets and diverge (ADVICE r2).
+    train = unit[:max_train]
     codebooks = []
     for s in range(m):
-        sub = unit[:, s * dsub : (s + 1) * dsub]
+        sub = train[:, s * dsub : (s + 1) * dsub]
         cents = [round_half_away(sub[c].copy(), 6) for c in range(ksub)]
         for _ in range(iters):
             assign = []

@@ -78,8 +78,10 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -96,6 +98,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if extras:
+        qs = {**qs, **entry.extra_queries()}
+        oracles = {**oracles, **entry.extra_oracle_sql()}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -218,6 +218,29 @@ def test_ngram_max_doc_freq_two_phase_exact_values():
         assert fmap[(r["id_a"], r["id_b"])] == r["jaccard"]
 
 
+def test_ngram_hot_df_guard_fires_and_is_optoutable():
+    """The exact plan is DF-guarded by default (VERDICT r2 item 3): a gram
+    hotter than hot_df_limit raises instead of silently emitting C(df,2)
+    rows; None opts back into the unguarded exact plan with identical
+    values."""
+    import pytest
+
+    # one shared 3-gram across 12 docs, unique tails → df=12 for the head gram
+    texts = [f"common shared gram tail{i} filler{i} more{i}" for i in range(12)]
+    ids = list(range(len(texts)))
+
+    def mk():
+        return ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    with pytest.raises(Exception, match="hot_df_limit"):
+        dedup.ngram_jaccard_pairs(mk(), threshold=0.1, hot_df_limit=10).to_pandas()
+
+    unguarded = dedup.ngram_jaccard_pairs(mk(), threshold=0.1, hot_df_limit=None).to_pandas()
+    default_ok = dedup.ngram_jaccard_pairs(mk(), threshold=0.1).to_pandas()  # df=12 < 1000
+    assert len(unguarded) == len(default_ok) == 12 * 11 // 2
+    assert sorted(unguarded["jaccard"]) == sorted(default_ok["jaccard"])
+
+
 def test_hash_sampling_and_split_deterministic():
     from pdftext_ray.ops import sampling
 

@@ -485,3 +485,32 @@ def test_streaming_dedup_shared_index():
         _h.md5(t.encode()).hexdigest(): texts.count(t) for t in set(texts)
     }
     assert dict(zip(counts["text_hash"], counts["dup_count"])) == want
+
+
+def test_streaming_dedup_result_survives_reexecution():
+    """streaming_dedup materializes its result: consuming it twice (or Ray
+    reconstructing blocks from lineage) must NOT re-offer keys against the
+    already-populated index and come back empty (ADVICE r2)."""
+    from pdftext_ray.ops import streaming
+
+    texts = [BASE, BASE, BASE + " z"]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+    out = streaming.streaming_dedup(ds, n_shards=2)
+    assert out.count() == 2
+    assert len(out.take_all()) == 2  # second consumption, same answer
+
+
+def test_streaming_shard_offer_replay_absorbed():
+    """A Ray task retry re-offers the SAME batch (same fingerprint): the
+    shard must return the cached answer and leave totals untouched."""
+    from pdftext_ray.ops import streaming
+
+    shard = streaming._SeenShard.remote()
+    keys = [b"a" * 16, b"b" * 16, b"a" * 16]
+    first = ray.get(shard.offer.remote(b"batch-1", keys))
+    replay = ray.get(shard.offer.remote(b"batch-1", keys))
+    assert first == replay == [0, 0, 1]
+    assert dict(ray.get(shard.totals.remote())) == {b"a" * 16: 2, b"b" * 16: 1}
+    # a DIFFERENT batch with the same keys is genuinely new input
+    second = ray.get(shard.offer.remote(b"batch-2", keys))
+    assert second == [2, 1, 3]
