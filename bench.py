@@ -131,6 +131,8 @@ def run_bench() -> dict:
     extras["n_docs"] = n_docs
 
     # sampled exact-match rate vs the single-doc oracle (seeded 200-doc sample)
+    verify_state = {}
+
     def q_verify():
         import numpy as np
         import pyarrow.compute as pc
@@ -164,14 +166,23 @@ def run_bench() -> dict:
             if sorted(got.get(doc["doc_id"], [])) == sorted(want):
                 matches += 1
         extras["exact_match_rate"] = round(matches / len(sample_ids), 4)
+        verify_state["got"] = got
+        verify_state["sample_ids"] = sample_ids
 
+    def q_alignment():
         # alignment score (reference benchmark's rapidfuzz metric stand-in,
         # pdftext benchmark/benchmark.py:96-99): mean difflib ratio between
-        # pipeline and oracle text on the sample
+        # pipeline and oracle text on the sample. Timed SEPARATELY from
+        # verify_sample — it is driver-side difflib by nature (VERDICT r2
+        # item 8) and must not pollute the verification timing.
         import difflib
 
+        from pdftext_ray.corpus import generate_document
+        from pdftext_ray.kernel.document import extract_document
+
+        got = verify_state["got"]
         ratios = []
-        for i in sample_ids[:50]:
+        for i in verify_state["sample_ids"][:50]:
             doc = generate_document(i, SEED)
             res = extract_document([s["text"] for s in doc["spans"] if s["kind"] == "text"])
             want_text = "".join(s["text"] for s in res["spans"])
@@ -181,6 +192,8 @@ def run_bench() -> dict:
 
     if os.path.isdir(os.path.join(out_dir, "spans")):
         timed("verify_sample", q_verify)
+        if "got" in verify_state:
+            timed("verify_alignment", q_alignment)
 
     from pdftext_ray.storage import read_table
 
@@ -212,8 +225,14 @@ def run_bench() -> dict:
         cluster.connected_components_distributed(pairs).count()
 
     timed("dedup_clusters", q_clusters)
+    # the exact O(n²) baseline AND the hyperplane-LSH path: the LSH number is
+    # the one that scales (the 100 TB plan — VERDICT r2 item 8); the brute
+    # number is the guarded exact baseline it trades against at this size
     timed("embedding_pairs", lambda: dedup.embedding_pairs_bruteforce(
         sf_read("embeddings", ["vec_id", "embedding"]), threshold=0.4).count())
+    timed("embedding_pairs_lsh", lambda: dedup.embedding_dup_pairs(
+        sf_read("embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, n_planes=8, probe_radius=1).count())
 
     def q_similarity():
         emb = sf_read("embeddings", ["vec_id", "embedding"])

@@ -81,6 +81,30 @@ def _filter_pages(ds, pages: Optional[List[int]]):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _max_doc_pages(ds) -> int:
+    """Longest document's page count (= max per-row count of text spans),
+    computed with one vectorized pass — feeds CLI page-range validation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans").combine_chunks()
+        if len(col) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        flat = col.flatten()
+        is_text = pc.cast(pc.equal(flat.field("kind"), "text"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        offs = np.asarray(col.offsets)
+        cs = np.r_[0, np.cumsum(is_text)].astype(np.int64)
+        per_row = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+        return pa.table({"n": pa.array([int(per_row.max(initial=0))], pa.int64())})
+
+    res = ds.map_batches(batch_max, batch_format="pyarrow").max("n")
+    return int(res or 0)
+
+
 def cmd_extract(args) -> int:
     _ray_session(args.workers)
     from pdftext_ray.kernel.document import ExtractConfig
@@ -92,6 +116,7 @@ def cmd_extract(args) -> int:
         hyphens=args.keep_hyphens,
         disable_links=args.disable_links,
         keep_chars=args.keep_chars,
+        flatten_pdf=args.flatten_pdf,
     )
     pages = parse_range_str(args.pages) if args.pages else None
 
@@ -110,7 +135,25 @@ def cmd_extract(args) -> int:
         print(res)
         return 0
 
-    ds = _filter_pages(P.read_documents(args.input), pages)
+    ds = P.read_documents(args.input)
+    if pages is not None:
+        # the reference ERRORS on a page range beyond the document
+        # (scripts/extract_text.py:38-43: assert all pages < doc length);
+        # the table analog validates against the longest document instead of
+        # silently filtering a page that exists nowhere
+        if pages[0] < 0:
+            print(f"Invalid page range: negative page {pages[0]}", file=sys.stderr)
+            return 2
+        doc_len = _max_doc_pages(ds)
+        bad = [p for p in pages if p >= doc_len]
+        if bad:
+            print(
+                f"Invalid page range: page {bad[0]} out of bounds "
+                f"(longest document has {doc_len} pages)",
+                file=sys.stderr,
+            )
+            return 2
+    ds = _filter_pages(ds, pages)
     if args.limit:
         ds = ds.limit(args.limit)
     if args.mode == "spans":
@@ -161,6 +204,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pe.add_argument("--keep-hyphens", action="store_true")
     pe.add_argument("--disable-links", action="store_true")
     pe.add_argument("--keep-chars", action="store_true")
+    pe.add_argument("--flatten-pdf", action="store_true",
+                    help="merge form-field text into page content (FPDFPage_Flatten analog)")
     pe.add_argument("--workers", type=int, default=None, help="ray num_cpus")
     pe.add_argument("--limit", type=int, default=None, help="max docs (reference --max)")
     pe.add_argument("--stdout", action="store_true", help="print results instead of writing")

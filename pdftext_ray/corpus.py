@@ -68,6 +68,7 @@ CASES = [
     "char_rotation",
     "combo",          # links + media + superscript + soft hyphen in one doc
     "rotated_media",  # 90° rotation with interleaved media
+    "form_fields",    # form-annotation text visible ONLY under flatten_pdf=True
 ]
 NUM_CASES = len(CASES)
 
@@ -87,13 +88,17 @@ class _PageLayout:
         self.w = writer
         self.rotation = rotation
         self.y = 40.0
+        # when True, chars route to the form-field (annotation) columns —
+        # extracted only under flatten_pdf=True (payload.py AS/AF/AR/AB)
+        self.form_mode = False
 
     def _emit(self, ch: str, box: List[float], font, char_rot: float = 0.0) -> None:
         # layout (top-left) coords → raw pdfium payload coords; inverse of the
         # decoder's shift+flip (pdftext/pdf/chars.py:26-34)
         raw = [box[0] + ORIGIN_X, (PAGE_H - box[1]) + ORIGIN_Y,
                box[2] + ORIGIN_X, (PAGE_H - box[3]) + ORIGIN_Y]
-        self.w.add_char(ch, raw, font, rotation=char_rot)
+        add = self.w.add_form_char if self.form_mode else self.w.add_char
+        add(ch, raw, font, rotation=char_rot)
 
     def line(
         self,
@@ -276,6 +281,17 @@ def generate_document(index: int, seed: int = 42, profile: str = "mixed") -> dic
                 lay.add_media(ref, media_count)
                 media_count += 1
             lay.paragraph_gap()
+
+        if case == "form_fields":
+            # form-field appearance text: same layout machinery, routed to
+            # the annotation columns — a flatten_pdf=False extraction must
+            # not see it, flatten_pdf=True must extract it as a normal block
+            # (reference FPDFPage_Flatten, pdf/utils.py:14-17)
+            lay.paragraph_gap()
+            lay.form_mode = True
+            lay.line(["field", f"entry{index % 37}", "value"], font_idx=3)
+            lay.line(rand_words(3), font_idx=3)
+            lay.form_mode = False
 
         if case in ("links", "combo") and n_paras:
             # external URI over the first word region + internal GoTo links

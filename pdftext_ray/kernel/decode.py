@@ -137,10 +137,27 @@ def _scale_rect(rect, x_start, y_start, page_width, page_height, page_rotation, 
     return g.rotate(bbox, page_width, page_height, page_rotation)
 
 
-def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
+def decode_page(payload: str, quote_loosebox: bool = True, flatten: bool = False) -> DecodedPage:
+    """Parse the synthetic payload format, then run the shared raw→decoded
+    transform. Alternative input formats plug in at :func:`decode_raw` via a
+    DecoderBackend (kernel/backend.py) — they build a RawPage (raw
+    pdfium-space columns) however they like and share this exact transform."""
+    return decode_raw(parse_payload(payload), quote_loosebox, flatten)
+
+
+def decode_raw(raw: RawPage, quote_loosebox: bool = True, flatten: bool = False) -> DecodedPage:
     import numpy as np
 
-    raw: RawPage = parse_payload(payload)
+    if flatten and len(raw.acp):
+        # FPDFPage_Flatten analog (reference pdftext/pdf/utils.py:14-17 +
+        # pdftext/extraction.py:18-24): form-field appearance streams become
+        # page content, APPENDED after the existing content stream — so the
+        # whole downstream chain (dedup/spans/lines/blocks) sees the form
+        # chars as ordinary chars. flatten=False leaves them invisible.
+        raw.cp = np.concatenate([raw.cp, raw.acp])
+        raw.cf = np.concatenate([raw.cf, raw.acf])
+        raw.cr = np.concatenate([raw.cr, raw.acr])
+        raw.cb = np.concatenate([raw.cb.reshape(-1, 4), raw.acb])
     out = DecodedPage()
     out.page_idx = raw.page_idx
     out.page_bbox = raw.page_bbox
@@ -226,7 +243,7 @@ def decode_page(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     return _finish_links(out, raw, x_start, y_start, page_width, page_height)
 
 
-def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
+def decode_page_dedup(payload: str, quote_loosebox: bool = True, flatten: bool = False) -> DecodedPage:
     """decode_page fused with vectorized M1 word dedup.
 
     The reference's word fold (pdftext/pdf/chars.py:58-115) breaks a word when
@@ -236,9 +253,14 @@ def decode_page_dedup(payload: str, quote_loosebox: bool = True) -> DecodedPage:
     texts by slicing one joined string. Only the keep-first key dedup is a
     (short) Python loop over words. Equivalent to decode_page +
     cluster.deduplicate_chars (property-tested on every corpus case)."""
+    return dedup_decoded(decode_page(payload, quote_loosebox, flatten))
+
+
+def dedup_decoded(page: DecodedPage) -> DecodedPage:
+    """The fused vectorized M1 word dedup over an already-decoded page —
+    backend-agnostic half of :func:`decode_page_dedup`."""
     import numpy as np
 
-    page = decode_page(payload, quote_loosebox)
     arr = page.arrays
     if arr is None:
         return page

@@ -29,7 +29,11 @@ class ExtractConfig:
     (pdftext/extraction.py:93-101, pdftext/pdf/pages.py:260-266)."""
 
     quote_loosebox: bool = True
-    flatten_pdf: bool = False  # no-op for the synthetic payload; kept for parity
+    # merge form-field (annotation) char streams into page content before
+    # decode — the FPDFPage_Flatten + init_forms analog (reference
+    # pdftext/pdf/utils.py:14-17, pdftext/extraction.py:18-24). False leaves
+    # form text invisible, exactly like an un-flattened pdfium text page.
+    flatten_pdf: bool = False
     superscript_height_threshold: float = 0.7
     line_distance_threshold: float = 0.1
     disable_links: bool = False
@@ -78,12 +82,18 @@ def process_page(decoded: DecodedPage, cfg: ExtractConfig = DEFAULT_CONFIG, pre_
     }
 
 
-def process_document(payloads: List[str], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[dict]:
-    """Decode + cluster every page, then resolve links document-wide."""
-    pages = [
-        process_page(decode_page_dedup(p, cfg.quote_loosebox), cfg, pre_deduped=True)
-        for p in payloads
-    ]
+def process_document(payloads: List[str], cfg: ExtractConfig = DEFAULT_CONFIG, backend=None) -> List[dict]:
+    """Decode + cluster every page, then resolve links document-wide.
+
+    ``backend`` is a kernel.backend.DecoderBackend for alternative page-source
+    formats (None = the default synthetic-payload decode, same semantics as
+    backend=PayloadBackend())."""
+    decode = (
+        (lambda p: decode_page_dedup(p, cfg.quote_loosebox, cfg.flatten_pdf))
+        if backend is None
+        else (lambda p: backend.decode(p, cfg.quote_loosebox, cfg.flatten_pdf))
+    )
+    pages = [process_page(decode(p), cfg, pre_deduped=True) for p in payloads]
     if not cfg.disable_links:
         klinks.add_links_and_refs(pages, [pg["links"] for pg in pages])
     else:
@@ -221,9 +231,9 @@ def span_sequence(pages: List[dict]) -> List[dict]:
     return seq
 
 
-def extract_document(payloads: List[str], cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
+def extract_document(payloads: List[str], cfg: ExtractConfig = DEFAULT_CONFIG, backend=None) -> dict:
     """One-call flagship: payloads → span sequence + per-doc metrics."""
-    pages = process_document(payloads, cfg)
+    pages = process_document(payloads, cfg, backend=backend)
     seq = span_sequence(pages)
     return {
         "spans": seq,

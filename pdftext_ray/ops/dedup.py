@@ -1002,27 +1002,40 @@ def embedding_pairs_bruteforce(
     ref = _assemble.remote(*proj.to_arrow_refs())
     ds = proj
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids_b) == 0:
+    class _Pairs:
+        """Actor-pool scorer: the broadcast (ids, unit-matrix) pair is
+        fetched ONCE per actor in __init__ (VERDICT r2: a per-batch ray.get
+        re-deserializes the id array every batch; plasma makes the bytes
+        near-free on a node, the numpy view reconstruction is not)."""
+
+        def __init__(self):
+            self.ids_o, self.mat_o = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_b = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids_b) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                    names=["id_a", "id_b", "cosine"],
+                )
+            vecs_b = _unit_rows(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            sims = vecs_b @ self.mat_o.T
+            bi, oj = np.nonzero((sims >= threshold) & (ids_b[:, None] < self.ids_o[None, :]))
             return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                [
+                    pa.array(ids_b[bi], pa.int64()),
+                    pa.array(self.ids_o[oj], pa.int64()),
+                    pa.array(round_half_away(sims[bi, oj], 4), pa.float64()),
+                ],
                 names=["id_a", "id_b", "cosine"],
             )
-        vecs_b = _unit_rows(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
-        ids_o, mat_o = ray.get(ref)
-        sims = vecs_b @ mat_o.T
-        bi, oj = np.nonzero((sims >= threshold) & (ids_b[:, None] < ids_o[None, :]))
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids_b[bi], pa.int64()),
-                pa.array(ids_o[oj], pa.int64()),
-                pa.array(round_half_away(sims[bi, oj], 4), pa.float64()),
-            ],
-            names=["id_a", "id_b", "cosine"],
-        )
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    from pdftext_ray.ops import default_num_partitions
+
+    return ds.map_batches(
+        _Pairs, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, default_num_partitions()),
+    )
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:

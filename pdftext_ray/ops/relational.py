@@ -24,15 +24,26 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
     l_linestatus, sum_qty, sum_base_price, sum_disc_price, n_rows.
     """
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            n_rows=("l_quantity", "size"),
+        # pure-Arrow partial aggregate (VERDICT r2: no pandas round-trip in
+        # the wide per-batch stage; the tiny post-shuffle shape still uses it)
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return from_pandas_clean(g)
+        g = batch.append_column("disc_price", disc).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate([
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("disc_price", "sum"),
+            ("l_quantity", "count"),
+        ])
+        return g.rename_columns([
+            "l_returnflag", "l_linestatus",
+            "sum_qty", "sum_base_price", "sum_disc_price", "n_rows",
+        ])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -69,13 +80,14 @@ def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     oracle comparison is null-convention independent.
     """
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            n_rows=("l_quantity", "size"),
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("l_quantity", "count"),
+        ])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
         )
-        return from_pandas_clean(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     base = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(

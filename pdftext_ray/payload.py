@@ -18,6 +18,13 @@ text parsing; a real PDF's content stream is binary too):
     CF|<b64 int32 LE>                    per-char font ids
     CR|<b64 float64 LE>                  per-char angles
     CB|<b64 float64 LE, 4N>              RAW charboxes (pre-shift/pre-flip)
+    AS/AF/AR/AB|<b64 ...>                form-field (annotation) char columns,
+                                         same encodings as CS/CF/CR/CB; the
+                                         decoder appends them to the content
+                                         stream ONLY when flatten=True (the
+                                         FPDFPage_Flatten analog — reference
+                                         pdftext/pdf/utils.py:14-17,
+                                         pdftext/extraction.py:18-24)
     M|ref|x1,y1,x2,y2|offset             media item (top-left PRE-rotation coords;
                                          the decoder applies page rotation)
     L|x1,y1,x2,y2|dest_page|dx,dy|url    link annotation (raw rect + dest)
@@ -57,6 +64,10 @@ class PayloadWriter:
         self._cf: List[int] = []
         self._cr: List[float] = []
         self._cb: List[float] = []
+        self._acp: List[int] = []
+        self._acf: List[int] = []
+        self._acr: List[float] = []
+        self._acb: List[float] = []
         self.extra: List[str] = []
 
     def _font_id(self, name: str, flags: int, size: float, weight: float) -> int:
@@ -75,6 +86,14 @@ class PayloadWriter:
         self._cf.append(self._font_id(font[0], font[1], font[2], font[3]))
         self._cr.append(float(rotation))
         self._cb.extend((float(bbox[0]), float(bbox[1]), float(bbox[2]), float(bbox[3])))
+
+    def add_form_char(self, ch: str, bbox: Sequence[float], font: Sequence, rotation: float = 0.0) -> None:
+        """A form-field appearance char: part of the page ONLY when the
+        decoder runs with flatten=True (FPDFPage_Flatten analog)."""
+        self._acp.append(ord(ch))
+        self._acf.append(self._font_id(font[0], font[1], font[2], font[3]))
+        self._acr.append(float(rotation))
+        self._acb.extend((float(bbox[0]), float(bbox[1]), float(bbox[2]), float(bbox[3])))
 
     def add_media(self, media_ref: str, bbox: Sequence[float], offset: int) -> None:
         # bbox: top-left PRE-rotation layout coords (decoder rotates)
@@ -106,6 +125,11 @@ class PayloadWriter:
             lines.append("CF|" + _b64(np.asarray(self._cf, dtype="<i4")))
             lines.append("CR|" + _b64(np.asarray(self._cr, dtype="<f8")))
             lines.append("CB|" + _b64(np.asarray(self._cb, dtype="<f8")))
+        if self._acp:
+            lines.append("AS|" + _b64(np.asarray(self._acp, dtype="<i4")))
+            lines.append("AF|" + _b64(np.asarray(self._acf, dtype="<i4")))
+            lines.append("AR|" + _b64(np.asarray(self._acr, dtype="<f8")))
+            lines.append("AB|" + _b64(np.asarray(self._acb, dtype="<f8")))
         lines.extend(self.extra)
         return "\n".join(lines)
 
@@ -114,6 +138,7 @@ class RawPage:
     """Parsed (undecoded) payload: raw numpy columns exactly as serialized."""
 
     __slots__ = ("page_idx", "page_bbox", "rotation", "cp", "cf", "cr", "cb",
+                 "acp", "acf", "acr", "acb",
                  "media", "links", "tables", "img_size", "fonts")
 
     def __init__(self):
@@ -124,6 +149,10 @@ class RawPage:
         self.cf = np.empty(0, dtype=np.int64)        # font ids
         self.cr = np.empty(0, dtype=np.float64)      # char angles
         self.cb = np.empty((0, 4), dtype=np.float64)  # raw charboxes
+        self.acp = np.empty(0, dtype=np.int64)       # form-field (flatten-only) columns
+        self.acf = np.empty(0, dtype=np.int64)
+        self.acr = np.empty(0, dtype=np.float64)
+        self.acb = np.empty((0, 4), dtype=np.float64)
         self.media: List[tuple] = []                  # (ref, bbox[4], offset)
         self.links: List[dict] = []                   # {rect, dest_page, dest_pos, url}
         self.tables: List[List[float]] = []
@@ -157,6 +186,14 @@ def parse_payload(payload: str) -> RawPage:
             page.cr = _b64_f8(body)
         elif tag == "CB":
             page.cb = _b64_f8(body).reshape(-1, 4)
+        elif tag == "AS":
+            page.acp = _b64_i(body)
+        elif tag == "AF":
+            page.acf = _b64_i(body)
+        elif tag == "AR":
+            page.acr = _b64_f8(body)
+        elif tag == "AB":
+            page.acb = _b64_f8(body).reshape(-1, 4)
         elif tag == "F":
             name, flags, size, weight = body.split("|")
             fonts.append((unquote(name), int(flags), float(size), float(weight)))

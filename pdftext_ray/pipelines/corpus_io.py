@@ -24,7 +24,7 @@ from pdftext_ray.kernel.document import ExtractConfig, extract_document
 from pdftext_ray.stages import schemas
 
 
-CORPUS_FORMAT_VERSION = 7  # bump when payload format / generator / oracle semantics change;
+CORPUS_FORMAT_VERSION = 8  # bump when payload format / generator / oracle semantics change;
 # cache paths derive their v{N} suffix from this (see __ray_entry__, bench.py)
 
 

@@ -341,7 +341,10 @@ class PageExtractor:
         states = []
         for p in payloads:
             try:
-                page = process_page(decode_page_dedup(p, self.cfg.quote_loosebox), self.cfg, pre_deduped=True)
+                page = process_page(
+                    decode_page_dedup(p, self.cfg.quote_loosebox, self.cfg.flatten_pdf),
+                    self.cfg, pre_deduped=True,
+                )
                 states.append(pickle.dumps(page, protocol=pickle.HIGHEST_PROTOCOL))
             except Exception:
                 # per-page error isolation, mirroring DocumentExtractor: the
