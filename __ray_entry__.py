@@ -552,6 +552,14 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Exact substring-level dedup (windowed Lee et al. 2022): remove every
+    non-first occurrence of any duplicated 8-token window corpus-wide."""
+    from pdftext_ray.ops import dedup
+
+    return dedup.substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pairs → DISTRIBUTED connected components (star
     contraction, ops/cluster.py:74) → cluster ids. The shipped scale path is
@@ -1539,6 +1547,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "sample_quantiles": _q_sample_quantiles,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
+        "substring_dedup": _q_substring_dedup,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
         "similarity_topk": _q_similarity_topk,
@@ -2083,6 +2092,26 @@ def _full_oracle_sql() -> dict[str, str]:
             "GROUP BY user_id ORDER BY round(sum(value), 2) DESC, user_id ASC LIMIT 10"
         ),
         "filter_project": "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
+        # windowed exact-substring dedup (ops/dedup.substring_dedup docstring
+        # defines the token-level semantics this SQL mirrors; the
+        # doc_id*1000000+i canonical encoding assumes <1M tokens per doc)
+        "substring_dedup": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w "
+            "FROM toks, UNNEST(range(1, len(t)-8+2)) AS r(i)), "
+            "canon AS (SELECT w, min(doc_id*1000000+i) AS c FROM win GROUP BY w HAVING count(*) > 1), "
+            "rem AS (SELECT DISTINCT win.doc_id, j "
+            "FROM win JOIN canon ON win.w = canon.w AND win.doc_id*1000000+win.i <> canon.c, "
+            "UNNEST(range(win.i, win.i+8)) AS rr(j)), "
+            "tokrows AS (SELECT doc_id, j, t[j] AS tok FROM toks, UNNEST(range(1, len(t)+1)) AS tok_(j)), "
+            "kept AS (SELECT tokrows.doc_id, "
+            "coalesce(string_agg(CASE WHEN rem.j IS NULL THEN tokrows.tok END, ' ' ORDER BY tokrows.j), '') AS text, "
+            "CAST(count(rem.j) AS BIGINT) AS n_removed "
+            "FROM tokrows LEFT JOIN rem ON rem.doc_id = tokrows.doc_id AND rem.j = tokrows.j "
+            "GROUP BY tokrows.doc_id) "
+            "SELECT doc_id, text, n_removed FROM kept "
+            "UNION ALL SELECT doc_id, '' AS text, CAST(0 AS BIGINT) AS n_removed FROM toks WHERE len(t) = 0"
+        ),
     }
     # --- merged-query oracles (round 3): tagged unions / column-concats of
     # the single-op oracles above, mirroring the engine-side merges exactly

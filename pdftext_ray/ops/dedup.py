@@ -961,6 +961,138 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact substring-level dedup (the windowed variant of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every k-token window occurring MORE THAN ONCE
+    corpus-wide keeps only its first occurrence in (doc_id, token_start)
+    order; a token covered by any NON-canonical duplicated window is removed
+    from its document.
+
+    Output: (doc_id, text, n_removed) with TOKEN-level semantics — the
+    output text is the kept tokens joined by single spaces (whitespace is
+    normalized even for untouched docs) so the DuckDB oracle can express
+    reconstruction with ``string_agg``; ``n_removed`` is the BIGINT removed-
+    token count.
+
+    Plan (two few-partition shuffles, no all-pairs work): tokenize + rolling
+    window hashes per batch → shuffle on hash(window) co-locates every
+    occurrence of a window, a vectorized run-scan keeps each run's first row
+    and emits the rest as (doc_id, start) removals — exact, since all
+    occurrences of a hash land in one partition — → shuffle on hash(doc)
+    merges removal starts with the doc rows (co-partitioned bucket merge,
+    never ``Dataset.join`` — CLAUDE.md invariant 7) and rebuilds each text.
+    Window identity is the 61-bit blake2b of the space-joined window
+    (``_shingle_hashes`` — same ~2⁻⁴⁰ per-corpus collision contract as
+    ngram_jaccard). Canonical order is lexicographic (doc_id, start); the
+    SQL oracle's ``doc_id*1000000+start`` encoding matches for docs under
+    one million tokens.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def windows(batch: pa.Table) -> pa.Table:
+        o_h: List[int] = []
+        o_id: List = []
+        o_st: List[int] = []
+        for did, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            hs = _shingle_hashes(t, k, short_fallback=False)
+            o_h.extend(hs.astype(np.int64).tolist())
+            o_id.extend([did] * len(hs))
+            o_st.extend(range(len(hs)))
+        return pa.table({
+            "whash": pa.array(o_h, pa.int64()),
+            id_col: pa.array(o_id, batch.schema.field(id_col).type),
+            "start": pa.array(o_st, pa.int64()),
+        })
+
+    def tag_w(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_bucket_array(t.column("whash").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def emit_removals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["whash", id_col, "start"])
+        h = g["whash"].to_numpy()
+        dup = np.zeros(len(g), dtype=bool)
+        if len(g):
+            dup[1:] = h[1:] == h[:-1]  # every row after its run head
+        return from_pandas_clean(g.loc[dup, [id_col, "start"]])
+
+    removals = (
+        ds.map_batches(windows, batch_format="pyarrow", batch_size=1024)
+        .map_batches(tag_w, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_removals, batch_format="pandas")
+    )
+
+    id_type = None
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        return pa.table({
+            id_col: ids,
+            text_col: pc.cast(t.column(text_col), pa.string()),
+            "start": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
+            "_bucket": pa.array(_bucket_array(ids, n_parts), pa.int64()),
+        })
+
+    docs_tagged = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    )
+    # capture the doc id type for the removal side (empty removal partitions
+    # would otherwise carry a pandas-inferred type — invariant 12)
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def tag_removals(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col).combine_chunks(), id_type)
+        return pa.table({
+            id_col: ids,
+            text_col: pa.array([""] * len(t), pa.string()),
+            "start": pc.cast(t.column("start"), pa.int64()),
+            "_bucket": pa.array(_bucket_array(ids, n_parts), pa.int64()),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = g[g["start"] < 0]
+        ranges = g[g["start"] >= 0]
+        starts_by_doc = ranges.groupby(id_col)["start"].apply(list).to_dict()
+        out_id, out_text, out_rm = [], [], []
+        for did, t in zip(doc_rows[id_col], doc_rows[text_col]):
+            toks = t.split()
+            starts = starts_by_doc.get(did)
+            if starts:
+                removed = np.zeros(len(toks), dtype=bool)
+                for s in starts:
+                    removed[s : s + k] = True
+                kept = [tok for tok, r in zip(toks, removed) if not r]
+                out_rm.append(int(removed.sum()))
+            else:
+                kept = toks
+                out_rm.append(0)
+            out_id.append(did)
+            out_text.append(" ".join(kept))
+        # every bucket holds ≥1 doc row (removals hash on the same id with
+        # the same fn), so the output is never an empty/untyped frame
+        return from_pandas_clean(pd.DataFrame({
+            id_col: pd.Series(out_id, dtype=doc_rows[id_col].dtype),
+            "text": pd.Series(out_text, dtype=object),
+            "n_removed": pd.Series(out_rm, dtype="int64"),
+        }))
+
+    return (
+        docs_tagged.union(removals.map_batches(tag_removals, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def embedding_pairs_bruteforce(
     ds: ray.data.Dataset,
     threshold: float = 0.45,

@@ -278,3 +278,32 @@ def test_sampling_input_validation():
     ok = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         sampling.hash_split(ok, {"a": 1.5, "b": -0.5})
+
+
+def test_substring_dedup_first_occurrence_semantics():
+    """Windowed exact-substring dedup (Lee et al. 2022): the globally FIRST
+    occurrence (by (doc_id, start)) of a duplicated k-token window survives;
+    later occurrences — including intra-document repeats — lose every token
+    covered by a duplicated window. Output text is tokens re-joined by
+    single spaces."""
+    dup = "one two three four"  # k=4 window shared verbatim
+    texts = [
+        f"{dup} tail0 a b",            # doc 0: canonical occurrence, kept whole
+        f"head1 {dup} tail1",          # doc 1: loses the 4 dup tokens
+        f"{dup} mid {dup}",            # doc 2: loses BOTH occurrences (doc 0 is first)
+        "totally unrelated words here",
+    ]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    out = (
+        dedup.substring_dedup(ds, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "one two three four tail0 a b",
+        "head1 tail1",
+        "mid",
+        "totally unrelated words here",
+    ]
+    assert out["n_removed"].tolist() == [0, 4, 8, 0]
