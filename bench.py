@@ -346,6 +346,24 @@ def run_scaling() -> dict:
             counts = p.map(_burn, [seconds] * 32)
         return round(sum(counts) / seconds / 1e6, 1)
 
+    def alloc_probe(n: int = 5) -> float:
+        """Median ms to allocate + first-touch a FRESH 32 MB buffer — the
+        probe for the hypervisor memory-write stalls isolated in round 2
+        (SURVEY §12): they are invisible to the CPU burn (measured 137.9
+        Mloops — only −18% — while a first-touch took 6.3 s and every bench
+        query ran 3-5× slow), but every Ray object-store write pays them.
+        Quiet ≈ 15-40 ms; a stalled window reads seconds."""
+        import numpy as np
+
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            buf = np.empty(32 * 1024 * 1024 // 8, dtype=np.int64)
+            buf.fill(i)
+            ts.append(time.perf_counter() - t0)
+            del buf
+        return round(sorted(ts)[len(ts) // 2] * 1000, 1)
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_QUERIES="extract_flagship,verify_sample")
@@ -357,8 +375,10 @@ def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     pairs = []
     calibs = []
+    allocs = []
     for _ in range(repeats):
         calibs.append(calibrate())
+        allocs.append(alloc_probe())
         lo = run(lo_cpus)  # first pair also warms the corpus cache
         hi = run(hi_cpus)
         pairs.append((lo, hi))
@@ -390,6 +410,7 @@ def run_scaling() -> dict:
         "sec_8": [round(lo["queries"]["extract_flagship"], 3) for lo, _ in pairs],
         "sec_32": [round(hi["queries"]["extract_flagship"], 3) for _, hi in pairs],
         "host_calib_mloops": calibs,
+        "host_alloc_ms32": allocs,
         "docs_per_sec_8": last_lo["docs_per_sec"],
         "docs_per_sec_32": last_hi["docs_per_sec"],
         "exact_match_rate": last_hi.get("exact_match_rate"),

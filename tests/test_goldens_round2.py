@@ -307,3 +307,22 @@ def test_substring_dedup_first_occurrence_semantics():
         "totally unrelated words here",
     ]
     assert out["n_removed"].tolist() == [0, 4, 8, 0]
+
+
+def test_substring_dedup_layout_independent():
+    """Removal choice depends only on (doc_id, start) order, never on block
+    layout (invariant 11): different partitionings produce identical
+    outputs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [f"{base} u{i}" if i % 3 else f"pre{i} {base}" for i in range(24)]
+    t = pa.table({"doc_id": list(range(24)), "text": texts})
+    a = (
+        dedup.substring_dedup(ray.data.from_arrow(t), k=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup.substring_dedup(ray.data.from_arrow(t).repartition(7), k=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_removed"].sum() > 0
