@@ -352,17 +352,26 @@ def run_scaling() -> dict:
         (SURVEY §12): they are invisible to the CPU burn (measured 137.9
         Mloops — only −18% — while a first-touch took 6.3 s and every bench
         query ran 3-5× slow), but every Ray object-store write pays them.
-        Quiet ≈ 15-40 ms; a stalled window reads seconds."""
-        import numpy as np
-
+        Quiet ≈ 5-40 ms; a stalled window reads SECONDS — and the stall
+        concentrates on the FIRST big allocation a process makes (measured
+        7.6 s then 7 ms steady in the same interpreter), exactly what every
+        fresh Ray worker pays. Each sample therefore runs in a FRESH
+        subprocess (in-process repeats reuse the arena and hide it); report
+        (median, max) — the max is the signal."""
+        code = (
+            "import time, numpy as np\n"
+            "t0 = time.perf_counter()\n"
+            "b = np.empty(32 * 1024 * 1024 // 8, dtype=np.int64)\n"
+            "b.fill(1)\n"
+            "print(round((time.perf_counter() - t0) * 1000, 1))\n"
+        )
         ts = []
-        for i in range(n):
-            t0 = time.perf_counter()
-            buf = np.empty(32 * 1024 * 1024 // 8, dtype=np.int64)
-            buf.fill(i)
-            ts.append(time.perf_counter() - t0)
-            del buf
-        return round(sorted(ts)[len(ts) // 2] * 1000, 1)
+        for _ in range(n):
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True
+            ).stdout
+            ts.append(float(out.strip()))
+        return (sorted(ts)[len(ts) // 2], max(ts))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -378,7 +387,7 @@ def run_scaling() -> dict:
     allocs = []
     for _ in range(repeats):
         calibs.append(calibrate())
-        allocs.append(alloc_probe())
+        allocs.append(list(alloc_probe()))  # [median_ms, max_ms] fresh-process
         lo = run(lo_cpus)  # first pair also warms the corpus cache
         hi = run(hi_cpus)
         pairs.append((lo, hi))
