@@ -555,6 +555,15 @@ def _verify_pairs_exact_jaccard(
         num_partitions = default_num_partitions(per_cpu=1, lo=2, hi=64)
 
     _sch = sigs.schema()  # Ray Schema wrapper: parallel .names/.types lists
+    if _sch is None:
+        # an EMPTY corpus has no signature schema (Ray returns None) and can
+        # have no pairs — emit a typed empty instead of crashing (empty
+        # partitions/inputs are routine at scale)
+        return ray.data.from_arrow(pa.table({
+            a_col: pa.array([], pa.int64()),
+            b_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.float64()),
+        }))
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
     joined = _attach_blobs(
         cands, [(a_col, id_type), (b_col, id_type)], a_col, sigs, id_col, "_sh_a", num_partitions

@@ -1,0 +1,58 @@
+"""Empty-input robustness: at 100 TB, empty partitions, empty shards and
+zero-match filters are routine — every op family must return an empty result
+(or raise its documented guard), never crash on a 0-row typed table."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from pdftext_ray.ops import cluster, dedup, pack, sampling, streaming, textstats
+
+DOCS = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+EMB = pa.table({"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))})
+PAIRS = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+CHUNKS = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "chunk_idx": pa.array([], pa.int64()),
+    "text": pa.array([], pa.string()),
+})
+
+
+def _mk(t):
+    return ray.data.from_arrow(t)
+
+
+EMPTY_OK = [
+    ("exact_dedup", lambda: dedup.exact_dedup(_mk(DOCS))),
+    ("prefix_dedup", lambda: dedup.prefix_dedup(_mk(DOCS))),
+    ("substring_dedup", lambda: dedup.substring_dedup(_mk(DOCS))),
+    ("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(_mk(DOCS))),
+    ("minhash_exact_recall", lambda: dedup.minhash_lsh_pairs(_mk(DOCS), exact_recall=True)),
+    ("simhash_pairs", lambda: dedup.simhash_pairs(_mk(DOCS))),
+    ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(_mk(DOCS))),
+    ("embedding_pairs_bruteforce", lambda: dedup.embedding_pairs_bruteforce(_mk(EMB))),
+    ("embedding_dup_pairs", lambda: dedup.embedding_dup_pairs(_mk(EMB))),
+    ("paragraph_dedup", lambda: dedup.paragraph_dedup(_mk(CHUNKS))),
+    ("token_counts", lambda: textstats.token_counts(_mk(DOCS))),
+    ("quality_scores", lambda: textstats.quality_scores(_mk(DOCS))),
+    ("gopher_quality", lambda: textstats.gopher_quality(_mk(DOCS))),
+    ("tfidf_topk", lambda: textstats.tfidf_topk(_mk(DOCS))),
+    ("top_ngrams", lambda: textstats.top_ngrams(_mk(DOCS))),
+    ("winnow_fingerprints", lambda: textstats.winnow_fingerprints(_mk(DOCS))),
+    ("hash_sample", lambda: sampling.hash_sample(_mk(DOCS), 0.1)),
+    ("hash_split", lambda: sampling.hash_split(_mk(DOCS), {"a": 0.5, "b": 0.5})),
+    ("shuffle_rank", lambda: sampling.shuffle_rank(_mk(DOCS))),
+    ("pack_sequences", lambda: pack.pack_sequences(_mk(DOCS), budget=128)),
+    ("connected_components", lambda: cluster.connected_components_distributed(_mk(PAIRS))),
+    ("streaming_dedup", lambda: streaming.streaming_dedup(_mk(DOCS), n_shards=2)),
+]
+
+
+@pytest.mark.parametrize("name,fn", EMPTY_OK, ids=[n for n, _ in EMPTY_OK])
+def test_empty_input_yields_empty_result(name, fn, ray_session):
+    assert len(fn().to_pandas()) == 0
+
+
+def test_kmeans_empty_raises_documented_guard(ray_session):
+    with pytest.raises(ValueError, match="kmeans needs"):
+        cluster.kmeans_assign(_mk(EMB)).to_pandas()
