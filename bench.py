@@ -212,6 +212,7 @@ def run_bench() -> dict:
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
     timed("dedup_simhash", lambda: dedup.simhash_pairs(docs_ds(), max_hamming=3).count())
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs_ds(), threshold=0.5).count())
+    timed("substring_dedup", lambda: dedup.substring_dedup(docs_ds(), k=8).count())
     timed("winnow", lambda: textstats.winnow_fingerprints(docs_ds()).count())
     timed("gopher_quality", lambda: textstats.gopher_quality(docs_ds()).count())
     timed("paragraph_dedup", lambda: dedup.paragraph_dedup(

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` media payloads with typed metadata.
 
-The image/audio codecs aren't available in this container (task brief), so
-the codec boundary is STUBBED: ``FakeCodec`` produces deterministic pixel
+The JPEG/PNG/audio codecs aren't available in this container (task brief), so
+that codec boundary is STUBBED: ``FakeCodec`` produces deterministic pixel
 arrays derived from the payload bytes, and ``RealCodec`` raises
-``NotImplementedError`` until a codec library is installed. Everything on the
-Ray side — schemas, actor-pool signatures, batch sizing for large binary
-rows, output layout — is real and tested.
+``NotImplementedError`` until a codec library is installed. ``PpmCodec`` is a
+REAL decode path (binary PPM parses with numpy alone) proving the seam with
+actual pixels end-to-end. Everything on the Ray side — schemas, actor-pool
+signatures, batch sizing for large binary rows, output layout — is real and
+tested.
 
 Scale notes: media rows are WIDE (binary payloads), so these stages use small
 ``batch_size`` (payload × batch × concurrency must fit the worker heap) and
@@ -61,6 +63,46 @@ class RealCodec:
             "no image/audio codec available in this environment; "
             "install one and swap FakeCodec for RealCodec"
         )
+
+
+class PpmCodec:
+    """A REAL decoder — binary PPM (P6) needs no codec library, so the decode
+    boundary is exercised end-to-end with actual pixels: header
+    ``P6 <ws> width <ws> height <ws> 255 <single ws>`` then raw RGB24 raster
+    (comments `#…` allowed in the header per the netpbm spec). The width/
+    height arguments are advisory; the payload header is authoritative.
+    JPEG/PNG/audio still go through the RealCodec seam when a library
+    exists — same ``.decode`` signature."""
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if not payload.startswith(b"P6"):
+            raise ValueError("PpmCodec: payload is not binary PPM (P6)")
+        idx, vals = 2, []
+        while len(vals) < 3:
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":
+                while idx < len(payload) and payload[idx] != 0x0A:
+                    idx += 1
+                continue
+            start = idx
+            while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                idx += 1
+            vals.append(int(payload[start:idx]))
+        idx += 1  # exactly one whitespace byte separates maxval from the raster
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError(f"PpmCodec: only maxval=255 supported, got {maxval}")
+        if len(payload) < idx + w * h * 3:
+            raise ValueError("PpmCodec: truncated raster")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+        return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of PpmCodec.decode — test/synthesis helper."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
 class MediaFeaturizer:
@@ -127,11 +169,12 @@ def featurize_media(
     frame_stride: int = 4,
     batch_size: int = 16,      # small: binary payloads are wide rows
     concurrency: Optional[int] = None,
+    codec: Optional[object] = None,
 ) -> ray.data.Dataset:
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    return ds.map_batches(MediaFeaturizer(out_size, frame_stride), **kwargs)
+    return ds.map_batches(MediaFeaturizer(out_size, frame_stride, codec=codec), **kwargs)
 
 
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:

@@ -24,3 +24,57 @@ def test_hydrate_media_refs_deterministic_and_typed():
     assert (row["media_type"], row["width"], row["height"], row["n_frames"]) == (
         r["media_type"], r["width"], r["height"], r["n_frames"]
     )
+
+
+def test_ppm_codec_decodes_real_pixels():
+    """PpmCodec is a REAL decode path (binary PPM needs no codec library):
+    byte-exact round-trip through encode_ppm, header comments honored, and
+    the featurizer over PPM payloads equals the featurizer fed the same
+    pixels directly — the decode boundary, not the stub, feeds the math."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pdftext_ray.ops import media
+
+    rng = np.random.RandomState(11)
+    imgs = {f"media://ppm/{i}": rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for i, (h, w) in enumerate([(20, 30), (64, 48), (5, 7)])}
+
+    codec = media.PpmCodec()
+    for img in imgs.values():
+        assert np.array_equal(codec.decode(media.encode_ppm(img), 0, 0), img)
+    # netpbm header comment
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert codec.decode(commented, 0, 0).shape == (1, 2, 3)
+
+    refs = list(imgs)
+    t = pa.Table.from_arrays(
+        [
+            pa.array(refs, pa.string()),
+            pa.array(["image"] * 3, pa.string()),
+            pa.array([media.encode_ppm(imgs[r]) for r in refs], pa.binary()),
+            pa.array([imgs[r].shape[1] for r in refs], pa.int32()),
+            pa.array([imgs[r].shape[0] for r in refs], pa.int32()),
+            pa.array([1] * 3, pa.int32()),
+        ],
+        schema=media.MEDIA_SCHEMA,
+    )
+
+    class InlineCodec:
+        def decode(self, payload, width, height):
+            return codec.decode(payload, width, height)
+
+    via_ppm = media.featurize_media(
+        ray.data.from_arrow(t), codec=media.PpmCodec()
+    ).to_pandas().set_index("media_ref")
+    # independent expectation: resize + histogram over the RAW pixels
+    feat = media.MediaFeaturizer(codec=InlineCodec())
+    for ref, img in imgs.items():
+        small = feat._resize(img)
+        acc = np.zeros(48)
+        for c in range(3):
+            hist, _ = np.histogram(small[..., c], bins=16, range=(0, 256))
+            acc[c * 16:(c + 1) * 16] += hist
+        want = (acc / max(acc.sum(), 1e-9)).astype(np.float32)
+        assert np.array_equal(np.asarray(via_ppm.loc[ref, "feature"], dtype=np.float32), want)
