@@ -326,3 +326,49 @@ def test_substring_dedup_layout_independent():
     )
     pd.testing.assert_frame_equal(a, b)
     assert a["n_removed"].sum() > 0
+
+
+def test_substring_dedup_property_vs_reference():
+    """Hypothesis-style randomized check (seeded loop — each example runs a
+    full Ray pipeline, so examples are few and small): tiny vocab forces
+    heavy window collisions; the engine must equal a pure-Python reference
+    on every corpus."""
+    rng = np.random.RandomState(99)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(8):
+        k = 2 + (trial % 2)
+        n_docs = 4 + (trial % 4)
+        ids = list(range(n_docs))
+        texts = [
+            " ".join(vocab[v] for v in rng.randint(0, len(vocab), size=rng.randint(0, 13)))
+            for _ in ids
+        ]
+
+        occ: dict = {}
+        for did, t in zip(ids, texts):
+            toks = t.split()
+            for i in range(len(toks) - k + 1):
+                occ.setdefault(" ".join(toks[i : i + k]), []).append((did, i))
+        removed: dict = {did: set() for did in ids}
+        for lst in occ.values():
+            if len(lst) > 1:
+                for did, s in sorted(lst)[1:]:
+                    removed[did].update(range(s, s + k))
+        want = {
+            did: (
+                " ".join(t for j, t in enumerate(texts[did].split()) if j not in removed[did]),
+                len(removed[did]),
+            )
+            for did in ids
+        }
+
+        got = (
+            dedup.substring_dedup(
+                ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts})), k=k
+            )
+            .to_pandas().set_index("doc_id")
+        )
+        assert len(got) == n_docs, f"trial {trial}"
+        for did in ids:
+            assert got.loc[did, "text"] == want[did][0], f"trial {trial} doc {did}"
+            assert got.loc[did, "n_removed"] == want[did][1], f"trial {trial} doc {did}"
