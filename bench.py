@@ -347,7 +347,7 @@ def run_scaling() -> dict:
             counts = p.map(_burn, [seconds] * 32)
         return round(sum(counts) / seconds / 1e6, 1)
 
-    def alloc_probe(n: int = 5) -> float:
+    def alloc_probe(n: int = 5) -> tuple:
         """Median ms to allocate + first-touch a FRESH 32 MB buffer — the
         probe for the hypervisor memory-write stalls isolated in round 2
         (SURVEY §12): they are invisible to the CPU burn (measured 137.9
@@ -371,7 +371,13 @@ def run_scaling() -> dict:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True
             ).stdout
-            ts.append(float(out.strip()))
+            try:
+                ts.append(float(out.strip()))
+            except ValueError:
+                # a probe subprocess dying (OOM mid-stall — the very thing
+                # being probed) must not abort the scaling run; record the
+                # failure as an off-scale finite sentinel (JSON-safe)
+                ts.append(99_999.0)
         return (sorted(ts)[len(ts) // 2], max(ts))
 
     def run(ncpu: int) -> dict:

@@ -136,13 +136,18 @@ def cmd_extract(args) -> int:
         return 0
 
     ds = P.read_documents(args.input)
+    if args.limit:
+        # limit FIRST: it bounds docs regardless of page filtering, and the
+        # validation scan below then covers only the docs actually processed
+        ds = ds.limit(args.limit)
     if pages is not None:
         # the reference ERRORS on a page range beyond the document
         # (scripts/extract_text.py:38-43: assert all pages < doc length);
-        # the table analog validates against the longest document instead of
-        # silently filtering a page that exists nowhere
-        if pages[0] < 0:
-            print(f"Invalid page range: negative page {pages[0]}", file=sys.stderr)
+        # the table analog validates against the longest SELECTED document
+        # instead of silently filtering a page that exists nowhere. Only
+        # --pages runs pay this extra validation pass over the input.
+        if not pages or pages[0] < 0:
+            print(f"Invalid page range: {args.pages!r}", file=sys.stderr)
             return 2
         doc_len = _max_doc_pages(ds)
         bad = [p for p in pages if p >= doc_len]
@@ -154,8 +159,6 @@ def cmd_extract(args) -> int:
             )
             return 2
     ds = _filter_pages(ds, pages)
-    if args.limit:
-        ds = ds.limit(args.limit)
     if args.mode == "spans":
         out = P.extract_spans_skew_aware(ds, cfg)
     elif args.mode == "plain":

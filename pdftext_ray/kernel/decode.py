@@ -148,16 +148,22 @@ def decode_page(payload: str, quote_loosebox: bool = True, flatten: bool = False
 def decode_raw(raw: RawPage, quote_loosebox: bool = True, flatten: bool = False) -> DecodedPage:
     import numpy as np
 
+    # char columns as LOCALS — decode_raw must never mutate the caller's
+    # RawPage (a backend may decode one parsed page under several configs;
+    # in-place flatten would leak form chars into later calls — round-3
+    # review)
+    r_cp, r_cf, r_cr = raw.cp, raw.cf, raw.cr
+    r_cb = raw.cb.reshape(-1, 4)
     if flatten and len(raw.acp):
         # FPDFPage_Flatten analog (reference pdftext/pdf/utils.py:14-17 +
         # pdftext/extraction.py:18-24): form-field appearance streams become
         # page content, APPENDED after the existing content stream — so the
         # whole downstream chain (dedup/spans/lines/blocks) sees the form
         # chars as ordinary chars. flatten=False leaves them invisible.
-        raw.cp = np.concatenate([raw.cp, raw.acp])
-        raw.cf = np.concatenate([raw.cf, raw.acf])
-        raw.cr = np.concatenate([raw.cr, raw.acr])
-        raw.cb = np.concatenate([raw.cb.reshape(-1, 4), raw.acb])
+        r_cp = np.concatenate([r_cp, raw.acp])
+        r_cf = np.concatenate([r_cf, raw.acf])
+        r_cr = np.concatenate([r_cr, raw.acr])
+        r_cb = np.concatenate([r_cb, raw.acb])
     out = DecodedPage()
     out.page_idx = raw.page_idx
     out.page_bbox = raw.page_bbox
@@ -169,20 +175,20 @@ def decode_raw(raw: RawPage, quote_loosebox: bool = True, flatten: bool = False)
     out.width = page_width
     out.height = page_height
 
-    n = len(raw.cp)
-    if n and (len(raw.cf) != n or len(raw.cr) != n or raw.cb.shape[0] != n):
+    n = len(r_cp)
+    if n and (len(r_cf) != n or len(r_cr) != n or r_cb.shape[0] != n):
         # a truncated/corrupt binary column yields short arrays; surface
         # that as an error instead of silently losing text
         raise ValueError(
-            f"corrupt payload: char arrays disagree (cp={n}, cf={len(raw.cf)}, "
-            f"cr={len(raw.cr)}, cb={raw.cb.shape[0]})"
+            f"corrupt payload: char arrays disagree (cp={n}, cf={len(r_cf)}, "
+            f"cr={len(r_cr)}, cb={r_cb.shape[0]})"
         )
     if n:
         # the whole S3 coordinate transform runs vectorized (float64 numpy ops
         # are bit-identical to the scalar Python arithmetic they replace)
-        cb = raw.cb
+        cb = r_cb
         cx1, cy1, cx2, cy2 = cb[:, 0].copy(), cb[:, 1].copy(), cb[:, 2], cb[:, 3].copy()
-        tight = ~((raw.cr == 0) & ((raw.cp != 39) | quote_loosebox))  # 39 == "'"
+        tight = ~((r_cr == 0) & ((r_cp != 39) | quote_loosebox))  # 39 == "'"
         if tight.any():
             # deterministic synthetic tight box: bottom raised by 10% height
             cy1 = np.where(tight, cy1 + 0.1 * (cy2 - cy1), cy1)
@@ -209,7 +215,7 @@ def decode_raw(raw: RawPage, quote_loosebox: bool = True, flatten: bool = False)
         # canonicalize font ids up front so equal font TUPLES share one id —
         # id equality then matches the reference's field-wise font compare in
         # every downstream fold (word dedup, span breaks)
-        cf = raw.cf
+        cf = r_cf
         if len(set(fonts)) != len(fonts):
             canon: dict = {}
             remap = np.empty(len(fonts), dtype=np.int64)
@@ -217,15 +223,15 @@ def decode_raw(raw: RawPage, quote_loosebox: bool = True, flatten: bool = False)
                 remap[i] = canon.setdefault(f, i)
             cf = remap[cf]
         arr = PageArrays()
-        arr.cp = raw.cp
+        arr.cp = r_cp
         arr.boxes = boxes
-        arr.cr = raw.cr
+        arr.cr = r_cr
         arr.cf = cf
         arr.fonts = fonts
         arr.idx = np.arange(n, dtype=np.int64)
         # codepoints → str at C speed (no BMP restriction: utf-32 round-trips
         # any codepoint, and payload chars are never surrogates)
-        arr.text = raw.cp.astype("<u4").tobytes().decode("utf-32-le")
+        arr.text = r_cp.astype("<u4").tobytes().decode("utf-32-le")
         out.arrays = arr
 
     # media boxes arrive in top-left PRE-rotation layout coords and get the

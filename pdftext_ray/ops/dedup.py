@@ -530,6 +530,15 @@ def _attach_blobs(
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
 
+def _schema_field_type(ds: ray.data.Dataset, col: str) -> Optional[pa.DataType]:
+    """Arrow type of a column, or None when the dataset is empty (Ray
+    returns no schema for an empty map_batches output)."""
+    sch = ds.schema()
+    if sch is None:
+        return None
+    return dict(zip(sch.names, sch.types)).get(col)
+
+
 def _verify_pairs_exact_jaccard(
     cands: ray.data.Dataset,
     sigs: ray.data.Dataset,
@@ -539,6 +548,7 @@ def _verify_pairs_exact_jaccard(
     threshold: float,
     out_col: str = "jaccard",
     num_partitions: Optional[int] = None,
+    empty_id_type: Optional[pa.DataType] = None,
 ) -> ray.data.Dataset:
     """Exact set-Jaccard verification of candidate pairs — fully distributed.
 
@@ -558,10 +568,13 @@ def _verify_pairs_exact_jaccard(
     if _sch is None:
         # an EMPTY corpus has no signature schema (Ray returns None) and can
         # have no pairs — emit a typed empty instead of crashing (empty
-        # partitions/inputs are routine at scale)
+        # partitions/inputs are routine at scale). Callers pass the INPUT
+        # table's id type so the empty result unions cleanly with non-empty
+        # runs (invariant 12); int64 only as the last-resort fallback.
+        idt = empty_id_type or pa.int64()
         return ray.data.from_arrow(pa.table({
-            a_col: pa.array([], pa.int64()),
-            b_col: pa.array([], pa.int64()),
+            a_col: pa.array([], idt),
+            b_col: pa.array([], idt),
             out_col: pa.array([], pa.float64()),
         }))
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
@@ -632,6 +645,7 @@ def minhash_lsh_pairs(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     rows = num_perm // bands
+    in_id_type = _schema_field_type(ds, id_col)
     # signatures computed once, pinned (small table: ids + 64 ints + shingle
     # hashes per doc), consumed by banding + the verification joins
     sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs).materialize()
@@ -674,6 +688,7 @@ def minhash_lsh_pairs(
     return _verify_pairs_exact_jaccard(
         cands, sigs, id_col, "doc_a", "doc_b", threshold,
         num_partitions=default_num_partitions(per_cpu=1, lo=2, hi=64, rows=n_docs),
+        empty_id_type=in_id_type,
     )
 
 
@@ -870,9 +885,12 @@ def ngram_jaccard_pairs(
                 "shingles": pa.array(out, pa.list_(pa.int64())),
             })
 
+        in_id_type = _schema_field_type(ds, id_col)
         sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
         cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b", max_doc_freq=max_doc_freq)
-        return _verify_pairs_exact_jaccard(cands, sigs, id_col, "id_a", "id_b", threshold)
+        return _verify_pairs_exact_jaccard(
+            cands, sigs, id_col, "id_a", "id_b", threshold, empty_id_type=in_id_type
+        )
 
     def postings(batch: pa.Table) -> pa.Table:
         o_gram, o_id, o_m = [], [], []
@@ -1057,7 +1075,7 @@ def substring_dedup(
     )
     # capture the doc id type for the removal side (empty removal partitions
     # would otherwise carry a pandas-inferred type — invariant 12)
-    id_type = ds.schema().base_schema.field(id_col).type
+    id_type = _schema_field_type(ds, id_col) or pa.int64()
 
     def tag_removals(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col).combine_chunks(), id_type)
@@ -1091,7 +1109,7 @@ def substring_dedup(
         # the same fn), so the output is never an empty/untyped frame
         return from_pandas_clean(pd.DataFrame({
             id_col: pd.Series(out_id, dtype=doc_rows[id_col].dtype),
-            "text": pd.Series(out_text, dtype=object),
+            text_col: pd.Series(out_text, dtype=object),
             "n_removed": pd.Series(out_rm, dtype="int64"),
         }))
 

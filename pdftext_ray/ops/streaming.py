@@ -42,13 +42,18 @@ import ray.data
 class _SeenShard:
     """One hash-partitioned slice of the shared seen-set.
 
-    Offers are IDEMPOTENT per batch: each carries a fingerprint of the full
-    originating batch (all columns, Arrow IPC bytes), and a replayed offer —
-    a Ray task retry after worker death/OOM re-running the same block —
-    returns the cached answer instead of re-counting (ADVICE r2). The replay
-    cache stores only the batch's duplicate positions (first-seen rows need
-    no entry), so its memory is O(#batches + #duplicate rows)/shard; a
-    production deployment would evict entries behind a checkpoint barrier."""
+    Offers are IDEMPOTENT per batch: each carries the LOGICAL identity of
+    its originating batch — (Ray task id, batch sequence within the task),
+    see ``_task_batch_fp`` — and a replayed offer (a task retry after worker
+    death/OOM re-running the same block in the same logical task) returns
+    the cached answer instead of re-counting (ADVICE r2). Identity is
+    positional, NOT content-based: two byte-identical batches at different
+    stream positions are genuine duplicate data and must both count (a
+    content fingerprint would silently absorb them — round-3 review). The
+    replay cache stores only the batch's duplicate positions (first-seen
+    rows need no entry), so its memory is O(#batches + #duplicate
+    rows)/shard; a production deployment would evict entries behind a
+    checkpoint barrier."""
 
     def __init__(self):
         self._counts: dict = {}
@@ -95,17 +100,27 @@ def _route(keys: List[bytes], n_shards: int) -> np.ndarray:
     return np.array([int.from_bytes(k[:4], "big") % n_shards for k in keys], dtype=np.int64)
 
 
-def _batch_fingerprint(t: pa.Table) -> bytes:
-    """Identity of a batch for replay absorption: md5 over the batch's Arrow
-    IPC bytes (ALL columns). A Ray task retry reprocesses the identical
-    block → identical fingerprint → the shard returns its cached answer.
-    Two byte-identical batches (every column equal, ids included) are
-    indistinguishable from a retry by construction — with a unique id column
-    in the stream that cannot occur."""
-    sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, t.schema) as w:
-        w.write_table(t)
-    return hashlib.md5(sink.getvalue()).digest()
+# per-worker batch sequence counters for _task_batch_fp, keyed by task id
+_TASK_SEQ: dict = {}
+
+
+def _task_batch_fp() -> bytes:
+    """POSITIONAL identity of the current batch: (Ray task id, sequence of
+    this batch within the task). A task retry after worker death re-executes
+    the same logical task — same task id, blocks re-processed in the same
+    order on a fresh worker whose counters start at zero — so every replayed
+    batch reproduces its original fingerprint and the shard cache absorbs
+    it, while byte-identical batches at DIFFERENT stream positions (genuine
+    duplicate data) get distinct fingerprints and count. Residual edge: a
+    retry scheduled onto the SAME live worker process would continue the old
+    counter and mis-sequence — then keys re-offer, dup counts inflate, and
+    the survivors-vs-index invariant check fails LOUDLY (never silently
+    wrong); in practice retries follow worker death, which clears the
+    counter with the process."""
+    tid = ray.get_runtime_context().get_task_id() or "driver"
+    seq = _TASK_SEQ.get(tid, 0)
+    _TASK_SEQ[tid] = seq + 1
+    return f"{tid}:{seq}".encode()
 
 
 def streaming_dedup(
@@ -122,7 +137,7 @@ def streaming_dedup(
     calling count() then take_all(), or Ray reconstructing evicted blocks)
     would re-offer every key against the already-populated index and return
     zero rows (ADVICE r2). Pinning the blocks makes the side-effectful pass
-    run exactly once; per-batch replay absorption (``_batch_fingerprint``)
+    run exactly once; per-batch replay absorption (``_task_batch_fp``)
     additionally makes task RETRIES within that single pass idempotent."""
     shards = [_SeenShard.remote() for _ in range(n_shards)]
 
@@ -130,7 +145,7 @@ def streaming_dedup(
         keys = _digest16(t.column(text_col).to_pylist())
         if not keys:
             return t
-        fp = _batch_fingerprint(t)
+        fp = _task_batch_fp()
         shard_of = _route(keys, n_shards)
         prior = np.empty(len(keys), dtype=np.int64)
         futures, slots = [], []
@@ -162,7 +177,7 @@ def streaming_dedup_counts(
         keys = _digest16(t.column(text_col).to_pylist())
         if not keys:
             return t.select([text_col])
-        fp = _batch_fingerprint(t)
+        fp = _task_batch_fp()
         shard_of = _route(keys, n_shards)
         futures, slots = [], []
         for s in range(n_shards):

@@ -56,3 +56,16 @@ def test_empty_input_yields_empty_result(name, fn, ray_session):
 def test_kmeans_empty_raises_documented_guard(ray_session):
     with pytest.raises(ValueError, match="kmeans needs"):
         cluster.kmeans_assign(_mk(EMB)).to_pandas()
+
+
+def test_empty_minhash_preserves_string_id_type(ray_session):
+    """The typed-empty pair result must carry the INPUT's id type (string
+    here), so it unions cleanly with non-empty runs (round-3 review: the
+    guard hardcoded int64)."""
+    t = pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    out = dedup.minhash_lsh_pairs(_mk(t), exact_recall=True)
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["doc_a"] == pa.string()
+    assert types["doc_b"] == pa.string()
+    assert types["jaccard"] == pa.float64()

@@ -161,3 +161,25 @@ def test_decoder_backend_equivalence_all_cases():
             want = extract_document(payloads, cfg)
             got = extract_document(records, cfg, backend=rec_backend)
             assert got == want, f"case {doc['_case']} cfg {cfg} diverged"
+
+
+def test_decode_raw_does_not_mutate_rawpage():
+    """decode_raw over one parsed RawPage under several configs must be
+    pure: flatten=True then flatten=False on the SAME object (a caching
+    backend's access pattern) must not leak or duplicate form chars."""
+    from pdftext_ray import corpus
+    from pdftext_ray.kernel.decode import decode_raw
+    from pdftext_ray.payload import parse_payload
+
+    idx = corpus.CASES.index("form_fields")
+    doc = corpus.generate_document(idx)
+    payload = next(s["text"] for s in doc["spans"] if s["kind"] == "text")
+    raw = parse_payload(payload)
+    n_content = len(raw.cp)
+    flat1 = decode_raw(raw, flatten=True)
+    flat2 = decode_raw(raw, flatten=True)   # would double form chars if mutated
+    plain = decode_raw(raw, flatten=False)  # would see form chars if mutated
+    assert len(raw.cp) == n_content
+    assert len(flat1.arrays) == len(flat2.arrays) == n_content + len(raw.acp)
+    assert len(plain.arrays) == n_content
+    assert flat1.arrays.text == flat2.arrays.text

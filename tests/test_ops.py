@@ -514,3 +514,14 @@ def test_streaming_shard_offer_replay_absorbed():
     # a DIFFERENT batch with the same keys is genuinely new input
     second = ray.get(shard.offer.remote(b"batch-2", keys))
     assert second == [2, 1, 3]
+
+
+def test_streaming_dedup_counts_identical_distinct_blocks():
+    """Two byte-identical blocks at different stream positions are genuine
+    duplicate data — both must COUNT (round-3 review: a content-based batch
+    fingerprint silently absorbed the second block as a 'retry')."""
+    from pdftext_ray.ops import streaming
+
+    t = pa.table({"doc_id": [0], "text": [BASE]})
+    out = streaming.streaming_dedup(ray.data.from_arrow([t, t]), n_shards=2)
+    assert out.count() == 1  # second identical block deduped, not absorbed

@@ -285,3 +285,22 @@ def test_cli_page_range_validation(tmp_path, capsys):
     assert "Invalid page range" in capsys.readouterr().err
     # a valid in-range request extracts fine
     assert cli.cmd_extract(args(pages="0", output=str(tmp_path / "o2"))) == 0
+
+
+def test_cli_empty_and_invalid_page_ranges(tmp_path, capsys):
+    """'5-3' parses to an EMPTY page list — the CLI must report exit 2 with a
+    message, not crash with IndexError (round-3 review)."""
+    import argparse
+
+    from pdftext_ray import cli
+    from pdftext_ray.pipelines import corpus_io
+
+    corpus = corpus_io.materialize_corpus(str(tmp_path / "c2"), n_docs=12)
+    args = argparse.Namespace(
+        input=corpus, output=str(tmp_path / "o"), mode="spans", pages="5-3",
+        sort=True, keep_hyphens=False, disable_links=False, keep_chars=False,
+        flatten_pdf=False, workers=None, limit=None, stdout=False,
+        checkpoint=False, partitions=8,
+    )
+    assert cli.cmd_extract(args) == 2
+    assert "Invalid page range" in capsys.readouterr().err
