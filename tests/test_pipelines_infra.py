@@ -304,3 +304,35 @@ def test_cli_empty_and_invalid_page_ranges(tmp_path, capsys):
     )
     assert cli.cmd_extract(args) == 2
     assert "Invalid page range" in capsys.readouterr().err
+
+
+def test_cli_flatten_flag_changes_output(tmp_path):
+    """--flatten-pdf must surface form-field text end-to-end through the
+    CLI (gen → extract both ways → outputs differ on form_fields docs)."""
+    import argparse
+
+    import ray.data
+
+    from pdftext_ray import cli
+    from pdftext_ray.corpus import NUM_CASES
+    from pdftext_ray.pipelines import corpus_io
+
+    corpus = corpus_io.materialize_corpus(str(tmp_path / "c3"), n_docs=NUM_CASES)
+
+    def run(flatten, out):
+        args = argparse.Namespace(
+            input=corpus, output=str(tmp_path / out), mode="plain", pages=None,
+            sort=True, keep_hyphens=False, disable_links=False, keep_chars=False,
+            flatten_pdf=flatten, workers=None, limit=None, stdout=False,
+            checkpoint=False, partitions=8,
+        )
+        assert cli.cmd_extract(args) == 0
+        df = ray.data.read_parquet(str(tmp_path / out)).to_pandas()
+        return dict(zip(df["doc_id"], df["text"]))
+
+    off = run(False, "off")
+    on = run(True, "on")
+    assert set(off) == set(on)
+    changed = [d for d in off if off[d] != on[d]]
+    assert changed, "flatten must change at least the form_fields doc"
+    assert all("field entry" in on[d] and "field entry" not in off[d] for d in changed)
