@@ -50,6 +50,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_pq": os.path.join(base, "expected_pq.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
+        "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
     }
 
 
@@ -98,6 +99,15 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         paths["expected_media"],
         lambda: goldens.expected_media_features_table(max(30, n // 10)),
     )
+
+    def _main_content_builder():
+        from pdftext_ray.ops import webdoc
+
+        # labeled synthesis: the golden is the PLANTED ground truth — no
+        # parser involved (ops/webdoc.py module docstring)
+        return webdoc.expected_main_content_table(max(60, n // 5))
+
+    goldens.materialize_golden(paths["expected_main_content"], _main_content_builder)
     # depends on expected_flat (materialized by _ensure_corpus before this)
     goldens.materialize_golden(
         paths["expected_imedia"],
@@ -550,6 +560,20 @@ def _q_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
     )
+
+
+def _q_main_content(sf_dir: str):
+    """HTML boilerplate strip / DOM-heuristic main-content extraction over
+    the labeled synthetic HTML corpus (ops/webdoc.py) — the north rule's
+    HTML side. Oracle = the planted ground truth (golden parquet)."""
+    import ray.data
+
+    from pdftext_ray.ops import webdoc
+
+    _require_gate_corpus(sf_dir)
+    n = max(60, _corpus_size(sf_dir) // 5)
+    out = webdoc.extract_main_content(ray.data.from_arrow(webdoc.synth_html_table(n)))
+    return out.select_columns(["doc_id", "main_text", "n_blocks_kept"])
 
 
 def _q_substring_dedup(sf_dir: str):
@@ -1548,6 +1572,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "substring_dedup": _q_substring_dedup,
+        "main_content": _q_main_content,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
         "similarity_topk": _q_similarity_topk,
@@ -2111,6 +2136,10 @@ def _full_oracle_sql() -> dict[str, str]:
             "GROUP BY tokrows.doc_id) "
             "SELECT doc_id, text, n_removed FROM kept "
             "UNION ALL SELECT doc_id, '' AS text, CAST(0 AS BIGINT) AS n_removed FROM toks WHERE len(t) = 0"
+        ),
+        # labeled-synthesis oracle: the golden IS the planted ground truth
+        "main_content": (
+            f"SELECT doc_id, main_text, n_blocks_kept FROM read_parquet('{p['expected_main_content']}')"
         ),
     }
     # --- merged-query oracles (round 3): tagged unions / column-concats of
