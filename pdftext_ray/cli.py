@@ -118,7 +118,13 @@ def cmd_extract(args) -> int:
         keep_chars=args.keep_chars,
         flatten_pdf=args.flatten_pdf,
     )
-    pages = parse_range_str(args.pages) if args.pages else None
+    try:
+        pages = parse_range_str(args.pages) if args.pages else None
+    except ValueError:
+        # negative or non-numeric tokens ('-1' splits to ('', '1')) — report
+        # like the reference instead of a raw int() traceback
+        print(f"Invalid page range: {args.pages!r}", file=sys.stderr)
+        return 2
 
     # --output is required for any write path (and always for --checkpoint):
     # catch it up front instead of an opaque TypeError deep in write_table
@@ -146,7 +152,7 @@ def cmd_extract(args) -> int:
         # the table analog validates against the longest SELECTED document
         # instead of silently filtering a page that exists nowhere. Only
         # --pages runs pay this extra validation pass over the input.
-        if not pages or pages[0] < 0:
+        if not pages:  # '5-3' parses to an empty range
             print(f"Invalid page range: {args.pages!r}", file=sys.stderr)
             return 2
         doc_len = _max_doc_pages(ds)

@@ -531,12 +531,17 @@ def _attach_blobs(
 
 
 def _schema_field_type(ds: ray.data.Dataset, col: str) -> Optional[pa.DataType]:
-    """Arrow type of a column, or None when the dataset is empty (Ray
-    returns no schema for an empty map_batches output)."""
+    """Arrow type of a column; None when the dataset is EMPTY (Ray returns
+    no schema). A schema that exists but lacks the column raises — masking a
+    typo'd column name as a type fallback would surface later as an opaque
+    cast failure (round-3 review)."""
     sch = ds.schema()
     if sch is None:
         return None
-    return dict(zip(sch.names, sch.types)).get(col)
+    mapping = dict(zip(sch.names, sch.types))
+    if col not in mapping:
+        raise KeyError(f"column {col!r} not in schema {list(sch.names)}")
+    return mapping[col]
 
 
 def _verify_pairs_exact_jaccard(
@@ -548,7 +553,7 @@ def _verify_pairs_exact_jaccard(
     threshold: float,
     out_col: str = "jaccard",
     num_partitions: Optional[int] = None,
-    empty_id_type: Optional[pa.DataType] = None,
+    empty_id_type=None,  # pa.DataType | zero-arg callable returning one | None
 ) -> ray.data.Dataset:
     """Exact set-Jaccard verification of candidate pairs — fully distributed.
 
@@ -569,8 +574,12 @@ def _verify_pairs_exact_jaccard(
         # an EMPTY corpus has no signature schema (Ray returns None) and can
         # have no pairs — emit a typed empty instead of crashing (empty
         # partitions/inputs are routine at scale). Callers pass the INPUT
-        # table's id type so the empty result unions cleanly with non-empty
-        # runs (invariant 12); int64 only as the last-resort fallback.
+        # table's id type — as a zero-arg CALLABLE so the lookup only runs
+        # on this rare path, never on the hot path (round-3 review: an eager
+        # ds.schema() can execute part of a lazy upstream plan) — with int64
+        # as the last-resort fallback.
+        if callable(empty_id_type):
+            empty_id_type = empty_id_type()
         idt = empty_id_type or pa.int64()
         return ray.data.from_arrow(pa.table({
             a_col: pa.array([], idt),
@@ -645,7 +654,7 @@ def minhash_lsh_pairs(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     rows = num_perm // bands
-    in_id_type = _schema_field_type(ds, id_col)
+    in_id_type = lambda: _schema_field_type(ds, id_col)  # noqa: E731 — lazy, rare path only
     # signatures computed once, pinned (small table: ids + 64 ints + shingle
     # hashes per doc), consumed by banding + the verification joins
     sigs = ds.map_batches(MinHasher(num_perm, ngram, 7, id_col, text_col), **kwargs).materialize()
@@ -885,7 +894,7 @@ def ngram_jaccard_pairs(
                 "shingles": pa.array(out, pa.list_(pa.int64())),
             })
 
-        in_id_type = _schema_field_type(ds, id_col)
+        in_id_type = lambda: _schema_field_type(ds, id_col)  # noqa: E731 — lazy, rare path only
         sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
         cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b", max_doc_freq=max_doc_freq)
         return _verify_pairs_exact_jaccard(

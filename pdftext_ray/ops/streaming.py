@@ -87,6 +87,9 @@ class _SeenShard:
         """(key, total occurrences) for this shard's slice."""
         return list(self._counts.items())
 
+    def n_distinct(self) -> int:
+        return len(self._counts)
+
 
 def _digest16(texts: List) -> List[bytes]:
     return [
@@ -118,6 +121,13 @@ def _task_batch_fp() -> bytes:
     wrong); in practice retries follow worker death, which clears the
     counter with the process."""
     tid = ray.get_runtime_context().get_task_id() or "driver"
+    if tid not in _TASK_SEQ:
+        # a worker executes ONE map task at a time, so a new task id means
+        # every older entry is a finished task: clearing bounds the dict
+        # (round-3 review: unbounded growth in long-lived workers) AND makes
+        # a retry that lands after any intervening task restart at seq 0,
+        # reproducing its original fingerprints
+        _TASK_SEQ.clear()
     seq = _TASK_SEQ.get(tid, 0)
     _TASK_SEQ[tid] = seq + 1
     return f"{tid}:{seq}".encode()
@@ -158,7 +168,21 @@ def streaming_dedup(
             prior[idx] = res
         return t.filter(pa.array(prior == 0))
 
-    return ds.map_batches(dedup_batch, batch_format="pyarrow").materialize()
+    out = ds.map_batches(dedup_batch, batch_format="pyarrow").materialize()
+    # survivors-vs-index invariant, LOUD like streaming_dedup_counts: each
+    # distinct key has exactly one prior==0 row, so any retry the positional
+    # fingerprint failed to absorb (back-to-back re-execution on the same
+    # live worker with no intervening task) shows up here as a mismatch
+    # instead of silently dropped rows (round-3 review)
+    n_survivors = out.count()
+    n_distinct = sum(ray.get([s.n_distinct.remote() for s in shards]))
+    if n_survivors != n_distinct:
+        raise RuntimeError(
+            f"streaming_dedup invariant violation: {n_survivors} survivors vs "
+            f"{n_distinct} distinct keys in the shard index — an unabsorbed "
+            "task retry re-offered keys; rerun the pass"
+        )
+    return out
 
 
 def streaming_dedup_counts(

@@ -66,14 +66,14 @@ class _BlockParser(HTMLParser):
         self._a_depth = 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in VOID_TAGS:
-            if tag == "br" and self._parts is not None:
-                self._parts.append(" ")
-            return
         if tag in DROP_SUBTREES:
             self._drop += 1
             return
         if self._drop:
+            return  # EVERYTHING inside a dropped subtree is invisible — incl. <br>
+        if tag in VOID_TAGS:
+            if tag == "br" and self._parts is not None:
+                self._parts.append(" ")
             return
         if tag in BLOCK_TAGS:
             self._flush()  # blocks never nest in this contract

@@ -336,3 +336,20 @@ def test_cli_flatten_flag_changes_output(tmp_path):
     changed = [d for d in off if off[d] != on[d]]
     assert changed, "flatten must change at least the form_fields doc"
     assert all("field entry" in on[d] and "field entry" not in off[d] for d in changed)
+
+
+def test_cli_negative_page_range_reports_cleanly(tmp_path, capsys):
+    """'-1' fails inside parse_range_str ('' token) — the CLI must report
+    exit 2, not crash with a ValueError traceback (round-3 review)."""
+    import argparse
+
+    from pdftext_ray import cli
+
+    args = argparse.Namespace(
+        input=str(tmp_path), output=str(tmp_path / "o"), mode="spans", pages="-1",
+        sort=True, keep_hyphens=False, disable_links=False, keep_chars=False,
+        flatten_pdf=False, workers=None, limit=None, stdout=False,
+        checkpoint=False, partitions=8,
+    )
+    assert cli.cmd_extract(args) == 2
+    assert "Invalid page range" in capsys.readouterr().err

@@ -58,3 +58,12 @@ def test_malformed_html_never_crashes():
                  "", "plain text only no tags at all but quite long indeed"]:
         kept, _ = webdoc.extract_main_blocks(frag)
         assert isinstance(kept, list)
+
+
+def test_br_inside_dropped_subtree_is_invisible():
+    """Markup INSIDE a dropped subtree must not leak separators into an
+    enclosing open block (round-3 review: <br> in <nav> injected a space)."""
+    kept, _ = webdoc.extract_main_blocks(
+        "<p>foo<nav>hidden<br>stuff</nav>bar and enough filler text here</p>"
+    )
+    assert kept == ["foobar and enough filler text here"]
