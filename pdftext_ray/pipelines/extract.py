@@ -142,15 +142,16 @@ def _heavy_bucket_blocks(large_dir: str, nblocks: int) -> int:
     4×read-parallelism caps it for genuinely large heavy buckets."""
     import glob as _glob
     import math
+    import os as _os
 
     import pyarrow.parquet as _pq
 
     try:
         rows = sum(
             _pq.read_metadata(f).num_rows
-            for f in _glob.glob(os.path.join(large_dir, "**", "*.parquet"), recursive=True)
+            for f in _glob.glob(_os.path.join(large_dir, "**", "*.parquet"), recursive=True)
         )
-    except Exception:
+    except OSError:  # unreadable footer only — anything else should surface
         return nblocks
     return max(2, min(math.ceil(rows / 8), 4 * nblocks))
 
