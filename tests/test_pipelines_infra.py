@@ -353,3 +353,27 @@ def test_cli_negative_page_range_reports_cleanly(tmp_path, capsys):
     )
     assert cli.cmd_extract(args) == 2
     assert "Invalid page range" in capsys.readouterr().err
+
+
+def test_heavy_bucket_blocks_sized_from_footers(tmp_path):
+    """_heavy_bucket_blocks must size from footer row counts — the round-3
+    os-unbound bug silently returned the 64-block default and let a 96-row
+    reassembly sort pay 64 shuffle partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdftext_ray.pipelines.extract import _heavy_bucket_blocks
+
+    d = tmp_path / "size_bucket=large"
+    d.mkdir()
+    for i in range(8):
+        pq.write_table(pa.table({"doc_id": [f"d{i}"], "spans": [[]]}), str(d / f"p{i}.parquet"))
+    assert _heavy_bucket_blocks(str(d), 64) == 2          # 8 rows → floor of 2
+    for i in range(8, 40):
+        pq.write_table(
+            pa.table({"doc_id": [f"d{i}{j}" for j in range(100)], "spans": [[]] * 100}),
+            str(d / f"p{i}.parquet"),
+        )
+    assert _heavy_bucket_blocks(str(d), 64) == 256  # ceil(3208/8)=401, capped at 4×64
+    assert _heavy_bucket_blocks(str(d), 128) == (8 + 3200 + 7) // 8  # uncapped: rows/8
+    assert _heavy_bucket_blocks(str(tmp_path / "missing"), 64) == 2  # 0 rows → floor
