@@ -468,6 +468,54 @@ def _q_domain_counts(sf_dir: str):
     return textstats.url_domain_counts(planted)
 
 
+def _planted_urls(sf_dir: str):
+    """(doc_id, url) — two deterministic messy URLs per doc (case noise,
+    default ports, utm params, fragments; mirrored token-for-token by the
+    oracle SQL) for the URL canonicalization/dedup ops. The gate table has
+    no URL column, so the plant IS the op contract's input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        s = lambda m: pc.cast(pa.array(ids_np % m, pa.int64()), pa.string())  # noqa: E731
+        sid = pc.cast(ids, pa.string())
+        u1 = pc.binary_join_element_wise(
+            "HTTP://Site", s(20), ".ORG:80/p", s(5), "?utm_source=x&q=", s(10), "#s", sid, ""
+        )
+        u2_even = pc.binary_join_element_wise("https://cdn", s(7), ".NET", "")
+        u2_odd = pc.binary_join_element_wise("https://cdn", s(7), ".net:443", "")
+        u2 = pc.if_else(pa.array(ids_np % 2 == 0), u2_even, u2_odd)
+        ids2 = pa.concat_arrays([ids, ids])
+        urls = pa.concat_arrays([u1, u2])
+        return pa.Table.from_arrays([ids2, urls], names=["doc_id", "url"])
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(plant, batch_format="pyarrow")
+
+
+_PLANTED_URLS_SQL = (
+    "SELECT doc_id, 'HTTP://Site' || (doc_id % 20) || '.ORG:80/p' || (doc_id % 5) "
+    "|| '?utm_source=x&q=' || (doc_id % 10) || '#s' || doc_id AS url FROM documents "
+    "UNION ALL SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+    "THEN 'https://cdn' || (doc_id % 7) || '.NET' "
+    "ELSE 'https://cdn' || (doc_id % 7) || '.net:443' END FROM documents"
+)
+
+
+def _q_url_canonicalize(sf_dir: str):
+    from pdftext_ray.ops import urls
+
+    return urls.canonicalize_urls(_planted_urls(sf_dir), url_col="url")
+
+
+def _q_url_dedup(sf_dir: str):
+    from pdftext_ray.ops import urls
+
+    return urls.url_dedup(_planted_urls(sf_dir), id_col="doc_id", url_col="url")
+
+
 def _q_similarity_topk_many(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1591,6 +1639,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "stratified_sample": _q_stratified_sample,
         "media_features": _q_media_features,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -2190,6 +2240,18 @@ def _full_oracle_sql() -> dict[str, str]:
         "FROM (" + d["events_semi_join"] + ") sj_sub "
         "UNION ALL SELECT 'anti' AS side, event_id, user_id, event_type, value "
         "FROM (" + d["events_anti_join"] + ") aj_sub"
+    )
+    from pdftext_ray.ops.urls import url_canon_sql
+
+    d["url_canonicalize"] = (
+        f"SELECT doc_id, url, {url_canon_sql('url')} AS canonical_url "
+        f"FROM ({_PLANTED_URLS_SQL}) planted_urls"
+    )
+    d["url_dedup"] = (
+        "SELECT canonical_url, min(doc_id) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS dup_count FROM ("
+        + d["url_canonicalize"]
+        + ") canon_urls GROUP BY canonical_url"
     )
     d["hash_sampling"] = (
         "SELECT 'sample10' AS method, doc_id, 'keep' AS label FROM (" + d["sample_10pct"] + ") s10_sub "
