@@ -544,6 +544,29 @@ def _q_paragraph_dedup(sf_dir: str):
     return dedup.paragraph_dedup(chunked)
 
 
+def _q_line_dedup(sf_dir: str):
+    from pdftext_ray.ops import dedup
+
+    # segment into the same deterministic 10-token pseudo-lines as
+    # paragraph_dedup, then plant one shared header + footer line around
+    # every doc (mirrored in the oracle SQL) so the boilerplate removal
+    # provably fires on every document
+    def plant(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunked = dedup.chunk_text_batch(b, 10)
+        txt = pc.binary_join_element_wise(
+            "SHARED HEADER LINE\n", chunked.column("text"), "\nSHARED FOOTER LINE", ""
+        )
+        return pa.Table.from_arrays([chunked.column("doc_id"), txt], names=["doc_id", "text"])
+
+    planted = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return dedup.line_frequency_dedup(planted, min_docs=3)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1641,6 +1664,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -2252,6 +2276,25 @@ def _full_oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS dup_count FROM ("
         + d["url_canonicalize"]
         + ") canon_urls GROUP BY canonical_url"
+    )
+    d["line_dedup"] = (
+        # chunking CTE mirrors chunk_text_batch; the planted header/footer
+        # mirrors _q_line_dedup's plant; removal predicate = line appears in
+        # >= 3 DISTINCT docs (RefinedWeb boilerplate rule, all copies go)
+        "WITH chunked AS (SELECT doc_id, array_to_string("
+        "list_transform(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1), "
+        "i -> array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ')), chr(10)) AS text "
+        "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') toks FROM documents)), "
+        "planted AS (SELECT doc_id, 'SHARED HEADER LINE' || chr(10) || text || chr(10) || "
+        "'SHARED FOOTER LINE' AS text FROM chunked), "
+        "l AS (SELECT doc_id, unnest(range(1, len(parts)+1)) - 1 AS line_idx, unnest(parts) AS line "
+        "FROM (SELECT doc_id, string_split(text, chr(10)) parts FROM planted)), "
+        "f AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY line) "
+        "SELECT l.doc_id, "
+        "coalesce(string_agg(l.line, chr(10) ORDER BY l.line_idx) FILTER (WHERE f.ndocs < 3), '') AS text, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(count(*) FILTER (WHERE f.ndocs >= 3) AS BIGINT) AS n_removed "
+        "FROM l JOIN f USING(line) GROUP BY l.doc_id"
     )
     d["hash_sampling"] = (
         "SELECT 'sample10' AS method, doc_id, 'keep' AS label FROM (" + d["sample_10pct"] + ") s10_sub "

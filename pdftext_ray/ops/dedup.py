@@ -217,6 +217,125 @@ def paragraph_dedup(
     )
 
 
+def line_frequency_dedup(
+    ds: ray.data.Dataset,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    n_parts: int = None,
+) -> ray.data.Dataset:
+    """RefinedWeb/CCNet-style boilerplate line removal: drop EVERY occurrence
+    of any line that appears in ``min_docs`` or more DISTINCT documents
+    (Penedo et al. 2023 §3.2 remove frequent lines; unlike
+    :func:`paragraph_dedup`'s C4 keep-first, the first copy goes too — a
+    nav-bar line is boilerplate in all of its documents).
+
+    Plan (two few-partition shuffles, no driver state): explode to
+    (doc_id, line_idx, line) → shuffle 1 on hash(line) co-locates every copy
+    of a line; one vectorized lexsort per partition counts distinct docs per
+    line run and flags keep = ndocs < min_docs → shuffle 2 on hash(doc_id)
+    rebuilds each document from its surviving lines in order.
+    Output: (doc_id, text, n_lines, n_removed); a fully-boilerplate document
+    still emits a row (text='').
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+
+    if n_parts is None:
+        n_parts = default_num_partitions()
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column(text_col), pattern=sep)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        id_type = t.schema.field(id_col).type
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        flat = parts.flatten()
+        tbl = pa.Table.from_arrays(
+            [pa.array(ids, id_type), pa.array(idx, pa.int64()), flat],
+            names=[id_col, "line_idx", "line"],
+        )
+        return tbl.append_column(
+            "_part", pa.array(_bucket_array(tbl.column("line").combine_chunks(), n_parts), pa.int64())
+        )
+
+    def keep_flags(g):
+        lines = g["line"].to_numpy()
+        docs = g[id_col].to_numpy()
+        order = np.lexsort((docs, lines))
+        sl, sd = lines[order], docs[order]
+        new_line = np.empty(len(sl), dtype=bool)
+        new_line[0] = True
+        new_line[1:] = sl[1:] != sl[:-1]
+        # distinct (line, doc) pairs: doc change within a line run, or a new run
+        new_pair = new_line.copy()
+        new_pair[1:] |= sd[1:] != sd[:-1]
+        gid = np.cumsum(new_line) - 1
+        ndocs = np.bincount(gid[new_pair], minlength=gid[-1] + 1 if len(gid) else 0)
+        keep_sorted = ndocs[gid] < min_docs
+        keep = np.empty(len(sl), dtype=bool)
+        keep[order] = keep_sorted
+        out = pd.DataFrame(
+            {
+                id_col: docs,
+                "line_idx": g["line_idx"].to_numpy(),
+                "line": lines,
+                "keep": keep,
+            }
+        )
+        return from_pandas_clean(out)
+
+    flagged = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(keep_flags, batch_format="pandas")
+    )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part2", pa.array(_bucket_array(t.column(id_col).combine_chunks(), n_parts), pa.int64())
+        )
+
+    def reassemble(g):
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((g["line_idx"].to_numpy(), ids))
+        ids = ids[order]
+        lines = g["line"].to_numpy()[order]
+        keep = g["keep"].to_numpy()[order]
+        change = np.empty(len(ids), dtype=bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        rstarts = np.nonzero(change)[0]
+        rends = np.append(rstarts[1:], len(ids))
+        o_id, o_text, o_nl, o_nr = [], [], [], []
+        for s, e in zip(rstarts.tolist(), rends.tolist()):
+            kept = [lines[i] for i in range(s, e) if keep[i]]
+            o_id.append(ids[s])
+            o_text.append(sep.join(kept))
+            o_nl.append(e - s)
+            o_nr.append(e - s - len(kept))
+        id_dtype = g[id_col].dtype
+        id_type = pa.string() if id_dtype == object else pa.from_numpy_dtype(id_dtype)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_id, id_type),
+                pa.array(o_text, pa.string()),
+                pa.array(o_nl, pa.int64()),
+                pa.array(o_nr, pa.int64()),
+            ],
+            names=[id_col, "text", "n_lines", "n_removed"],
+        )
+
+    return (
+        flagged.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ EMPTY_OK = [
     ("embedding_pairs_bruteforce", lambda: dedup.embedding_pairs_bruteforce(_mk(EMB))),
     ("embedding_dup_pairs", lambda: dedup.embedding_dup_pairs(_mk(EMB))),
     ("paragraph_dedup", lambda: dedup.paragraph_dedup(_mk(CHUNKS))),
+    ("line_frequency_dedup", lambda: dedup.line_frequency_dedup(_mk(DOCS))),
     ("token_counts", lambda: textstats.token_counts(_mk(DOCS))),
     ("quality_scores", lambda: textstats.quality_scores(_mk(DOCS))),
     ("gopher_quality", lambda: textstats.gopher_quality(_mk(DOCS))),

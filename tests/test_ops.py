@@ -222,6 +222,40 @@ def test_paragraph_dedup_keep_first_and_empty_doc_retained():
     assert got["n_paras"].tolist() == [3, 2, 2]
 
 
+def test_line_frequency_dedup_removes_all_copies():
+    """Boilerplate lines (>= min_docs distinct docs) lose EVERY occurrence —
+    including the first (vs paragraph_dedup's keep-first) and duplicates
+    WITHIN one doc don't count toward the distinct-doc threshold."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": [
+                    "nav\nbody-a\nnav",  # nav twice in one doc: 1 distinct doc
+                    "nav\nbody-b",
+                    "nav\nbody-b2",  # nav now in 3 distinct docs -> removed
+                ],
+            }
+        )
+    )
+    got = dedup.line_frequency_dedup(ds, min_docs=3).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc["a", "text"] == "body-a" and got.loc["a", "n_removed"] == 2
+    assert got.loc["b", "text"] == "body-b" and got.loc["b", "n_removed"] == 1
+    assert got.loc["c", "text"] == "body-b2" and got.loc["c", "n_removed"] == 1
+    assert got["n_lines"].tolist() == [3, 2, 2]
+    # below the threshold nothing is removed
+    kept = dedup.line_frequency_dedup(ds, min_docs=4).to_pandas()
+    assert int(kept["n_removed"].sum()) == 0
+
+
+def test_line_frequency_dedup_fully_boilerplate_doc_emits_row():
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ["a", "b"], "text": ["same", "same"]})
+    )
+    got = dedup.line_frequency_dedup(ds, min_docs=2).to_pandas().set_index("doc_id")
+    assert got["text"].tolist() == ["", ""] and got["n_removed"].tolist() == [1, 1]
+
+
 def test_chunk_text_batch_windows():
     t = pa.table({"doc_id": ["d"], "text": ["one two three four five"]})
     out = dedup.chunk_text_batch(t, n_tokens=2)
