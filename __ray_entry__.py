@@ -567,6 +567,12 @@ def _q_line_dedup(sf_dir: str):
     return dedup.line_frequency_dedup(planted, min_docs=3)
 
 
+def _q_quality_classifier(sf_dir: str):
+    from pdftext_ray.ops import classifier
+
+    return classifier.classify_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1665,6 +1671,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
         "line_dedup": _q_line_dedup,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -2277,6 +2284,9 @@ def _full_oracle_sql() -> dict[str, str]:
         + d["url_canonicalize"]
         + ") canon_urls GROUP BY canonical_url"
     )
+    from pdftext_ray.ops.classifier import DEFAULT_VOCAB, DEFAULT_WEIGHTS, classifier_sql
+
+    d["quality_classifier"] = classifier_sql(DEFAULT_VOCAB, DEFAULT_WEIGHTS)
     d["line_dedup"] = (
         # chunking CTE mirrors chunk_text_batch; the planted header/footer
         # mirrors _q_line_dedup's plant; removal predicate = line appears in
