@@ -48,6 +48,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_imedia": os.path.join(base, "expected_imedia.parquet"),
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
         "expected_pq": os.path.join(base, "expected_pq.parquet"),
+        "expected_sq8": os.path.join(base, "expected_sq8.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -134,6 +135,16 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_pq_table(ids, vecs, vecs[ids.index(0)], k=10)
 
     goldens.materialize_golden(paths["expected_pq"], _pq_builder)
+
+    def _sq8_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        ids = t.column("vec_id").to_pylist()
+        vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        return goldens.expected_sq8_table(ids, vecs, vecs[ids.index(0)], k=10)
+
+    goldens.materialize_golden(paths["expected_sq8"], _sq8_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -1207,6 +1218,38 @@ def _q_similarity_pq(sf_dir: str):
     )
 
 
+def _q_similarity_sq8(sf_dir: str):
+    """Scalar-quantized (8-bit/dim) ANN top-k — the low-distortion
+    compression point between brute force and PQ; compared against an
+    independent scalar golden (pipelines/goldens.expected_sq8_table) under
+    the shared determinism contract (id-sorted unit training prefix,
+    half-up code rounding, zero-span dims pinned)."""
+    from pdftext_ray.ops import similarity
+
+    return similarity.sq8_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    )
+
+
+def _q_similarity_sq8_recall(sf_dir: str):
+    """Numeric contract for SQ8 quality: measured recall@10 vs the exact
+    brute-force top-k on the same input — seeded AND layout-independent, so
+    the oracle pins the constant (same pattern as similarity_pq_recall)."""
+    import pandas as pd
+
+    from pdftext_ray.ops import round_half_away, similarity
+
+    _require_gate_corpus(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).take_all()}
+    approx = {r["vec_id"] for r in similarity.sq8_topk(emb, q, k=10).take_all()}
+    hits = len(exact & approx)
+    return pd.DataFrame(
+        {"k": [10], "n_hits": [hits], "recall": [float(round_half_away(hits / 10, 4))]}
+    )
+
+
 def _q_similarity_pq_recall(sf_dir: str):
     """Numeric contract for PQ quality: measured recall@10 vs the exact
     brute-force top-k on the same input — seeded AND layout-independent, so
@@ -1656,6 +1699,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf": _q_similarity_ivf,  # rows-only; recall pinned by similarity_ivf_recall
         "similarity_ivf_exact": _q_similarity_ivf_exact,
         "similarity_pq_recall": _q_similarity_pq_recall,
+        "similarity_sq8": _q_similarity_sq8,
+        "similarity_sq8_recall": _q_similarity_sq8_recall,
         "pricing_summary": _q_pricing_summary,
         "distinct_event_types": _q_distinct_event_types,
         "filter_project": _q_filter_project,
@@ -1724,6 +1769,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
         "similarity_pq": f"SELECT vec_id, adc_dist FROM read_parquet('{p['expected_pq']}')",
+        "similarity_sq8": f"SELECT vec_id, sq8_score FROM read_parquet('{p['expected_sq8']}')",
         "cluster_balanced": (
             # replay the deterministic bottom-20-per-cluster draw over the
             # kmeans golden (same hash arithmetic as the sampling oracles)
@@ -1888,6 +1934,14 @@ def _full_oracle_sql() -> dict[str, str]:
             # 0.5 on RANDOM 64-dim embeddings (no cluster structure — the
             # adversarial case for PQ); regression = quantizer changed
             "SELECT CAST(10 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_hits, 0.5 AS recall"
+        ),
+        "similarity_sq8_recall": (
+            # pinned numeric contract for the SQ8 path: seeded +
+            # layout-independent, so recall@10 vs brute force is a constant
+            # on the gate corpus. 0.9 on RANDOM 64-dim embeddings — far
+            # above PQ's 0.5 at 4× the code size (1 byte/dim vs 16 bytes
+            # total); regression = quantizer changed
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(9 AS BIGINT) AS n_hits, 0.9 AS recall"
         ),
         "similarity_ivf_recall": (
             # pinned numeric contract for the approximate IVF path: the

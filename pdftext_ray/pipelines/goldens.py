@@ -588,3 +588,62 @@ def expected_pq_table(
         "vec_id": pa.array([r[0] for r in rows], pa.int64()),
         "adc_dist": pa.array([r[1] for r in rows], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (independent scalar path for ops/similarity.sq8_topk)
+# ---------------------------------------------------------------------------
+
+def expected_sq8_table(
+    ids: List[int],
+    vecs: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    max_train: int = 100_000,
+) -> pa.Table:
+    """Golden SQ8 top-k — per-row/per-dim scalar control flow (the Ray op
+    trains and encodes with broadcast tensors). Shares only the determinism
+    CONTRACT with ops/similarity.SQ8Index: id-sorted unit-normalized
+    training prefix capped at max_train, per-dim [min, max], code =
+    clip(floor(t·255 + 0.5), 0, 255), zero-span dims code 0 / reconstruct
+    to vmin, score = Σ(recon·q) by numpy pairwise sum rounded half-away to
+    6, output ordered by (score desc, vec_id asc) limit k."""
+    from pdftext_ray.ops import round_half_away
+
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    unit = np.empty_like(vecs)
+    for i in range(len(vecs)):
+        unit[i] = vecs[i] / max(float(np.linalg.norm(vecs[i])), 1e-12)
+    d = unit.shape[1]
+
+    train = unit[:max_train]
+    vmin = np.empty(d)
+    span = np.empty(d)
+    for j in range(d):
+        col = train[:, j]
+        vmin[j] = float(col.min())
+        span[j] = float(col.max()) - vmin[j]
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    rows = []
+    for i in range(len(ids)):
+        recon = np.empty(d)
+        for j in range(d):
+            if span[j] == 0.0:
+                recon[j] = vmin[j]
+                continue
+            t = (unit[i, j] - vmin[j]) / span[j] * 255.0
+            code = min(max(float(np.floor(t + 0.5)), 0.0), 255.0)
+            recon[j] = vmin[j] + code * (span[j] / 255.0)
+        score = float(round_half_away((recon * q).sum(), 6))
+        rows.append((int(ids[i]), score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "sq8_score": pa.array([r[1] for r in rows], pa.float64()),
+    })

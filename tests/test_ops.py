@@ -138,6 +138,56 @@ def test_pq_index_validates_inputs():
         similarity.PQIndex(np.zeros((4, 32)), m=8, ksub=16)
 
 
+def test_sq8_topk_matches_scalar_golden_and_layouts():
+    from pdftext_ray.pipelines.goldens import expected_sq8_table
+
+    rng = np.random.RandomState(6)
+    vecs = rng.standard_normal((300, 32))
+    vecs[:, 11] = 0.25  # zero-span dim after unit-normalization varies — pin a constant raw dim
+    ids = list(range(300))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    q = vecs[5]
+    got = similarity.sq8_topk(ds, q, k=10).to_pandas()
+    want = expected_sq8_table(ids, vecs, q, k=10).to_pandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["sq8_score"].tolist() == want["sq8_score"].tolist()
+    # layout-independent: reversed 7-block layout gives identical output
+    ds2 = ray.data.from_arrow(
+        pa.table({"vec_id": ids[::-1], "embedding": [v.tolist() for v in vecs[::-1]]})
+    ).repartition(7)
+    got2 = similarity.sq8_topk(ds2, q, k=10).to_pandas()
+    assert got2["vec_id"].tolist() == got["vec_id"].tolist()
+    assert got2["sq8_score"].tolist() == got["sq8_score"].tolist()
+
+
+def test_sq8_recall_beats_pq_on_random_vectors():
+    # SQ8 keeps 1 byte/dim (32 bytes here) vs PQ's m=8 bytes; on isotropic
+    # random vectors (the adversarial case for both) SQ8's distortion is
+    # far lower — assert the ranking is near-exact
+    rng = np.random.RandomState(12)
+    vecs = rng.standard_normal((400, 32))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": list(range(400)), "embedding": [v.tolist() for v in vecs]})
+    )
+    q = vecs[7]
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()
+    approx = similarity.sq8_topk(ds, q, k=10).to_pandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert approx.iloc[0]["vec_id"] == 7  # own row survives quantization
+    assert recall >= 0.9, f"SQ8 recall too low: {recall}"
+
+
+def test_sq8_zero_span_dims_reconstruct_to_vmin():
+    idx = similarity.SQ8Index(np.array([[1.0, 2.0], [1.0, 4.0]]))
+    # dim 0 is constant after unit-norm scaling differences? use raw check:
+    codes = idx.encode(np.array([[1.0, 2.0], [1.0, 4.0]]))
+    recon = idx.reconstruct(codes)
+    assert np.all(codes[:, idx.span == 0] == 0)
+    assert np.allclose(recon[:, idx.span == 0], idx.vmin[idx.span == 0])
+
+
 def test_textstats_token_semantics():
     ds = _doc_table(["the  quick\tfox", ""])
     out = textstats.token_counts(ds).to_pandas().sort_values("doc_id")
