@@ -804,6 +804,36 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_pricing_cube(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus) — all four grouping sets; partial
+    pre-aggregation, cube expansion over the tiny base aggregate."""
+    from pdftext_ray.ops import relational
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    return relational.lineitem_pricing_cube(_read(sf_dir, "lineitem", cols))
+
+
+def _q_events_window_funcs(sf_dir: str):
+    """Per-key ordered window functions (row_number/lag/lead/running
+    sum/moving avg) — one few-partition hash shuffle, vectorized pass per
+    partition, integer-cents running sums for layout independence."""
+    from pdftext_ray.ops import relational
+
+    return relational.events_window_functions(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def _q_interp_percentiles(sf_dir: str):
+    """SQL quantile_cont semantics over the bounded value-histogram
+    reduction (exact, interpolated; shuffle moves distinct values only)."""
+    from pdftext_ray.ops import stats
+
+    return stats.interp_percentiles(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars", (0.25, 0.5, 0.9)
+    )
+
+
 def _q_events_hourly(sf_dir: str):
     from pdftext_ray.ops import relational
 
@@ -1717,6 +1747,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "line_dedup": _q_line_dedup,
         "quality_classifier": _q_quality_classifier,
+        "pricing_cube": _q_pricing_cube,
+        "events_window_funcs": _q_events_window_funcs,
+        "interp_percentiles": _q_interp_percentiles,
     }
 
 
@@ -2143,6 +2176,32 @@ def _full_oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, "
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pricing_cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS n_rows FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "events_window_funcs": (
+            "SELECT event_id, user_id, ts, value, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS row_num, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, "
+            "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING), 2) AS running_sum, "
+            "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3 "
+            "FROM events"
+        ),
+        "interp_percentiles": (
+            # quantile_cont = the interpolated (CRN−RN)·v[FRN]+(RN−FRN)·v[CRN]
+            # arithmetic the engine replicates exactly (ops/stats.py)
+            "SELECT 0.25 AS pct, round(quantile_cont(n_chars, 0.25), 6) AS value, count(*) AS n_rows FROM documents "
+            "UNION ALL SELECT 0.5, round(quantile_cont(n_chars, 0.5), 6), count(*) FROM documents "
+            "UNION ALL SELECT 0.9, round(quantile_cont(n_chars, 0.9), 6), count(*) FROM documents"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

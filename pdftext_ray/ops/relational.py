@@ -116,6 +116,56 @@ def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def lineitem_pricing_cube(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """CUBE(l_returnflag, l_linestatus) pricing aggregate — all four
+    grouping sets {(rf,ls), (rf), (ls), ()} in one result (completes the
+    GROUPING SETS family beside lineitem_pricing_rollup).
+
+    Same scale shape as the rollup: batch-level partial aggregation so the
+    shuffle moves key-cardinality rows; the cube EXPANSION re-aggregates
+    the tiny base table (rows = distinct base keys) inside one map_batches
+    over a single partition. 'ALL' sentinels instead of SQL NULLs keep the
+    oracle comparison null-convention independent.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("l_quantity", "count"),
+        ])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    base = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        metrics = ["sum_qty", "sum_price", "n_rows"]
+        by_rf = df.groupby("l_returnflag", as_index=False)[metrics].sum()
+        by_rf["l_linestatus"] = "ALL"
+        by_ls = df.groupby("l_linestatus", as_index=False)[metrics].sum()
+        by_ls["l_returnflag"] = "ALL"
+        total = df[metrics].sum().to_frame().T
+        total["l_returnflag"] = "ALL"
+        total["l_linestatus"] = "ALL"
+        out = pd.concat([df, by_rf, by_ls, total], ignore_index=True)
+        out["sum_qty"] = round_half_away(out["sum_qty"], 2)
+        out["sum_price"] = round_half_away(out["sum_price"], 2)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return from_pandas_clean(
+            out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]]
+        )
+
+    return base.repartition(1).map_batches(
+        expand, batch_format="pandas", batch_size=None
+    )
+
+
 def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type (batch-implemented streaming
     window, SURVEY.md §2.10): window_start, event_type, n_events, sum_value.
@@ -331,6 +381,61 @@ def sessionize_events(
         agg["sum_value"] = round_half_away(agg["sum_value"], 2)
         agg = agg.rename(columns={"user": key})
         return from_pandas_clean(agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]])
+
+    return (
+        ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def events_window_functions(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key ordered window functions — the ``OVER (PARTITION BY key
+    ORDER BY ts, id)`` family (row_number, lag, lead, running sum, 3-row
+    moving average) as ONE few-partition hash shuffle + a vectorized pandas
+    pass per partition (key-cardinality-independent; a per-distinct-key
+    map_groups pays Ray's ~65 µs/key — see sessionize_events).
+
+    Float determinism: the input value column is 2-decimal, so running
+    sums accumulate in integer cents (int64) — layout-independent by
+    construction (integer addition commutes exactly; float cumsum order
+    would drift in the last bits across layouts) and equal to SQL's
+    ``round(sum(value) OVER ..., 2)``. The moving average divides a cents
+    sum by 100·count, which can never land exactly on a 5e-7 half-boundary
+    (denominator 300 shares no factor with 2·10⁶), so round-to-6 matches
+    SQL for every input.
+
+    Output: id, key, ts, value, row_num, prev_value, next_value,
+    running_sum, moving_avg3.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, id_col]).reset_index(drop=True)
+        grp = g.groupby(key, sort=False)
+        cents = np.asarray(round_half_away(g[value].to_numpy() * 100.0, 0), dtype=np.int64)
+        g["row_num"] = (grp.cumcount() + 1).astype("int64")
+        g["prev_value"] = grp[value].shift(1)
+        g["next_value"] = grp[value].shift(-1)
+        g["_cents"] = cents
+        g["running_sum"] = round_half_away(
+            g.groupby(key, sort=False)["_cents"].cumsum().to_numpy() / 100.0, 2
+        )
+        c1 = g.groupby(key, sort=False)["_cents"].shift(1)
+        c2 = g.groupby(key, sort=False)["_cents"].shift(2)
+        cnt = 1 + c1.notna().to_numpy() + c2.notna().to_numpy()
+        msum = cents + c1.fillna(0).to_numpy().astype(np.int64) + c2.fillna(0).to_numpy().astype(np.int64)
+        g["moving_avg3"] = round_half_away(msum / (100.0 * cnt), 6)
+        cols = [id_col, key, ts, value, "row_num", "prev_value", "next_value", "running_sum", "moving_avg3"]
+        return from_pandas_clean(g[cols])
 
     return (
         ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")

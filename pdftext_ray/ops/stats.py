@@ -95,6 +95,54 @@ def exact_percentiles(
     })
 
 
+def interp_percentiles(
+    ds: ray.data.Dataset,
+    column: str,
+    percentiles: Iterable[float] = (0.5, 0.9, 0.99),
+    max_distinct: int = 1_000_000,
+) -> pa.Table:
+    """EXACT continuous (interpolated) percentiles of an integer column —
+    SQL ``quantile_cont`` semantics — at any scale, over the same bounded
+    value-histogram reduction as exact_percentiles (the shuffle moves
+    distinct values, never rows; the driver finish is O(#distinct)).
+
+    Interpolation replicates the published quantile_cont arithmetic
+    exactly: RN = p·(n−1) (0-based, double), result =
+    (CRN−RN)·v[FRN] + (RN−FRN)·v[CRN] — NOT lo + frac·(hi−lo), whose
+    different rounding could flip the 6-decimal comparison. Output rounded
+    half-away to 6 (ops.round_half_away, the SQL rounding convention).
+    """
+    df = _value_histogram(ds, column, max_distinct)
+    cum = df["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    values = df["value"].to_numpy()
+
+    def value_at(idx0: int) -> float:
+        # value at 0-based sorted-multiset index via the cumulative counts
+        return float(values[int(np.searchsorted(cum, idx0 + 1, side="left"))])
+
+    out_p: List[float] = []
+    out_v: List[float] = []
+    for p in percentiles:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
+        if n == 0:
+            raise ValueError("interp_percentiles over an empty dataset")
+        rn = p * (n - 1)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        if frn == crn:
+            x = value_at(frn)
+        else:
+            x = (crn - rn) * value_at(frn) + (rn - frn) * value_at(crn)
+        out_p.append(p)
+        out_v.append(float(round_half_away(x, 6)))
+    return pa.table({
+        "pct": pa.array(out_p, pa.float64()),
+        "value": pa.array(out_v, pa.float64()),
+        "n_rows": pa.array([n] * len(out_p), pa.int64()),
+    })
+
+
 def _int_moments(ds: ray.data.Dataset, column: str) -> tuple:
     """Exact (sum, sum-of-squares, count) of an integer column.
 

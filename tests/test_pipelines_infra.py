@@ -175,6 +175,43 @@ def test_sessionize_and_grouped_topk():
     assert list(b["event_id"]) == [3, 4]  # value tie broken by id asc
 
 
+def test_window_functions_semantics_and_layouts():
+    from pdftext_ray.ops import relational
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 5, 10, 15, 3, 8], unit="m")
+    df = pd.DataFrame({"event_id": range(6), "ts": ts,
+                       "user_id": [1, 1, 1, 1, 2, 2],
+                       "value": [1.5, 2.25, 3.0, 4.0, 10.0, 0.5]})
+    out = relational.events_window_functions(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    u1 = out[out["user_id"] == 1]
+    assert u1["row_num"].tolist() == [1, 2, 3, 4]
+    assert u1["prev_value"].tolist()[1:] == [1.5, 2.25, 3.0] and pd.isna(u1["prev_value"].iloc[0])
+    assert u1["next_value"].tolist()[:3] == [2.25, 3.0, 4.0] and pd.isna(u1["next_value"].iloc[3])
+    assert u1["running_sum"].tolist() == [1.5, 3.75, 6.75, 10.75]
+    assert u1["moving_avg3"].tolist() == [1.5, 1.875, 2.25, 3.083333]
+    u2 = out[out["user_id"] == 2]
+    assert u2["running_sum"].tolist() == [10.0, 10.5]
+    # layout-independent: reversed 5-block layout, identical values
+    out2 = relational.events_window_functions(
+        ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(5)
+    ).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pricing_cube_grouping_sets():
+    from pdftext_ray.ops import relational
+
+    df = pd.DataFrame({"l_returnflag": ["A", "A", "R"], "l_linestatus": ["O", "F", "O"],
+                       "l_quantity": [1.0, 2.0, 4.0], "l_extendedprice": [10.0, 20.0, 40.0]})
+    out = relational.lineitem_pricing_cube(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 3 + 2 + 2 + 1  # base + by-rf + by-ls + total
+    total = out[(out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "ALL")]
+    assert total["sum_qty"].iloc[0] == 7.0 and total["n_rows"].iloc[0] == 3
+    by_ls_o = out[(out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "O")]
+    assert by_ls_o["sum_price"].iloc[0] == 50.0  # the set ROLLUP lacks
+
+
 def test_read_write_table_format_dispatch(tmp_path):
     """storage.read_table/write_table route .jsonl/.csv by extension and the
     round-trip preserves values (row formats prune AFTER parse)."""

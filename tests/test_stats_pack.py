@@ -46,6 +46,26 @@ def test_exact_percentiles_refuses_unbounded_domains():
         stats.exact_percentiles(_int_table(list(range(100))), "n_chars", (0.5,), max_distinct=10)
 
 
+def test_interp_percentiles_matches_numpy_linear():
+    # quantile_cont == numpy's 'linear' method on integer data
+    rng = np.random.default_rng(11)
+    vals = rng.integers(10, 5000, size=997).tolist()
+    out = stats.interp_percentiles(_int_table(vals), "n_chars", (0.0, 0.25, 0.5, 0.9, 1.0)).to_pandas()
+    for _, row in out.iterrows():
+        want = float(np.quantile(np.array(vals, dtype=np.float64), row["pct"], method="linear"))
+        assert abs(row["value"] - round(want, 6)) < 1e-9, (row["pct"], row["value"], want)
+    assert (out["n_rows"] == 997).all()
+
+
+def test_interp_percentiles_interpolates_between_ties():
+    # n=4 → p=0.5 lands at RN=1.5 between the two middle values
+    out = stats.interp_percentiles(_int_table([10, 20, 30, 40]), "n_chars", (0.5,)).to_pandas()
+    assert out["value"].iloc[0] == 25.0
+    # heavy ties: interpolation between equal values stays exact
+    out2 = stats.interp_percentiles(_int_table([7] * 50 + [9] * 50), "n_chars", (0.25, 0.75)).to_pandas()
+    assert out2["value"].tolist() == [7.0, 9.0]
+
+
 def test_grouped_percentiles_per_group_rank():
     rng = np.random.default_rng(5)
     langs = ["en", "de", "zh"]
