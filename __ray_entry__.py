@@ -804,6 +804,15 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_ngram_repetition(sf_dir: str):
+    """Gopher repetition-filter signals over word n-grams (top-2-gram char
+    fraction, duplicate-5-gram char fraction) — stateless per-doc
+    map_batches, integer/integer double fractions SQL reproduces exactly."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.ngram_repetition(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_pricing_cube(sf_dir: str):
     """CUBE(l_returnflag, l_linestatus) — all four grouping sets; partial
     pre-aggregation, cube expansion over the tiny base aggregate."""
@@ -1748,6 +1757,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "quality_classifier": _q_quality_classifier,
         "pricing_cube": _q_pricing_cube,
+        "ngram_repetition": _q_ngram_repetition,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2176,6 +2186,27 @@ def _full_oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, "
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "ngram_repetition": (
+            # word \S+ tokens; 2-grams/5-grams as space-joined token runs
+            # (range(a,b) is [a,b) and list indexing 1-based, so i..i+n-1);
+            # top gram = max count, ties to lexicographically smallest;
+            # fractions are int·int/int double division — bit-equal to the
+            # engine's arithmetic (see ops/textstats.ngram_repetition_batch)
+            "WITH toks AS (SELECT doc_id, length(text) AS nc, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "g2 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram FROM toks), "
+            "c2 AS (SELECT doc_id, nc, gram, count(*) AS c FROM g2 GROUP BY doc_id, nc, gram), "
+            "r2 AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c2), "
+            "top2 AS (SELECT doc_id, gram AS top_ngram, round(c * length(gram) / greatest(nc, 1), 6) AS top_ngram_frac FROM r2 WHERE rn = 1), "
+            "g5 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(t) - 3), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram FROM toks), "
+            "c5 AS (SELECT doc_id, nc, gram, count(*) AS c FROM g5 GROUP BY doc_id, nc, gram), "
+            "d5 AS (SELECT doc_id, round(coalesce(sum((c - 1) * length(gram)) FILTER (WHERE c >= 2), 0) "
+            "/ greatest(any_value(nc), 1), 6) AS dup_ngram_frac FROM c5 GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(t2.top_ngram, '') AS top_ngram, "
+            "coalesce(t2.top_ngram_frac, 0.0) AS top_ngram_frac, "
+            "coalesce(d5.dup_ngram_frac, 0.0) AS dup_ngram_frac "
+            "FROM documents d LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)"
         ),
         "pricing_cube": (
             "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "

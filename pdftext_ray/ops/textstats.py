@@ -235,6 +235,83 @@ def gopher_quality(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
 
 
+def ngram_repetition_batch(
+    batch: pa.Table, top_n: int = 2, dup_n: int = 5
+) -> pa.Table:
+    """Per-doc n-gram repetition signals (the Gopher repetition-filter
+    family over word n-grams; Rae et al. 2021 §A1.1 shapes, with the exact
+    convention documented here because published implementations differ):
+
+    top_ngram        the most frequent ``top_n``-gram (space-joined tokens;
+                     count ties broken by lexicographically smallest gram;
+                     '' when the doc has < top_n tokens)
+    top_ngram_frac   count(top gram) · len(top gram) / max(n_chars, 1) —
+                     chars covered by ALL its occurrences (overlaps counted
+                     per occurrence, not coverage-deduped)
+    dup_ngram_frac   Σ over ``dup_n``-grams seen ≥ 2 times of
+                     (count − 1) · len(gram) / max(n_chars, 1) — chars in
+                     occurrences BEYOND the first (a doc with no repeated
+                     5-grams scores exactly 0)
+
+    Tokens are ``\\S+`` runs (the repo-wide convention). Stateless and
+    per-doc — embarrassingly parallel at any scale. Fractions are
+    integer·integer/integer double arithmetic, so SQL reproduces them
+    bit-for-bit; rounded half-away to 6.
+    """
+    import re
+    from collections import Counter
+
+    split = re.compile(_WS_SPLIT_RE)
+    texts = batch.column("text").to_pylist()
+    top_grams: list = []
+    top_fracs: list = []
+    dup_fracs: list = []
+    for t in texts:
+        toks = [w for w in split.split(t) if w]
+        nc = max(len(t), 1)
+        if len(toks) >= top_n:
+            c2 = Counter(
+                " ".join(toks[i : i + top_n]) for i in range(len(toks) - top_n + 1)
+            )
+            # tie-break: max count, then lexicographically SMALLEST gram
+            best_cnt = max(c2.values())
+            best_gram = min(g for g, c in c2.items() if c == best_cnt)
+            top_grams.append(best_gram)
+            top_fracs.append(best_cnt * len(best_gram) / nc)
+        else:
+            top_grams.append("")
+            top_fracs.append(0.0)
+        if len(toks) >= dup_n:
+            c5 = Counter(
+                " ".join(toks[i : i + dup_n]) for i in range(len(toks) - dup_n + 1)
+            )
+            dup_fracs.append(
+                sum((c - 1) * len(g) for g, c in c5.items() if c >= 2) / nc
+            )
+        else:
+            dup_fracs.append(0.0)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(top_grams, pa.string()),
+            pa.array(round_half_away(np.array(top_fracs, dtype=np.float64), 6)),
+            pa.array(round_half_away(np.array(dup_fracs, dtype=np.float64), 6)),
+        ],
+        names=["doc_id", "top_ngram", "top_ngram_frac", "dup_ngram_frac"],
+    )
+
+
+def ngram_repetition(
+    ds: ray.data.Dataset, top_n: int = 2, dup_n: int = 5
+) -> ray.data.Dataset:
+    import functools
+
+    return ds.map_batches(
+        functools.partial(ngram_repetition_batch, top_n=top_n, dup_n=dup_n),
+        batch_format="pyarrow",
+    )
+
+
 # PII scrub patterns — RE2 syntax only (no lookaround), so the Arrow kernel
 # and DuckDB's regexp_replace evaluate them identically
 URL_RE = r"https?://[^\s]+"

@@ -188,6 +188,31 @@ def test_sq8_zero_span_dims_reconstruct_to_vmin():
     assert np.allclose(recon[:, idx.span == 0], idx.vmin[idx.span == 0])
 
 
+def test_ngram_repetition_hand_cases():
+    docs = [
+        "a b a b a b",        # top 2-gram "a b" ×3 (len 3); 5-grams all distinct-ish
+        "x y z x y z x y z",  # 5-gram "x y z x y" appears twice... check below
+        "one two",            # exactly 2 tokens: one 2-gram, no 5-grams
+        "solo",               # 1 token: no grams at all
+        "",                   # empty
+    ]
+    out = textstats.ngram_repetition(_doc_table(docs)).to_pandas().sort_values("doc_id")
+    r0 = out.iloc[0]
+    # "a b" count 3, len 3, n_chars 11 → 9/11
+    assert r0["top_ngram"] == "a b" and r0["top_ngram_frac"] == round(9 / 11, 6)
+    r1 = out.iloc[1]
+    # 9 tokens → 5 five-grams: xyzxy yzxyz zxyzx xyzxy yzxyz → "x y z x y"×2,
+    # "y z x y z"×2, "z x y z x"×1 → dup chars = (2-1)*9 + (2-1)*9 = 18 over 17
+    assert r1["dup_ngram_frac"] == round(18 / 17, 6)
+    # tie at count 2: "x y" ties "y z" (and "z x") → lexicographically smallest
+    assert r1["top_ngram"] == "x y"
+    r2 = out.iloc[2]
+    assert r2["top_ngram"] == "one two" and r2["top_ngram_frac"] == round(7 / 7, 6)
+    assert r2["dup_ngram_frac"] == 0.0
+    assert out.iloc[3]["top_ngram"] == "" and out.iloc[3]["top_ngram_frac"] == 0.0
+    assert out.iloc[4]["top_ngram"] == "" and out.iloc[4]["dup_ngram_frac"] == 0.0
+
+
 def test_textstats_token_semantics():
     ds = _doc_table(["the  quick\tfox", ""])
     out = textstats.token_counts(ds).to_pandas().sort_values("doc_id")
