@@ -804,6 +804,28 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_bloom_semi_events(sf_dir: str):
+    """Distributed-Bloom semi join: bitmap built block-parallel over the
+    high-value purchasers (OR-merge of partial bitmaps), broadcast once,
+    all events probed vectorized. m=256 deliberately small so the filter's
+    deterministic FALSE POSITIVES are part of the contract — the oracle
+    replicates the multiplicative double-hash in HUGEINT SQL bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import joins
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    purchasers = events.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                    pc.greater(t.column("value"), 200.0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    bits = joins.distributed_bloom_bits(purchasers, "user_id", m_bits=256, num_hashes=4)
+    return joins.bloom_semi_join(events, bits, "user_id", m_bits=256, num_hashes=4)
+
+
 def _q_ngram_repetition(sf_dir: str):
     """Gopher repetition-filter signals over word n-grams (top-2-gram char
     fraction, duplicate-5-gram char fraction) — stateless per-doc
@@ -1758,6 +1780,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "pricing_cube": _q_pricing_cube,
         "ngram_repetition": _q_ngram_repetition,
+        "bloom_semi_events": _q_bloom_semi_events,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2186,6 +2209,27 @@ def _full_oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, "
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "bloom_semi_events": (
+            # replicate the bloom's multiplicative double-hash in HUGEINT:
+            # h = top-32-bits of (key * P) mod 2^64; pos_i = (h1 + i*(2*h2+1)) % 256.
+            # Membership = all 4 positions set by some high-value purchaser —
+            # the oracle reproduces the filter's false positives exactly.
+            "WITH hashes AS (SELECT DISTINCT user_id, "
+            "((CAST(user_id AS HUGEINT) * 11400714819323198485) % 18446744073709551616) // 4294967296 AS h1, "
+            "((CAST(user_id AS HUGEINT) * 14029467366897019727) % 18446744073709551616) // 4294967296 AS h2 "
+            "FROM events), "
+            "i AS (SELECT unnest([0, 1, 2, 3]) AS i), "
+            "rbits AS (SELECT DISTINCT (h.h1 + i.i * (2 * h.h2 + 1)) % 256 AS pos "
+            "FROM hashes h JOIN (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 200.0) p USING (user_id) "
+            "CROSS JOIN i), "
+            "lpos AS (SELECT h.user_id, (h.h1 + i.i * (2 * h.h2 + 1)) % 256 AS pos "
+            "FROM hashes h CROSS JOIN i), "
+            "member AS (SELECT user_id FROM lpos LEFT JOIN rbits r ON lpos.pos = r.pos "
+            "GROUP BY user_id HAVING count(r.pos) = 4) "
+            "SELECT e.event_id, e.user_id, e.event_type, e.value "
+            "FROM events e JOIN member USING (user_id)"
         ),
         "ngram_repetition": (
             # word \S+ tokens; 2-grams/5-grams as space-joined token runs

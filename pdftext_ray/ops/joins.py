@@ -114,6 +114,95 @@ class BloomFilter:
         )
 
 
+# Multiplicative double-hash constants for the DISTRIBUTED bloom filter —
+# Fibonacci hashing prime + the xxhash64 prime 2 (both public constants).
+# Chosen over blake2b (the driver-side BloomFilter above) because the whole
+# hash is HUGEINT-expressible, so a DuckDB oracle reproduces membership —
+# INCLUDING the false positives — bit-for-bit.
+_BLOOM_P1 = np.uint64(11400714819323198485)
+_BLOOM_P2 = np.uint64(14029467366897019727)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, k) bit positions by double hashing: pos_i = (h1 + i·(2·h2+1)) % m
+    with h1/h2 the top-32-bits of two multiplicative hashes. The 2·h2+1 step
+    is always odd (full-period for power-of-two m) without bitwise-or — SQL
+    replicates it as plain arithmetic. All intermediates < 2³⁵, so uint64
+    numpy and HUGEINT SQL agree exactly (no wrap on either side)."""
+    x = keys.astype(np.int64).astype(np.uint64)
+    h1 = (x * _BLOOM_P1 >> np.uint64(32)).astype(np.int64)
+    step = 2 * (x * _BLOOM_P2 >> np.uint64(32)).astype(np.int64) + 1
+    return (h1[:, None] + np.arange(num_hashes)[None, :] * step[:, None]) % m_bits
+
+
+def distributed_bloom_bits(
+    ds: ray.data.Dataset,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> np.ndarray:
+    """Build a Bloom bitmap over an int key column DISTRIBUTED: each block
+    emits its own m-bit partial bitmap (vectorized unbuffered bitwise-or),
+    partials OR-merge to one bitmap. The merge is associative+commutative —
+    layout-independent by construction — and what crosses the wire is
+    #blocks × m/8 bytes, never keys (the sketch pattern: build cost scales
+    with data, result size with m only). Returns the m/64-word uint64 array.
+    """
+    words = (m_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(keys):
+            pos = _bloom_positions(keys, m_bits, num_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in t.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    if not merged:  # zero-batch input (empty dataset): nothing is a member
+        return np.zeros(words, dtype=np.uint64)
+    return np.frombuffer(merged[0]["bits"], dtype=np.uint64).copy()
+
+
+def bloom_semi_join(
+    large: ray.data.Dataset,
+    bloom_bits: np.ndarray,
+    key_col: str,
+    m_bits: int,
+    num_hashes: int = 4,
+) -> ray.data.Dataset:
+    """Keep large-side rows whose key the Bloom bitmap admits (set semantics
+    plus the filter's deterministic false positives — a PRE-filter at true
+    scale, exact-oracle-checkable here because the hash family is
+    SQL-replicable). Bitmap broadcast once via ``ray.put``; membership test
+    is one vectorized gather + AND-reduce per batch."""
+    ref = ray.put(bloom_bits)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return batch
+        pos = _bloom_positions(keys, m_bits, num_hashes)
+        member = np.all(
+            bits[pos >> 6] & (np.uint64(1) << (pos & 63).astype(np.uint64)) != 0, axis=1
+        )
+        return batch.filter(pa.array(member, pa.bool_()))
+
+    return large.map_batches(fn, batch_format="pyarrow")
+
+
 def semi_join(
     large: ray.data.Dataset,
     keys,

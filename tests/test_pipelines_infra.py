@@ -141,6 +141,30 @@ def test_bloom_semi_join_prefilter():
     assert all(k in bf for k in keys)
 
 
+def test_distributed_bloom_build_and_probe():
+    """Distributed bitmap build: no false negatives, bounded FP rate, and
+    the OR-merge is layout-independent (same bitmap from any block split)."""
+    from pdftext_ray.ops.joins import bloom_semi_join, distributed_bloom_bits
+
+    member_keys = list(range(0, 2000, 13))  # 154 members
+    right = ray.data.from_pandas(pd.DataFrame({"k": member_keys}))
+    bits = distributed_bloom_bits(right, "k", m_bits=1 << 12, num_hashes=4)
+    bits2 = distributed_bloom_bits(right.repartition(7), "k", m_bits=1 << 12, num_hashes=4)
+    assert np.array_equal(bits, bits2)
+
+    probe = ray.data.from_pandas(pd.DataFrame({"k": np.arange(2000)}))
+    kept = set(bloom_semi_join(probe, bits, "k", m_bits=1 << 12, num_hashes=4).to_pandas()["k"])
+    assert set(member_keys) <= kept  # no false negatives
+    fp = (len(kept) - len(member_keys)) / (2000 - len(member_keys))
+    assert fp < 0.05, fp
+    # empty build side → empty filter admits nothing
+    empty_bits = distributed_bloom_bits(
+        ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")})),
+        "k", m_bits=1 << 12,
+    )
+    assert len(bloom_semi_join(probe, empty_bits, "k", m_bits=1 << 12).to_pandas()) == 0
+
+
 def test_sliding_window_membership():
     """One event lands in exactly width/slide overlapping windows."""
     from pdftext_ray.ops import relational
