@@ -49,6 +49,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_kmeans": os.path.join(base, "expected_kmeans.parquet"),
         "expected_pq": os.path.join(base, "expected_pq.parquet"),
         "expected_sq8": os.path.join(base, "expected_sq8.parquet"),
+        "expected_pagerank": os.path.join(base, "expected_pagerank.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -145,6 +146,18 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_sq8_table(ids, vecs, vecs[ids.index(0)], k=10)
 
     goldens.materialize_golden(paths["expected_sq8"], _sq8_builder)
+
+    def _pagerank_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey", "l_partkey"]
+        )
+        edges = zip(
+            t.column("l_suppkey").to_pylist(),
+            (1_000_000 + k for k in t.column("l_partkey").to_pylist()),
+        )
+        return goldens.expected_pagerank_table(edges, n_iter=8)
+
+    goldens.materialize_golden(paths["expected_pagerank"], _pagerank_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -802,6 +815,31 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_graph_pagerank(sf_dir: str):
+    """Fixed-point PageRank over the supplier→part edge graph (8 power
+    iterations; all rank arithmetic int64, so the iterative distributed
+    computation is layout-independent and the scalar golden matches the
+    rank_fp column EXACTLY — see ops/graph.py). Parts are offset into a
+    disjoint node-id space and are all dangling, exercising the dangling-
+    mass redistribution."""
+    import pyarrow as pa
+
+    from pdftext_ray.ops import graph
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": t.column("l_suppkey"),
+            "dst": pc.add(t.column("l_partkey"), 1_000_000),
+        })
+
+    edges = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return graph.pagerank(edges, n_iter=8)
 
 
 def _q_bloom_semi_events(sf_dir: str):
@@ -1781,6 +1819,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": _q_pricing_cube,
         "ngram_repetition": _q_ngram_repetition,
         "bloom_semi_events": _q_bloom_semi_events,
+        "graph_pagerank": _q_graph_pagerank,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2210,6 +2249,7 @@ def _full_oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        "graph_pagerank": f"SELECT node, rank_fp, rank FROM read_parquet('{p['expected_pagerank']}')",
         "bloom_semi_events": (
             # replicate the bloom's multiplicative double-hash in HUGEINT:
             # h = top-32-bits of (key * P) mod 2^64; pos_i = (h1 + i*(2*h2+1)) % 256.

@@ -647,3 +647,51 @@ def expected_sq8_table(
         "vec_id": pa.array([r[0] for r in rows], pa.int64()),
         "sq8_score": pa.array([r[1] for r in rows], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (independent scalar path for ops/graph.pagerank)
+# ---------------------------------------------------------------------------
+
+def expected_pagerank_table(
+    edges,
+    n_iter: int = 8,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> pa.Table:
+    """Golden PageRank — pure-dict scalar control flow (the Ray op runs
+    numpy over broadcast vectors). Shares only the fixed-point CONTRACT
+    with ops/graph.pagerank: distinct edges; contrib = rank // outdeg;
+    exact int sums; dangling share = D // N; rank' = (100-d)*scale //
+    (100*N) + d*(S + dd) // 100; output (node, rank_fp, rank=rank_fp/scale
+    rounded half-away to 10) sorted by node."""
+    from pdftext_ray.ops import round_half_away
+
+    edge_set = sorted({(int(s), int(d)) for s, d in edges})
+    nodes = sorted({s for s, _ in edge_set} | {d for _, d in edge_set})
+    n = len(nodes)
+    if n == 0:
+        return pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_fp": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64()),
+        })
+    outdeg: dict = {}
+    for s, _ in edge_set:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = (100 - damping_pct) * scale // (100 * n)
+    for _ in range(n_iter):
+        sums = {v: 0 for v in nodes}
+        for s, d in edge_set:
+            sums[d] += rank[s] // outdeg[s]
+        dangling = sum(rank[v] for v in nodes if v not in outdeg)
+        dd = dangling // n
+        rank = {v: base + damping_pct * (sums[v] + dd) // 100 for v in nodes}
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank_fp": pa.array([rank[v] for v in nodes], pa.int64()),
+        "rank": pa.array(
+            [float(round_half_away(rank[v] / scale, 10)) for v in nodes], pa.float64()
+        ),
+    })
