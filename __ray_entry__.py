@@ -50,6 +50,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_pq": os.path.join(base, "expected_pq.parquet"),
         "expected_sq8": os.path.join(base, "expected_sq8.parquet"),
         "expected_pagerank": os.path.join(base, "expected_pagerank.parquet"),
+        "expected_lm": os.path.join(base, "expected_lm.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -158,6 +159,16 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_pagerank_table(edges, n_iter=8)
 
     goldens.materialize_golden(paths["expected_pagerank"], _pagerank_builder)
+
+    def _lm_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return goldens.expected_lm_table(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+
+    goldens.materialize_golden(paths["expected_lm"], _lm_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -815,6 +826,15 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_lm_perplexity(sf_dir: str):
+    """Corpus-trained unigram-LM bits-per-token (the CCNet quality-signal
+    shape: train on corpus, broadcast model, score per doc). Fixed-point
+    per-token costs shared with the scalar golden — exact match."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.lm_perplexity(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _q_graph_pagerank(sf_dir: str):
@@ -1820,6 +1840,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": _q_ngram_repetition,
         "bloom_semi_events": _q_bloom_semi_events,
         "graph_pagerank": _q_graph_pagerank,
+        "lm_perplexity": _q_lm_perplexity,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2250,6 +2271,7 @@ def _full_oracle_sql() -> dict[str, str]:
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "graph_pagerank": f"SELECT node, rank_fp, rank FROM read_parquet('{p['expected_pagerank']}')",
+        "lm_perplexity": f"SELECT doc_id, n_tokens, bits_per_token FROM read_parquet('{p['expected_lm']}')",
         "bloom_semi_events": (
             # replicate the bloom's multiplicative double-hash in HUGEINT:
             # h = top-32-bits of (key * P) mod 2^64; pos_i = (h1 + i*(2*h2+1)) % 256.

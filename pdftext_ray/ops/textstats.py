@@ -775,6 +775,98 @@ def top_ngrams(
     )
 
 
+def lm_perplexity(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+) -> ray.data.Dataset:
+    """CCNet-style corpus LM quality signal: train an add-1-smoothed
+    unigram word LM on the corpus, score every doc's bits-per-token
+    cross-entropy under it (Wenzek et al. 2020 use a KenLM 5-gram; the
+    unigram variant keeps the same pipeline shape — train-on-corpus,
+    broadcast model, score-per-doc — with a model a SQL-free scalar golden
+    can replicate exactly).
+
+    Model: p(w) = (c_w + 1) / (T + V + 1), OOV p = 1 / (T + V + 1), over
+    \\S+ lowercased tokens. Per-token costs are FIXED-POINT:
+    L(w) = round(−log2(p(w))·10⁶) as int64, computed ONCE per vocab entry
+    with scalar math.log2 (engine and golden share the exact same libm
+    call — no numpy-SIMD ulp drift), so per-doc sums are exact integer
+    arithmetic and layout-independent. bits_per_token = ΣL / (10⁶·n)
+    rounded half-away to 6 (0.0 for empty docs).
+
+    Plan: batch-local token Counters → one keyed partial merge
+    (hash_grouped_agg, count-cardinality traffic) → bounded vocab collect
+    (REFUSES above ``max_vocab`` — the same honest-cap contract as
+    exact_percentiles) → broadcast cost table via ``ray.put`` → stateless
+    vectorized scoring pass.
+    """
+    import math
+    import re
+
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        counts: dict = {}
+        n_docs = 0
+        for t in b.column(text_col).to_pylist():
+            n_docs += 1
+            for w in find(t.lower()) if t else []:
+                counts[w] = counts.get(w, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "tok": pa.array(keys, pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    vocab_df = hash_grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "tok", {"n": ("n", "sum")},
+    ).to_pandas()
+    if len(vocab_df) > max_vocab:
+        raise ValueError(
+            f"vocabulary has {len(vocab_df)} distinct tokens > max_vocab={max_vocab}; "
+            "raise the cap or pre-filter the corpus (the broadcast cost table is "
+            "a bounded collect by contract)"
+        )
+    total = int(vocab_df["n"].sum()) if len(vocab_df) else 0
+    v = len(vocab_df)
+    denom = total + v + 1
+    costs = {
+        w: int(round_half_away(-math.log2((int(c) + 1) / denom) * 1e6, 0))
+        for w, c in zip(vocab_df.get("tok", []), vocab_df.get("n", []))
+    }
+    oov_cost = int(round_half_away(-math.log2(1 / denom) * 1e6, 0)) if denom > 1 else 0
+    ref = ray.put((costs, oov_cost))
+
+    def score(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        table, oov = ray.get(ref)
+        get = table.get
+        n_toks: list = []
+        bits: list = []
+        for t in b.column(text_col).to_pylist():
+            toks = find(t.lower()) if t else []
+            if not toks:
+                n_toks.append(0)
+                bits.append(0.0)
+                continue
+            s = sum(get(w, oov) for w in toks)
+            n_toks.append(len(toks))
+            bits.append(float(round_half_away(s / (1e6 * len(toks)), 6)))
+        return pa.Table.from_arrays(
+            [
+                b.column("doc_id"),
+                pa.array(n_toks, pa.int64()),
+                pa.array(bits, pa.float64()),
+            ],
+            names=["doc_id", "n_tokens", "bits_per_token"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 _NONASCII_RE = r"[^\x00-\x7F]"
 
 

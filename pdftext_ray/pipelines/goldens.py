@@ -695,3 +695,47 @@ def expected_pagerank_table(
             [float(round_half_away(rank[v] / scale, 10)) for v in nodes], pa.float64()
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity (independent scalar path for ops/textstats.lm_perplexity)
+# ---------------------------------------------------------------------------
+
+def expected_lm_table(doc_ids, texts) -> pa.Table:
+    """Golden unigram-LM bits-per-token — single-pass scalar control flow
+    (the Ray op trains via a distributed keyed merge and scores with a
+    broadcast dict). Shares only the model CONTRACT: \\S+ lowercased
+    tokens; p(w) = (c+1)/(T+V+1), OOV p = 1/(T+V+1); per-token cost
+    L = round(-log2(p)*1e6) int64 via scalar math.log2; score =
+    sum(L)/(1e6*n) rounded half-away to 6, empty docs 0.0."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdftext_ray.ops import round_half_away
+
+    find = re.compile(r"\S+").findall
+    tok_lists = [find(t.lower()) if t else [] for t in texts]
+    counts = Counter(w for toks in tok_lists for w in toks)
+    total = sum(counts.values())
+    denom = total + len(counts) + 1
+    costs = {
+        w: int(round_half_away(-math.log2((c + 1) / denom) * 1e6, 0))
+        for w, c in counts.items()
+    }
+    oov = int(round_half_away(-math.log2(1 / denom) * 1e6, 0)) if denom > 1 else 0
+    n_tokens = []
+    bits = []
+    for toks in tok_lists:
+        if not toks:
+            n_tokens.append(0)
+            bits.append(0.0)
+            continue
+        s = sum(costs.get(w, oov) for w in toks)
+        n_tokens.append(len(toks))
+        bits.append(float(round_half_away(s / (1e6 * len(toks)), 6)))
+    return pa.table({
+        "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "bits_per_token": pa.array(bits, pa.float64()),
+    })

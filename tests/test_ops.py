@@ -213,6 +213,35 @@ def test_ngram_repetition_hand_cases():
     assert out.iloc[4]["top_ngram"] == "" and out.iloc[4]["dup_ngram_frac"] == 0.0
 
 
+def test_lm_perplexity_hand_case_and_layouts():
+    # corpus "a a" + "b": c(a)=2, c(b)=1, T=3, V=2, denom=6
+    # p(a)=3/6 → L=1_000_000; p(b)=2/6 → L=round(log2(3)·1e6)=1_584_963
+    docs = ["a a", "b", ""]
+    out = textstats.lm_perplexity(_doc_table(docs)).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [2, 1, 0]
+    assert out["bits_per_token"].tolist() == [1.0, 1.584963, 0.0]
+    # layout independence: same corpus split across 3 blocks
+    out2 = (
+        textstats.lm_perplexity(_doc_table(docs).repartition(3))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out2["bits_per_token"].tolist() == out["bits_per_token"].tolist()
+    # golden equality on a larger random-ish corpus
+    from pdftext_ray.pipelines.goldens import expected_lm_table
+
+    texts = [" ".join(f"w{(i * j) % 17}" for j in range(i % 30)) for i in range(60)]
+    got = textstats.lm_perplexity(_doc_table(texts)).to_pandas().sort_values("doc_id")
+    want = expected_lm_table(list(range(60)), texts).to_pandas()
+    assert got["bits_per_token"].tolist() == want["bits_per_token"].tolist()
+
+
+def test_lm_perplexity_vocab_cap_refuses():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab"):
+        textstats.lm_perplexity(_doc_table(["a b c d e f g h"]), max_vocab=3)
+
+
 def test_textstats_token_semantics():
     ds = _doc_table(["the  quick\tfox", ""])
     out = textstats.token_counts(ds).to_pandas().sort_values("doc_id")
