@@ -828,6 +828,25 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-defusing salted inner join (events × customer dimension on
+    user_id = c_custkey): hot keys detected by a count partial, salted by
+    hash(event_id) into 4 sub-buckets, right side replicated per salt —
+    result provably equal to the plain join (the oracle IS the plain
+    join). hot_threshold=50 makes every user hot at sf0.01, exercising the
+    salting path on all keys."""
+    from pdftext_ray.ops import joins
+
+    return joins.salted_hash_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "user_id", "c_custkey", salt_col="event_id",
+        left_cols=["event_id", "user_id", "value"],
+        right_cols=["c_custkey", "c_mktsegment"],
+        hot_threshold=50, num_salts=4,
+    )
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Corpus-trained unigram-LM bits-per-token (the CCNet quality-signal
     shape: train on corpus, broadcast model, score per doc). Fixed-point
@@ -1841,6 +1860,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_events": _q_bloom_semi_events,
         "graph_pagerank": _q_graph_pagerank,
         "lm_perplexity": _q_lm_perplexity,
+        "salted_join": _q_salted_join,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2272,6 +2292,11 @@ def _full_oracle_sql() -> dict[str, str]:
         ),
         "graph_pagerank": f"SELECT node, rank_fp, rank FROM read_parquet('{p['expected_pagerank']}')",
         "lm_perplexity": f"SELECT doc_id, n_tokens, bits_per_token FROM read_parquet('{p['expected_lm']}')",
+        "salted_join": (
+            # the salted plan's contract: identical rows to the PLAIN join
+            "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
         "bloom_semi_events": (
             # replicate the bloom's multiplicative double-hash in HUGEINT:
             # h = top-32-bits of (key * P) mod 2^64; pos_i = (h1 + i*(2*h2+1)) % 256.

@@ -24,6 +24,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -112,6 +113,166 @@ class BloomFilter:
         return all(
             self.bits[p >> 6] & np.uint64(1 << (p & 63)) for p in self._positions(key)
         )
+
+
+def _arrow_types(ds: ray.data.Dataset) -> dict:
+    """{col: pa.DataType} from a Dataset's schema. Arrow-backed datasets
+    report pyarrow types directly; pandas-backed blocks report numpy dtypes
+    (object ≙ string) — normalize both."""
+    sch = ds.schema()
+    out = {}
+    for name, t in zip(sch.names, sch.base_schema.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        else:
+            dt = np.dtype(t)
+            out[name] = pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
+    return out
+
+
+def _typed_dummies(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed dummy column for the union side that doesn't carry it — NOT
+    nulls: a null in an int64 column makes the pandas merge stage promote
+    it to float64, corrupting dtypes downstream (ops/dedup._attach_blobs
+    found this the hard way). Dummies are filtered out by the side flag
+    before the merge reads them."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, typ)
+    if pa.types.is_timestamp(typ):
+        return pa.array(np.zeros(n, dtype="datetime64[us]"), typ)
+    return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
+
+
+def salted_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    salt_col: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    hot_threshold: int = 100_000,
+    num_salts: int = 8,
+    num_buckets: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Skew-defusing inner hash join — the salted-key pattern for hot keys
+    that would otherwise pile one partition ('salt hot keys', Ray guide /
+    SURVEY §2.4 scale notes):
+
+    1. Hot-key detection: batch-local partial key counts → one keyed merge
+       (count-cardinality traffic) → keys with ≥ ``hot_threshold`` left
+       rows (a bounded collect BY DEFINITION: at most n_rows/threshold).
+    2. Left hot rows get ``_salt = hash(salt_col) % S`` — salted by a
+       per-ROW value, so the assignment is deterministic and
+       layout-independent (a positional salt would not be). Cold rows salt 0.
+    3. Right hot rows are REPLICATED S times (one per salt), so every
+       (key, salt) sub-bucket holds the full right payload for its key;
+       cold rows ship once.
+    4. Both sides union over a COMMON typed schema and merge per
+       hash(key)·S+salt bucket with one vectorized ``pd.merge`` — the
+       empty-robust co-partitioned plan (see ops/dedup._attach_blobs for
+       why not Acero ``Dataset.join``).
+
+    The result equals the unsalted inner join exactly; only the partition
+    layout changes. ``salt_col`` must be a left column with high
+    per-hot-key cardinality (a row id).
+    """
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.dedup import _bucket_array
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+    left = left.select_columns(list(dict.fromkeys([*left_cols, left_key, salt_col])))
+    right = right.select_columns(list(dict.fromkeys([*right_cols, right_key])))
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select([left_key]).to_pandas().groupby(left_key, as_index=False).size()
+        g.columns = [left_key, "n"]
+        return from_pandas_clean(g)
+
+    counts = hash_grouped_agg(
+        left.map_batches(count_partial, batch_format="pyarrow"),
+        left_key, {"n": ("n", "sum")},
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), hot_threshold)).select([left_key])
+
+    hot = np.sort(
+        np.asarray(
+            [r[left_key] for r in counts.map_batches(hot_only, batch_format="pyarrow").take_all()],
+            dtype=np.int64,
+        )
+    )
+    hot_ref = ray.put(hot)
+
+    # common output schema: left cols + right cols (minus the join key dup)
+    out_right_cols = [c for c in right_cols if c != right_key]
+    all_cols = [(c, ltypes[c]) for c in left_cols] + [(c, rtypes[c]) for c in out_right_cols]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        hotk = ray.get(hot_ref)
+        keys = t.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = np.searchsorted(hotk, keys)
+        is_hot = (sidx < len(hotk)) & (hotk[np.minimum(sidx, max(len(hotk) - 1, 0))] == keys) if len(hotk) else np.zeros(len(keys), bool)
+        sv = t.column(salt_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = np.where(is_hot, (sv.astype(np.uint64) * _BLOOM_P1 >> np.uint64(32)).astype(np.int64) % num_salts, 0)
+        cols = {c: t.column(c) for c in left_cols}
+        for c, typ in all_cols:
+            if c not in left_cols:
+                cols[c] = _typed_dummies(len(t), typ)
+        cols["_salt"] = pa.array(salt, pa.int64())
+        cols["_is_right"] = pa.array(np.zeros(len(t), np.int8), pa.int8())
+        key_arr = pa.array(keys, pa.int64())
+        cols["_jkey"] = key_arr
+        cols["_bucket"] = pa.array(
+            (_bucket_array(key_arr, num_buckets) * num_salts + salt), pa.int64()
+        )
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        hotk = ray.get(hot_ref)
+        keys = t.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = np.searchsorted(hotk, keys)
+        is_hot = (sidx < len(hotk)) & (hotk[np.minimum(sidx, max(len(hotk) - 1, 0))] == keys) if len(hotk) else np.zeros(len(keys), bool)
+        reps = np.where(is_hot, num_salts, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), reps)
+        # salt sequence 0..reps-1 within each replicated row
+        salt = (np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)).astype(np.int64)
+        rt = t.take(pa.array(idx))
+        cols = {}
+        for c, typ in all_cols:
+            cols[c] = rt.column(c) if c in out_right_cols else _typed_dummies(len(rt), typ)
+        cols["_salt"] = pa.array(salt, pa.int64())
+        cols["_is_right"] = pa.array(np.ones(len(rt), np.int8), pa.int8())
+        key_arr = pa.array(keys[idx], pa.int64())
+        cols["_jkey"] = key_arr
+        cols["_bucket"] = pa.array(
+            (_bucket_array(key_arr, num_buckets) * num_salts + salt), pa.int64()
+        )
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame):
+        lpart = g[g["_is_right"] == 0][[*left_cols, "_jkey", "_salt"]]
+        rpart = g[g["_is_right"] == 1][[*out_right_cols, "_jkey", "_salt"]]
+        out = lpart.merge(rpart, on=["_jkey", "_salt"])
+        return from_pandas_clean(out[[c for c, _ in all_cols]])
+
+    return (
+        lt.union(rt)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 # Multiplicative double-hash constants for the DISTRIBUTED bloom filter —

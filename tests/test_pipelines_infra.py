@@ -141,6 +141,35 @@ def test_bloom_semi_join_prefilter():
     assert all(k in bf for k in keys)
 
 
+def test_salted_hash_join_equals_plain_join():
+    """Salting changes only the partition layout: result == pandas inner
+    join exactly, across hot thresholds (nothing hot / everything hot) and
+    block layouts."""
+    from pdftext_ray.ops.joins import salted_hash_join
+
+    rng = np.random.RandomState(5)
+    # skewed: key 7 is 60% of left rows
+    keys = np.where(rng.rand(600) < 0.6, 7, rng.randint(0, 20, 600))
+    left = pd.DataFrame({"rid": np.arange(600), "k": keys, "v": rng.rand(600).round(3)})
+    right = pd.DataFrame({"k2": np.arange(0, 15), "label": [f"L{i}" for i in range(15)]})
+    want = (
+        left.merge(right, left_on="k", right_on="k2")[["rid", "k", "v", "label"]]
+        .sort_values("rid").reset_index(drop=True)
+    )
+    for hot_threshold in [50, 10_000]:
+        got = (
+            salted_hash_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right),
+                "k", "k2", salt_col="rid",
+                left_cols=["rid", "k", "v"], right_cols=["k2", "label"],
+                hot_threshold=hot_threshold, num_salts=4,
+            )
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_distributed_bloom_build_and_probe():
     """Distributed bitmap build: no false negatives, bounded FP rate, and
     the OR-merge is layout-independent (same bitmap from any block split)."""
