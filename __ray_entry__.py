@@ -828,6 +828,19 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_sort_rank(sf_dir: str):
+    """Global ORDER BY rank + ntile(10) WITHOUT a global sort: exact
+    value-histogram base ranks (distinct-value traffic) + one hash shuffle
+    for tie-breaks — the range exchange a ds.sort() pays is avoided and
+    skew from sorted ranges can't occur."""
+    from pdftext_ray.ops import relational
+
+    return relational.sort_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", descending=True, n_buckets=10,
+    )
+
+
 def _q_salted_join(sf_dir: str):
     """Skew-defusing salted inner join (events × customer dimension on
     user_id = c_custkey): hot keys detected by a count partial, salted by
@@ -1861,6 +1874,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "lm_perplexity": _q_lm_perplexity,
         "salted_join": _q_salted_join,
+        "sort_rank": _q_sort_rank,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2296,6 +2310,12 @@ def _full_oracle_sql() -> dict[str, str]:
             # the salted plan's contract: identical rows to the PLAIN join
             "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "sort_rank": (
+            "SELECT doc_id, n_chars, "
+            "CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank, "
+            "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS bucket "
+            "FROM documents"
         ),
         "bloom_semi_events": (
             # replicate the bloom's multiplicative double-hash in HUGEINT:

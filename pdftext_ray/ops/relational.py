@@ -474,6 +474,70 @@ def grouped_topk(
     )
 
 
+def sort_rank(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    descending: bool = True,
+    n_buckets: int = 0,
+    max_distinct: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Global ORDER BY rank (``row_number() OVER (ORDER BY value [DESC],
+    id)``), plus SQL ``ntile(n_buckets)`` when requested — WITHOUT a global
+    sort: the all-to-all range exchange a ``ds.sort()`` pays is replaced by
+
+    1. an exact (value, count) histogram (``stats._value_histogram``'s
+       bounded-distinct contract — the shuffle moves distinct values, never
+       rows) → per-value BASE rank = rows strictly ahead, computed driver-
+       side O(#distinct) and broadcast;
+    2. one few-partition hash shuffle on value co-locating ties → local
+       ``cumcount`` over id order breaks them.
+
+    rank = base[value] + tie_rank + 1 — exact, layout-independent, and the
+    data itself is shuffled once by hash (no skew from sorted ranges).
+    ntile replicates SQL exactly: q = n // B rows per bucket, the first
+    n % B buckets take one extra.
+    """
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.stats import _value_histogram
+
+    hist = _value_histogram(ds.select_columns([id_col, value_col]), value_col, max_distinct)
+    # histogram is value-ascending; base rank counts rows strictly AHEAD
+    values = hist["value"].to_numpy()
+    counts = hist["cnt"].to_numpy()
+    if descending:
+        ahead = np.concatenate([[0], np.cumsum(counts[::-1])[:-1]])[::-1]
+    else:
+        ahead = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum()) if len(counts) else 0
+    base_ref = ray.put((values, ahead.astype(np.int64)))
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        vals, bases = ray.get(base_ref)
+        g = g.sort_values([value_col, id_col]).reset_index(drop=True)
+        tie = g.groupby(value_col, sort=False).cumcount().to_numpy()
+        base = bases[np.searchsorted(vals, g[value_col].to_numpy())]
+        g["rank"] = (base + tie + 1).astype("int64")
+        out_cols = [id_col, value_col, "rank"]
+        if n_buckets:
+            q, r = divmod(total, n_buckets)
+            rk0 = g["rank"].to_numpy() - 1
+            cut = r * (q + 1)
+            big = rk0 // (q + 1) + 1
+            small = r + (rk0 - cut) // q + 1 if q else big
+            g["bucket"] = np.where(rk0 < cut, big, small).astype("int64")
+            out_cols.append("bucket")
+        return from_pandas_clean(g[out_cols])
+
+    return (
+        ds.select_columns([id_col, value_col])
+        .map_batches(_key_part_tag(value_col, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
     """Distinct values of one column: batch-level pre-dedup (the shuffle
     carries unique values per block, not all rows) → few-partition

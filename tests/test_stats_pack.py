@@ -66,6 +66,33 @@ def test_interp_percentiles_interpolates_between_ties():
     assert out2["value"].tolist() == [7.0, 9.0]
 
 
+def test_sort_rank_matches_window_semantics():
+    from pdftext_ray.ops import relational
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50, size=233)  # heavy ties
+    ds = _int_table(vals.tolist())
+    out = relational.sort_rank(ds, "n_chars", "doc_id", descending=True, n_buckets=7).to_pandas()
+    df = pd.DataFrame({"doc_id": range(233), "n_chars": vals}).sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    df["rank"] = df.index + 1
+    merged = out.merge(df, on=["doc_id", "n_chars"], suffixes=("", "_want"))
+    assert (merged["rank"] == merged["rank_want"]).all()
+    # ntile: bucket sizes differ by <= 1, larger first (233 = 7*33 + 2)
+    sizes = out.groupby("bucket").size().sort_index()
+    assert sizes.tolist() == [34, 34, 33, 33, 33, 33, 33]
+    # ranks are a permutation of 1..n
+    assert sorted(out["rank"]) == list(range(1, 234))
+    # ascending + layout independence
+    a = relational.sort_rank(ds, "n_chars", "doc_id", descending=False).to_pandas()
+    b = relational.sort_rank(ds.repartition(9), "n_chars", "doc_id", descending=False).to_pandas()
+    m = a.merge(b, on="doc_id", suffixes=("", "_b"))
+    assert (m["rank"] == m["rank_b"]).all()
+    asc_first = a.sort_values("rank").iloc[0]
+    assert asc_first["n_chars"] == vals.min()
+
+
 def test_grouped_percentiles_per_group_rank():
     rng = np.random.default_rng(5)
     langs = ["en", "de", "zh"]
