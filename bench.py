@@ -313,6 +313,50 @@ def run_bench() -> dict:
     timed("dedup_keepbest", lambda: dedup.fuzzy_dedup_keepbest(
         docs_ds(), threshold=0.4, exact_recall=False).count())
 
+    def q_pagerank():
+        from pdftext_ray.ops import graph
+
+        def to_edges(t):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            return _pa.table({"src": t.column("l_suppkey"),
+                              "dst": _pc.add(t.column("l_partkey"), 1_000_000)})
+
+        edges = sf_read("lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+            to_edges, batch_format="pyarrow")
+        graph.pagerank(edges, n_iter=8).count()
+
+    timed("graph_pagerank", q_pagerank)
+    timed("lm_perplexity", lambda: textstats.lm_perplexity(docs_ds()).count())
+
+    def q_salted_join():
+        from pdftext_ray.ops import joins
+
+        joins.salted_hash_join(
+            sf_read("events", ["event_id", "user_id", "value"]),
+            sf_read("customer", ["c_custkey", "c_mktsegment"]),
+            "user_id", "c_custkey", salt_col="event_id",
+            left_cols=["event_id", "user_id", "value"],
+            right_cols=["c_custkey", "c_mktsegment"],
+            hot_threshold=50, num_salts=4,
+        ).count()
+
+    timed("salted_join", q_salted_join)
+    timed("sort_rank", lambda: relational.sort_rank(
+        sf_read("documents", ["doc_id", "n_chars"]), "n_chars", "doc_id",
+        descending=True, n_buckets=10).count())
+
+    def q_sq8():
+        emb = sf_read("embeddings", ["vec_id", "embedding"])
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        import numpy as np
+
+        q = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        similarity.sq8_topk(emb, q, k=10).to_pandas()
+
+    timed("similarity_sq8", q_sq8)
+
     ray.shutdown()
     return {
         "metric": "pdftext_ray bench total (headline: interleaved-doc span extraction)",

@@ -9,8 +9,9 @@ Scale shape: edge dedup + out-degree annotation are ONE few-partition hash
 shuffle on src (equal pairs share src, so src co-location suffices for
 pair dedup); each power iteration is a stateless vectorized map over the
 materialized edge table (rank vector broadcast ONCE per iteration via
-``ray.put``) + a few-partition grouped sum of per-batch partial
-contributions. The rank vector itself is a bounded driver-side collect —
+``ray.put``) + a driver-side np.add.at merge of per-block partial
+contribution vectors (≤ #nodes rows per block — no per-iteration
+shuffle). The rank vector itself is a bounded driver-side collect —
 #nodes entries, the same contract as k-means' k×dim centroid collect
 (ops/cluster.py); a node set beyond driver memory needs the co-partitioned
 rank-join variant (documented extension, not implemented).
@@ -141,23 +142,32 @@ def pagerank(
         ref = ray.put((node_ids, ranks))
 
         def contrib(t: pa.Table) -> pa.Table:
+            # per-block partial: contributions pre-summed by dst, emitted as
+            # POSITIONS into the broadcast node vector, so the driver merge
+            # is one np.add.at — no per-iteration shuffle (the collect is
+            # ≤ #nodes rows per block, the op's bounded contract; k-means'
+            # centroid partials use the same pattern, ops/cluster.py)
             ids, r = ray.get(ref)
             s = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
             d = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
             od = t.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
             c = r[np.searchsorted(ids, s)] // od
-            g = pd.DataFrame({"node": d, "c": c}).groupby("node", as_index=False)["c"].sum()
-            return from_pandas_clean(g)
+            didx = np.searchsorted(ids, d)
+            u, inv = np.unique(didx, return_inverse=True)
+            sums = np.zeros(len(u), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table({"pos": pa.array(u, pa.int64()),
+                             "c": pa.array(sums, pa.int64())})
 
-        sums_df = hash_grouped_agg(
-            deduped.map_batches(contrib, batch_format="pyarrow"),
-            "node",
-            {"c": ("c", "sum")},
-        ).to_pandas()
         s_vec = np.zeros(n, dtype=np.int64)
-        s_vec[np.searchsorted(node_ids, sums_df["node"].to_numpy().astype(np.int64))] = (
-            sums_df["c"].to_numpy().astype(np.int64)
-        )
+        for part in deduped.map_batches(
+            contrib, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            np.add.at(
+                s_vec,
+                part.column("pos").to_numpy(zero_copy_only=False),
+                part.column("c").to_numpy(zero_copy_only=False),
+            )
         dangling = int(ranks[outdeg == 0].sum())
         ranks = base + damping_pct * (s_vec + dangling // n) // 100
 
