@@ -828,6 +828,39 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_left_outer_join(sf_dir: str):
+    """LEFT OUTER variant of the salted co-partitioned join: dimension
+    filtered to one segment so most events null-extend — every left row
+    appears exactly once (matched or null-extended) by construction."""
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import joins
+
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+    return joins.salted_hash_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        dim,
+        "user_id", "c_custkey", salt_col="event_id",
+        left_cols=["event_id", "user_id", "value"],
+        right_cols=["c_custkey", "c_mktsegment"],
+        hot_threshold=50, num_salts=4, how="left",
+    )
+
+
+def _q_chunk_documents(sf_dir: str):
+    """RAG chunking: overlapping 40-token windows, stride 30 — stateless
+    per-doc flat-map; the SQL oracle reproduces the windows with
+    list_slice/array_to_string."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=40, overlap=10
+    )
+
+
 def _q_sort_rank(sf_dir: str):
     """Global ORDER BY rank + ntile(10) WITHOUT a global sort: exact
     value-histogram base ranks (distinct-value traffic) + one hash shuffle
@@ -1875,6 +1908,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "salted_join": _q_salted_join,
         "sort_rank": _q_sort_rank,
+        "chunk_documents": _q_chunk_documents,
+        "left_outer_join": _q_left_outer_join,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2310,6 +2345,21 @@ def _full_oracle_sql() -> dict[str, str]:
             # the salted plan's contract: identical rows to the PLAIN join
             "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "left_outer_join": (
+            "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
+            "FROM events e LEFT JOIN (SELECT * FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c ON e.user_id = c.c_custkey"
+        ),
+        "chunk_documents": (
+            # starts = range(0, n, 30) (DuckDB range is [a,b)); window 40;
+            # list_slice is 1-based inclusive; tail windows may be short
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "s AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 0), 30)) AS start FROM toks WHERE len(t) > 0) "
+            "SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx, "
+            "CAST(least(start + 40, len(t)) - start AS BIGINT) AS chunk_tokens, "
+            "array_to_string(list_slice(t, start + 1, least(start + 40, len(t))), ' ') AS chunk_text "
+            "FROM s"
         ),
         "sort_rank": (
             "SELECT doc_id, n_chars, "

@@ -156,8 +156,9 @@ def salted_hash_join(
     hot_threshold: int = 100_000,
     num_salts: int = 8,
     num_buckets: Optional[int] = None,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Skew-defusing inner hash join — the salted-key pattern for hot keys
+    """Skew-defusing inner (or left outer) hash join — the salted-key pattern for hot keys
     that would otherwise pile one partition ('salt hot keys', Ray guide /
     SURVEY §2.4 scale notes):
 
@@ -185,6 +186,8 @@ def salted_hash_join(
     from pdftext_ray.ops.dedup import _bucket_array
     from pdftext_ray.ops.relational import hash_grouped_agg
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if num_buckets is None:
         num_buckets = default_num_partitions()
     left = left.select_columns(list(dict.fromkeys([*left_cols, left_key, salt_col])))
@@ -265,7 +268,13 @@ def salted_hash_join(
     def merge(g: pd.DataFrame):
         lpart = g[g["_is_right"] == 0][[*left_cols, "_jkey", "_salt"]]
         rpart = g[g["_is_right"] == 1][[*out_right_cols, "_jkey", "_salt"]]
-        out = lpart.merge(rpart, on=["_jkey", "_salt"])
+        out = lpart.merge(rpart, on=["_jkey", "_salt"], how=how)
+        if how == "left":
+            # unmatched rows: keep right INT columns int64-with-nulls, not
+            # the float64 NaN promotion pandas defaults to
+            for c in out_right_cols:
+                if pa.types.is_integer(dict(all_cols)[c]):
+                    out[c] = out[c].astype("Int64")
         return from_pandas_clean(out[[c for c, _ in all_cols]])
 
     return (

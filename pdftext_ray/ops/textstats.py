@@ -867,6 +867,53 @@ def lm_perplexity(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """RAG-style overlapping token-window chunking: each doc explodes into
+    windows of ``window`` \\S+ tokens advancing by ``stride = window −
+    overlap``; the final windows may be short (start positions are
+    ``range(0, n_tokens, stride)`` — every token appears in ≥1 chunk, and
+    consecutive chunks share exactly ``overlap`` tokens until the tail).
+
+    Stateless per-doc flat-map — embarrassingly parallel; emitted rows
+    carry (doc_id, chunk_idx, chunk_tokens, chunk_text) with chunk text
+    re-joined by single spaces (the repo-wide token convention, so the SQL
+    oracle's list_slice/array_to_string reproduces it exactly).
+    """
+    import re
+
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+
+    def explode(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        doc_ids: list = []
+        idxs: list = []
+        ntoks: list = []
+        texts: list = []
+        for did, t in zip(b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()):
+            toks = find(t) if t else []
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start : start + window]
+                doc_ids.append(did)
+                idxs.append(ci)
+                ntoks.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, b.column("doc_id").type),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_tokens": pa.array(ntoks, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 _NONASCII_RE = r"[^\x00-\x7F]"
 
 

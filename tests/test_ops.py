@@ -213,6 +213,49 @@ def test_ngram_repetition_hand_cases():
     assert out.iloc[4]["top_ngram"] == "" and out.iloc[4]["dup_ngram_frac"] == 0.0
 
 
+def test_chunk_documents_windows_and_overlap():
+    docs = [" ".join(f"t{i}" for i in range(10)), "a b", ""]
+    out = (
+        textstats.chunk_documents(_doc_table(docs), window=4, overlap=1)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    # starts 0,3,6,9 → windows [0:4],[3:7],[6:10],[9:10]
+    assert d0["chunk_tokens"].tolist() == [4, 4, 4, 1]
+    assert d0["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert d0["chunk_text"].iloc[1] == "t3 t4 t5 t6"  # shares exactly 1 token
+    assert d0["chunk_text"].iloc[3] == "t9"
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == ["a b"]
+    assert (out["doc_id"] == 2).sum() == 0  # empty doc → no chunks
+    with pytest.raises(ValueError, match="overlap"):
+        textstats.chunk_documents(_doc_table(docs), window=4, overlap=4)
+
+
+def test_salted_join_left_outer_null_extension():
+    import pandas as pd
+
+    from pdftext_ray.ops.joins import salted_hash_join
+
+    left = pd.DataFrame({"rid": [0, 1, 2, 3], "k": [1, 1, 2, 9], "v": [0.1, 0.2, 0.3, 0.4]})
+    right = pd.DataFrame({"k2": [1, 2], "rk": [10, 20], "label": ["x", "y"]})
+    ds_out = salted_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        "k", "k2", salt_col="rid",
+        left_cols=["rid", "k", "v"], right_cols=["k2", "rk", "label"],
+        hot_threshold=2, num_salts=3, how="left",
+    )
+    # ARROW schema keeps right int columns int64-with-null (no float64
+    # promotion crossing blocks); pandas view necessarily shows NaN/float
+    sch = dict(zip(ds_out.schema().names, ds_out.schema().base_schema.types))
+    assert str(sch["rk"]) == "int64", sch
+    out = ds_out.to_pandas().sort_values("rid").reset_index(drop=True)
+    assert len(out) == 4  # every left row exactly once
+    assert out["label"].tolist()[:3] == ["x", "x", "y"]
+    assert pd.isna(out["label"].iloc[3]) and pd.isna(out["rk"].iloc[3])
+    assert out["rk"].tolist()[:3] == [10.0, 10.0, 20.0]
+
+
 def test_lm_perplexity_hand_case_and_layouts():
     # corpus "a a" + "b": c(a)=2, c(b)=1, T=3, V=2, denom=6
     # p(a)=3/6 → L=1_000_000; p(b)=2/6 → L=round(log2(3)·1e6)=1_584_963
