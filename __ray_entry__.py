@@ -51,6 +51,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_sq8": os.path.join(base, "expected_sq8.parquet"),
         "expected_pagerank": os.path.join(base, "expected_pagerank.parquet"),
         "expected_lm": os.path.join(base, "expected_lm.parquet"),
+        "expected_pmi": os.path.join(base, "expected_pmi.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -169,6 +170,12 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
 
     goldens.materialize_golden(paths["expected_lm"], _lm_builder)
+
+    def _pmi_builder():
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        return goldens.expected_pmi_table(t.column("text").to_pylist(), min_count=5, k=50)
+
+    goldens.materialize_golden(paths["expected_pmi"], _pmi_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -826,6 +833,16 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_pmi_collocations(sf_dir: str):
+    """Top-50 bigram collocations by fixed-point PMI (min_count=5) — one
+    counting pass, bounded unigram broadcast, per-block top-k."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.pmi_collocations(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_count=5, k=50
+    )
 
 
 def _q_left_outer_join(sf_dir: str):
@@ -1910,6 +1927,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "sort_rank": _q_sort_rank,
         "chunk_documents": _q_chunk_documents,
         "left_outer_join": _q_left_outer_join,
+        "pmi_collocations": _q_pmi_collocations,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2346,6 +2364,7 @@ def _full_oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
         ),
+        "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
         "left_outer_join": (
             "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
             "FROM events e LEFT JOIN (SELECT * FROM customer "

@@ -867,6 +867,129 @@ def lm_perplexity(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Top-k word-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) among bigrams with count ≥ ``min_count`` —
+    the statistical phrase-induction pass a tokenizer/vocab pipeline runs.
+
+    PMI is FIXED-POINT: pmi_fp = round((log2(c_ab) + 2·log2(T1) −
+    log2(c_a) − log2(c_b) − log2(T2)) · 10⁶) int64, each term a scalar
+    ``math.log2`` evaluated in exactly this order (the log-sum form never
+    overflows — integer products of corpus-scale counts would; and engine
+    and golden share the same libm call, no numpy-SIMD ulp drift).
+
+    Plan: one counting pass emits batch-local unigram AND bigram partials
+    (tagged by level) → one keyed merge → unigram table is a bounded
+    broadcast (``max_vocab`` refusal, the LM contract); qualifying bigram
+    rows (already FINAL per partition after the merge) compute pmi_fp
+    in-place → per-block top-k → tiny global sort+limit (top_ngrams'
+    boundary-stable tie-break: pmi desc, gram asc).
+    """
+    import math
+    import re
+
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def partials(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        uni: dict = {}
+        bi: dict = {}
+        for t in b.column(text_col).to_pylist():
+            toks = find(t.lower()) if t else []
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for j in range(len(toks) - 1):
+                g = toks[j] + " " + toks[j + 1]
+                bi[g] = bi.get(g, 0) + 1
+        keys = sorted(uni) + sorted(bi)
+        lvls = [0] * len(uni) + [1] * len(bi)
+        cnts = [uni[w] for w in sorted(uni)] + [bi[g] for g in sorted(bi)]
+        return pa.table({
+            "gram": pa.array(keys, pa.string()),
+            "lvl": pa.array(lvls, pa.int8()),
+            "n": pa.array(cnts, pa.int64()),
+        })
+
+    totals = hash_grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["gram", "lvl"], {"n": ("n", "sum")},
+    )
+
+    def split_uni(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("lvl"), 0)).select(["gram", "n"])
+
+    uni_df = totals.map_batches(split_uni, batch_format="pyarrow").to_pandas()
+    if len(uni_df) > max_vocab:
+        raise ValueError(
+            f"vocabulary has {len(uni_df)} distinct tokens > max_vocab={max_vocab}"
+        )
+    t1 = int(uni_df["n"].sum()) if len(uni_df) else 0
+    uni_counts = dict(zip(uni_df.get("gram", []), uni_df.get("n", [])))
+    # T2 = total bigram occurrences = Σ per-doc (n_tokens − 1); derive from
+    # the bigram rows to avoid a second pass
+    t2_ref = None
+
+    def bi_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("lvl"), 1)).select(["gram", "n"])
+
+    bi_ds = totals.map_batches(bi_only, batch_format="pyarrow").materialize()
+    import ray.data.aggregate as _agg
+
+    t2 = bi_ds.aggregate(_agg.Sum("n"))["sum(n)"] if bi_ds.count() else 0
+    t2 = int(t2 or 0)
+    ref = ray.put((uni_counts, t1, t2))
+
+    def score(t: pa.Table) -> pa.Table:
+        counts, tt1, tt2 = ray.get(ref)
+        grams = t.column("gram").to_pylist()
+        ns = t.column("n").to_pylist()
+        out_g: list = []
+        out_n: list = []
+        out_fp: list = []
+        for g, c_ab in zip(grams, ns):
+            if c_ab < min_count:
+                continue
+            a, b = g.split(" ", 1)
+            c_a, c_b = counts[a], counts[b]
+            val = (
+                math.log2(c_ab) + 2 * math.log2(tt1)
+                - math.log2(c_a) - math.log2(c_b) - math.log2(tt2)
+            )
+            out_g.append(g)
+            out_n.append(int(c_ab))
+            out_fp.append(int(round_half_away(val * 1e6, 0)))
+        tab = pa.table({
+            "gram": pa.array(out_g, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "pmi_fp": pa.array(out_fp, pa.int64()),
+        })
+        idx = pc.sort_indices(tab, sort_keys=[("pmi_fp", "descending"), ("gram", "ascending")])[:k]
+        return tab.take(idx)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gram": t.column("gram"),
+            "n": t.column("n"),
+            # pmi_fp/1e6: IEEE division of the same ints on both sides —
+            # bit-identical to the golden with no rounding step (and so no
+            # half-to-even/half-away ambiguity, invariant 2)
+            "pmi": pc.divide(pc.cast(t.column("pmi_fp"), pa.float64()), 1e6),
+        })
+
+    return (
+        bi_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_fp", "gram"], descending=[True, False])
+        .limit(k)
+        .map_batches(shape, batch_format="pyarrow")
+    )
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     window: int = 128,

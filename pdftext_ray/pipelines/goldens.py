@@ -739,3 +739,49 @@ def expected_lm_table(doc_ids, texts) -> pa.Table:
         "n_tokens": pa.array(n_tokens, pa.int64()),
         "bits_per_token": pa.array(bits, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (independent scalar path for ops/textstats.pmi_collocations)
+# ---------------------------------------------------------------------------
+
+def expected_pmi_table(texts, min_count: int = 5, k: int = 50) -> pa.Table:
+    """Golden PMI top-k — single-pass Counter control flow. Shares only the
+    CONTRACT with ops/textstats.pmi_collocations: lowercased \\S+ tokens;
+    pmi_fp = round((log2(c_ab) + 2*log2(T1) - log2(c_a) - log2(c_b) -
+    log2(T2)) * 1e6) with scalar math.log2 in exactly that term order;
+    qualifying bigrams count >= min_count; order (pmi_fp desc, gram asc)
+    limit k; pmi = pmi_fp / 1e6 (plain IEEE division, no rounding)."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdftext_ray.ops import round_half_away
+
+    find = re.compile(r"\S+").findall
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = find(t.lower()) if t else []
+        uni.update(toks)
+        for j in range(len(toks) - 1):
+            bi[toks[j] + " " + toks[j + 1]] += 1
+    t1 = sum(uni.values())
+    t2 = sum(bi.values())
+    rows = []
+    for g, c_ab in bi.items():
+        if c_ab < min_count:
+            continue
+        a, b = g.split(" ", 1)
+        val = (
+            math.log2(c_ab) + 2 * math.log2(t1)
+            - math.log2(uni[a]) - math.log2(uni[b]) - math.log2(t2)
+        )
+        rows.append((g, int(c_ab), int(round_half_away(val * 1e6, 0))))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "gram": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "pmi": pa.array([r[2] / 1e6 for r in rows], pa.float64()),
+    })

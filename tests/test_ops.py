@@ -213,6 +213,31 @@ def test_ngram_repetition_hand_cases():
     assert out.iloc[4]["top_ngram"] == "" and out.iloc[4]["dup_ngram_frac"] == 0.0
 
 
+def test_pmi_collocations_semantics_and_layouts():
+    import math
+
+    # "new york" always together (high PMI); "the of" random filler (low)
+    docs = ["new york " * 6 + "the of the the of of", "the of " * 8 + "new york new york"]
+    out = textstats.pmi_collocations(_doc_table(docs), min_count=2, k=10).to_pandas()
+    assert out["gram"].iloc[0] in ("new york", "york new")  # collocation wins
+    ny = out[out["gram"] == "new york"].iloc[0]
+    assert ny["n"] == 8
+    # golden equality + layout independence
+    from pdftext_ray.pipelines.goldens import expected_pmi_table
+
+    want = expected_pmi_table(docs, min_count=2, k=10).to_pandas()
+    assert out["gram"].tolist() == want["gram"].tolist()
+    assert out["pmi"].tolist() == want["pmi"].tolist()
+    out2 = (
+        textstats.pmi_collocations(_doc_table(docs).repartition(4), min_count=2, k=10)
+        .to_pandas()
+    )
+    assert out2["pmi"].tolist() == out["pmi"].tolist()
+    # hand-check: c_ab=8, c_a=c_b=8, T1=18+20=38 tokens, T2=17+19=36 bigrams
+    val = math.log2(8) + 2 * math.log2(38) - math.log2(8) - math.log2(8) - math.log2(36)
+    assert ny["pmi"] == int(round(val * 1e6)) / 1e6
+
+
 def test_chunk_documents_windows_and_overlap():
     docs = [" ".join(f"t{i}" for i in range(10)), "a b", ""]
     out = (
