@@ -52,6 +52,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_pagerank": os.path.join(base, "expected_pagerank.parquet"),
         "expected_lm": os.path.join(base, "expected_lm.parquet"),
         "expected_pmi": os.path.join(base, "expected_pmi.parquet"),
+        "expected_grouped_hll": os.path.join(base, "expected_grouped_hll.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -176,6 +177,16 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_pmi_table(t.column("text").to_pylist(), min_count=5, k=50)
 
     goldens.materialize_golden(paths["expected_pmi"], _pmi_builder)
+
+    def _grouped_hll_builder():
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+        )
+        return goldens.expected_grouped_hll_table(
+            t.column("event_type").to_pylist(), t.column("user_id").to_pylist(), p=10
+        )
+
+    goldens.materialize_golden(paths["expected_grouped_hll"], _grouped_hll_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -833,6 +844,29 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_funnel(sf_dir: str):
+    """Two-step funnel (click → purchase within 24h of the user's FIRST
+    click): one co-locating shuffle, vectorized per-partition pass, exact
+    µs timestamp comparisons."""
+    from pdftext_ray.ops import relational
+
+    return relational.funnel_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
+def _q_grouped_hll(sf_dir: str):
+    """Per-group HLL distinct users per event_type: one 2^p-byte register
+    row per (block, group) crosses the wire, never values — the mergeable-
+    sketch-per-key pattern; commutative max merge ⇒ layout/retry
+    independent; golden rebuilds each group's registers scalar-side."""
+    from pdftext_ray.ops import stats
+
+    return stats.grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id", p=10
+    )
 
 
 def _q_pmi_collocations(sf_dir: str):
@@ -1928,6 +1962,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "left_outer_join": _q_left_outer_join,
         "pmi_collocations": _q_pmi_collocations,
+        "grouped_hll": _q_grouped_hll,
+        "funnel_conversion": _q_funnel,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2365,6 +2401,18 @@ def _full_oracle_sql() -> dict[str, str]:
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
         ),
         "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
+        "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
+        "funnel_conversion": (
+            "WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id), "
+            "conv AS (SELECT DISTINCT fc.user_id FROM fc JOIN events e "
+            "ON e.user_id = fc.user_id AND e.event_type = 'purchase' "
+            "AND e.ts >= fc.t0 AND e.ts <= fc.t0 + INTERVAL 24 HOUR) "
+            "SELECT (SELECT count(*) FROM fc) AS n_entered, "
+            "(SELECT count(*) FROM conv) AS n_converted, "
+            "round((SELECT count(*) FROM conv) / greatest((SELECT count(*) FROM fc), 1), 6) "
+            "AS conversion_rate"
+        ),
         "left_outer_join": (
             "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
             "FROM events e LEFT JOIN (SELECT * FROM customer "

@@ -474,6 +474,70 @@ def grouped_topk(
     )
 
 
+def funnel_conversion(
+    ds: ray.data.Dataset,
+    first_step: str = "click",
+    second_step: str = "purchase",
+    window_hours: int = 24,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Two-step funnel: of the users with a ``first_step`` event, how many
+    have a ``second_step`` event within ``window_hours`` of their FIRST
+    first-step event (the product-analytics conversion query).
+
+    Plan: project to the two step types at the read, ONE few-partition
+    hash shuffle on key co-locates each user's events, a vectorized pass
+    per partition computes (entered, converted) — timestamp comparisons
+    are exact µs integers — and the per-partition counts reduce to one
+    row driver-side. Output: n_entered, n_converted, conversion_rate
+    (round 6; int/int division — SQL-identical).
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t.column(type_col), value_set=pa.array([first_step, second_step]))
+        return t.filter(keep).select([key, ts, type_col])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = (
+            g[g[type_col] == first_step].groupby(key)[ts].min()
+        )
+        entered = len(firsts)
+        if entered == 0:
+            return from_pandas_clean(pd.DataFrame({"entered": [0], "converted": [0]}))
+        second = g[g[type_col] == second_step].merge(
+            firsts.rename("t0"), left_on=key, right_index=True
+        )
+        lim = second["t0"] + pd.Timedelta(hours=window_hours)
+        ok = second[(second[ts] >= second["t0"]) & (second[ts] <= lim)]
+        converted = ok[key].nunique()
+        return from_pandas_clean(
+            pd.DataFrame({"entered": [entered], "converted": [int(converted)]})
+        )
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    n_entered = int(parts["entered"].sum())
+    n_converted = int(parts["converted"].sum())
+    rate = float(round_half_away(n_converted / max(n_entered, 1), 6))
+    return ray.data.from_arrow(pa.table({
+        "n_entered": pa.array([n_entered], pa.int64()),
+        "n_converted": pa.array([n_converted], pa.int64()),
+        "conversion_rate": pa.array([rate], pa.float64()),
+    }))
+
+
 def sort_rank(
     ds: ray.data.Dataset,
     value_col: str,

@@ -426,6 +426,78 @@ def approx_distinct(
     )
 
 
+def grouped_approx_distinct(
+    ds: ray.data.Dataset, group_col: str, column: str, p: int = 10
+) -> ray.data.Dataset:
+    """Per-group HyperLogLog approximate COUNT(DISTINCT column) — the
+    mergeable-sketch-per-key pattern: each block emits one 2^p-byte
+    register row PER GROUP PRESENT (never values), one few-partition hash
+    shuffle co-locates each group's sketches, and the partition-local
+    elementwise-max merge + estimate is final. What crosses the wire is
+    #groups·2^p bytes per block — independent of row count, the reason to
+    sketch instead of an exact per-group distinct shuffle. Merge is
+    commutative/idempotent → layout- and retry-independent (the same
+    contract as approx_distinct). Output: (group, approx_n rounded 3).
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    m = 1 << p
+    n_parts = default_num_partitions()
+
+    def sketch(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(np.asarray(col).astype(np.uint64))
+        else:
+            import hashlib
+
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    for v in col.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(col),
+            )
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        out_g: list = []
+        out_reg: list = []
+        for g in np.unique(groups):
+            hg = h[groups == g]
+            reg = np.zeros(m, dtype=np.uint8)
+            idx = (hg >> np.uint64(64 - p)).astype(np.int64)
+            w = (hg << np.uint64(p)).astype(np.uint64)
+            rho = np.minimum(_clz64(w), 64 - p) + 1
+            np.maximum.at(reg, idx, rho.astype(np.uint8))
+            out_g.append(g)
+            out_reg.append(reg.tobytes())
+        return pa.table({
+            group_col: pa.array(out_g, t.column(group_col).type),
+            "reg": pa.array(out_reg, pa.binary()),
+        })
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, sub in g.groupby(group_col, sort=True):
+            reg = np.zeros(m, dtype=np.uint8)
+            for blob in sub["reg"]:
+                reg = np.maximum(reg, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((grp, float(round_half_away(hll_estimate_from_registers(reg), 3))))
+        return from_pandas_clean(
+            pd.DataFrame(rows, columns=[group_col, "approx_n"])
+        )
+
+    return (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .map_batches(_key_part_tag(group_col, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------

@@ -785,3 +785,21 @@ def expected_pmi_table(texts, min_count: int = 5, k: int = 50) -> pa.Table:
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "pmi": pa.array([r[2] / 1e6 for r in rows], pa.float64()),
     })
+
+
+def expected_grouped_hll_table(groups, values, p: int = 10) -> pa.Table:
+    """Golden per-group HLL — partitions the values scalar-side and reuses
+    expected_hll_table's per-value register loop per group (merge-free:
+    the golden never splits a group, which is exactly what the op's
+    commutative register max must be equivalent to). Sorted by group."""
+    by_group: dict = {}
+    for g, v in zip(groups, values):
+        by_group.setdefault(g, []).append(v)
+    keys = sorted(by_group)
+    ests = [
+        expected_hll_table(by_group[g], p=p).column("approx_n")[0].as_py() for g in keys
+    ]
+    return pa.table({
+        "event_type": pa.array([str(k) for k in keys], pa.string()),
+        "approx_n": pa.array(ests, pa.float64()),
+    })

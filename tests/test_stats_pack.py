@@ -66,6 +66,50 @@ def test_interp_percentiles_interpolates_between_ties():
     assert out2["value"].tolist() == [7.0, 9.0]
 
 
+def test_grouped_hll_accuracy_and_layouts():
+    from pdftext_ray.ops.stats import grouped_approx_distinct
+
+    rng = np.random.default_rng(4)
+    n = 6000
+    groups = np.where(rng.random(n) < 0.5, "a", "b")
+    vals = np.where(groups == "a", rng.integers(0, 500, n), rng.integers(0, 50, n))
+    ds = ray.data.from_arrow(pa.table({"g": groups.tolist(), "v": vals.tolist()}))
+    out = grouped_approx_distinct(ds, "g", "v", p=10).to_pandas().set_index("g")
+    true_a = len(set(vals[groups == "a"]))
+    true_b = len(set(vals[groups == "b"]))
+    assert abs(out.loc["a", "approx_n"] - true_a) / true_a < 0.15
+    assert abs(out.loc["b", "approx_n"] - true_b) / true_b < 0.15
+    # merge is commutative/idempotent → identical across layouts
+    out2 = grouped_approx_distinct(ds.repartition(11), "g", "v", p=10).to_pandas().set_index("g")
+    assert out.loc["a", "approx_n"] == out2.loc["a", "approx_n"]
+    assert out.loc["b", "approx_n"] == out2.loc["b", "approx_n"]
+
+
+def test_funnel_conversion_semantics():
+    from pdftext_ray.ops import relational
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: click then purchase inside the window → converts
+        (1, base, "click"), (1, base + pd.Timedelta(hours=2), "purchase"),
+        # user 2: purchase BEFORE the first click → no conversion
+        (2, base, "purchase"), (2, base + pd.Timedelta(hours=1), "click"),
+        # user 3: purchase after window → no conversion
+        (3, base, "click"), (3, base + pd.Timedelta(hours=30), "purchase"),
+        # user 4: click only
+        (4, base, "click"),
+        # user 5: purchase only (never entered)
+        (5, base, "purchase"),
+        # user 6: second click earlier than first? first click at t0, purchase at exactly t0+24h → edge inclusive
+        (6, base, "click"), (6, base + pd.Timedelta(hours=24), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = relational.funnel_conversion(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    assert out["n_entered"].iloc[0] == 5  # users 1,2,3,4,6
+    assert out["n_converted"].iloc[0] == 2  # users 1 and 6 (boundary inclusive)
+    assert out["conversion_rate"].iloc[0] == 0.4
+
+
 def test_sort_rank_matches_window_semantics():
     from pdftext_ray.ops import relational
 
