@@ -846,6 +846,40 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_extract_matches(sf_dir: str):
+    """Regex extraction table: words containing a double letter, exploded
+    one row per match — cross-engine RE2 pattern shared with the oracle's
+    regexp_extract_all (pii_scrub's contract)."""
+    from pdftext_ray.ops import textstats
+
+    return textstats.extract_matches(
+        _read(sf_dir, "documents", ["doc_id", "text"]), r"[a-z]*(?:aa|ee|ll|ss|tt)[a-z]*"
+    )
+
+
+def _q_histogram(sf_dir: str):
+    """Equal-width 10-bucket histogram of n_chars: (min,max) reduction,
+    per-block bincount partials, identical bucket-edge double arithmetic
+    on both sides."""
+    from pdftext_ray.ops import stats
+
+    return stats.histogram_buckets(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars", n_buckets=10
+    )
+
+
+def _q_exact_corr(sf_dir: str):
+    """Pearson corr(l_quantity, l_discount) from exact integer moments
+    (cents-scaled) — no float accumulation on either side; the HUGEINT
+    oracle reproduces the single final float conversion exactly."""
+    from pdftext_ray.ops import stats
+
+    return stats.exact_corr(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_discount"]),
+        "l_quantity", "l_discount",
+    )
+
+
 def _q_funnel(sf_dir: str):
     """Two-step funnel (click → purchase within 24h of the user's FIRST
     click): one co-locating shuffle, vectorized per-partition pass, exact
@@ -1964,6 +1998,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "grouped_hll": _q_grouped_hll,
         "funnel_conversion": _q_funnel,
+        "extract_matches": _q_extract_matches,
+        "histogram_buckets": _q_histogram,
+        "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
         "interp_percentiles": _q_interp_percentiles,
     }
@@ -2402,6 +2439,40 @@ def _full_oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
+        "extract_matches": (
+            # zipped unnests (equal lengths) — the line_dedup oracle's idiom
+            "WITH m AS (SELECT doc_id, regexp_extract_all(text, "
+            "'[a-z]*(?:aa|ee|ll|ss|tt)[a-z]*') AS ms FROM documents) "
+            "SELECT doc_id, CAST(unnest(range(1, len(ms) + 1)) - 1 AS BIGINT) AS match_idx, "
+            "unnest(ms) AS match FROM m"
+        ),
+        "histogram_buckets": (
+            "WITH mm AS (SELECT min(n_chars) AS vlo, max(n_chars) AS vhi FROM documents), "
+            "bb AS (SELECT least(CAST(floor((n_chars - vlo) * 10 / (vhi - vlo)) AS BIGINT), 9) "
+            "AS bucket FROM documents, mm), "
+            "cc AS (SELECT bucket, count(*) AS n FROM bb GROUP BY bucket), "
+            "gg AS (SELECT unnest(range(10)) AS bucket) "
+            "SELECT gg.bucket, round(mm.vlo + gg.bucket * (mm.vhi - mm.vlo) / 10, 6) AS lo, "
+            "round(mm.vlo + (gg.bucket + 1) * (mm.vhi - mm.vlo) / 10, 6) AS hi, "
+            "coalesce(cc.n, 0) AS n "
+            "FROM gg CROSS JOIN mm LEFT JOIN cc ON gg.bucket = cc.bucket"
+        ),
+        "exact_corr": (
+            # exact HUGEINT moments; int→double, sqrt, divide are all IEEE
+            # correctly-rounded, so both sides produce the same double —
+            # SQL's own corr() float accumulation would NOT
+            "WITH s AS (SELECT count(*) AS n, "
+            "sum(CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sx, "
+            "sum(CAST(round(l_discount * 100, 0) AS HUGEINT)) AS sy, "
+            "sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) * CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sxx, "
+            "sum(CAST(round(l_discount * 100, 0) AS HUGEINT) * CAST(round(l_discount * 100, 0) AS HUGEINT)) AS syy, "
+            "sum(CAST(round(l_quantity * 100, 0) AS HUGEINT) * CAST(round(l_discount * 100, 0) AS HUGEINT)) AS sxy "
+            "FROM lineitem) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr "
+            "FROM s"
+        ),
         "funnel_conversion": (
             "WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events "
             "WHERE event_type = 'click' GROUP BY user_id), "

@@ -426,6 +426,109 @@ def approx_distinct(
     )
 
 
+def exact_corr(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    decimals: int = 2,
+) -> ray.data.Dataset:
+    """Pearson correlation from EXACT integer moments: both columns scale
+    to ints (10^decimals — the inputs are fixed-decimal by contract), each
+    block emits one (n, Σx, Σy, Σx², Σy², Σxy) int64 partial row, and the
+    driver combines in arbitrary-precision Python ints before ONE float
+    conversion — so the result is layout-independent to the last bit and a
+    HUGEINT SQL oracle reproduces it exactly (int→double, sqrt and divide
+    are all IEEE correctly-rounded; float ACCUMULATION, which is not, never
+    happens on either side — the reason not to use SQL's own corr()).
+
+    Caller contract: per-row scaled |x·y| ≤ ~10⁹ keeps a 2³¹-row block's
+    int64 partials safe; the final combine is overflow-free (Python ints).
+    Output: n, corr (round 6).
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(
+            round_half_away(np.asarray(t.column(x_col).combine_chunks(), dtype=np.float64) * 10**decimals, 0),
+            dtype=np.int64,
+        )
+        y = np.asarray(
+            round_half_away(np.asarray(t.column(y_col).combine_chunks(), dtype=np.float64) * 10**decimals, 0),
+            dtype=np.int64,
+        )
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy, sxy = int(parts["sxx"].sum()), int(parts["syy"].sum()), int(parts["sxy"].sum())
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx == 0 or dy == 0:
+        raise ValueError("exact_corr: zero variance in an input column")
+    corr = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "corr": pa.array([float(round_half_away(corr, 6))], pa.float64()),
+    }))
+
+
+def histogram_buckets(
+    ds: ray.data.Dataset,
+    column: str,
+    n_buckets: int = 10,
+) -> ray.data.Dataset:
+    """Equal-width histogram of an integer column: two O(1)-result passes —
+    (min, max) by per-block partials, then per-block ``np.bincount`` over
+    ``bucket = min(floor((v−lo)·n/(hi−lo)), n−1)`` merged with one tiny
+    grouped sum. Bucket math uses the SAME integer-expression double
+    arithmetic as the SQL oracle ((v−lo)·n as exact ints, one division),
+    so edge values land identically. Empty buckets are emitted (count 0) —
+    the histogram shape is part of the contract. Output: bucket, lo, hi,
+    count.
+    """
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(column), Max(column))
+    lo, hi = int(agg[f"min({column})"]), int(agg[f"max({column})"])
+    span = hi - lo
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(column).combine_chunks()).astype(np.int64)
+        if span == 0:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(((v - lo) * n_buckets / span).astype(np.int64), n_buckets - 1)
+        counts = np.bincount(b, minlength=n_buckets)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("bucket", as_index=False)["n"].sum().sort_values("bucket")
+    edges_lo = [
+        float(round_half_away(lo + b * span / n_buckets, 6)) for b in range(n_buckets)
+    ]
+    edges_hi = [
+        float(round_half_away(lo + (b + 1) * span / n_buckets, 6)) for b in range(n_buckets)
+    ]
+    return ray.data.from_arrow(pa.table({
+        "bucket": pa.array(totals["bucket"].to_numpy(), pa.int64()),
+        "lo": pa.array(edges_lo, pa.float64()),
+        "hi": pa.array(edges_hi, pa.float64()),
+        "n": pa.array(totals["n"].to_numpy(), pa.int64()),
+    }))
+
+
 def grouped_approx_distinct(
     ds: ray.data.Dataset, group_col: str, column: str, p: int = 10
 ) -> ray.data.Dataset:

@@ -867,6 +867,41 @@ def lm_perplexity(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def extract_matches(
+    ds: ray.data.Dataset,
+    pattern: str,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Regex extraction table: every non-overlapping match of ``pattern``
+    explodes to its own row (doc_id, match_idx, match) — the structured-
+    field mining pass (IDs, entities, markup) over a text column.
+
+    Stateless flat-map with the pattern COMPILED ONCE PER BATCH fn (Python
+    ``re``; restrict patterns to RE2-compatible syntax — no lookaround —
+    so DuckDB's regexp_extract_all enumerates the identical match set and
+    the comparison is cross-engine like pii_scrub's)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids: list = []
+        idxs: list = []
+        matches: list = []
+        for did, t in zip(b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()):
+            for i, m in enumerate(rx.findall(t) if t else []):
+                doc_ids.append(did)
+                idxs.append(i)
+                matches.append(m)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, b.column("doc_id").type),
+            "match_idx": pa.array(idxs, pa.int64()),
+            "match": pa.array(matches, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def pmi_collocations(
     ds: ray.data.Dataset,
     min_count: int = 5,

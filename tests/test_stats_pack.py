@@ -66,6 +66,38 @@ def test_interp_percentiles_interpolates_between_ties():
     assert out2["value"].tolist() == [7.0, 9.0]
 
 
+def test_histogram_buckets_edges_and_counts():
+    from pdftext_ray.ops.stats import histogram_buckets
+
+    out = histogram_buckets(_int_table(list(range(100))), "n_chars", n_buckets=10).to_pandas()
+    assert out["n"].tolist() == [10] * 10  # uniform 0..99 → equal buckets
+    assert out["lo"].iloc[0] == 0.0 and out["hi"].iloc[9] == 99.0
+    # max value lands in the LAST bucket (clamped), empty buckets emitted
+    out2 = histogram_buckets(_int_table([0, 100]), "n_chars", n_buckets=4).to_pandas()
+    assert out2["n"].tolist() == [1, 0, 0, 1]
+    # degenerate single-value domain: everything in bucket 0
+    out3 = histogram_buckets(_int_table([7, 7, 7]), "n_chars", n_buckets=4).to_pandas()
+    assert out3["n"].tolist() == [3, 0, 0, 0]
+
+
+def test_exact_corr_matches_closed_form():
+    from pdftext_ray.ops.stats import exact_corr
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(1, 50, 500).astype(float)
+    y = (2.0 * x + rng.normal(0, 5, 500)).round(2)
+    ds = ray.data.from_arrow(pa.table({"x": x.tolist(), "y": y.tolist()}))
+    out = exact_corr(ds, "x", "y").to_pandas()
+    want = np.corrcoef(np.round(x * 100), np.round(y * 100))[0, 1]
+    assert abs(out["corr"].iloc[0] - want) < 1e-6
+    assert out["n"].iloc[0] == 500
+    # layout independence: exact integer moments, any split
+    out2 = exact_corr(ds.repartition(7), "x", "y").to_pandas()
+    assert out["corr"].iloc[0] == out2["corr"].iloc[0]
+    with pytest.raises(ValueError, match="variance"):
+        exact_corr(ray.data.from_arrow(pa.table({"x": [1.0, 1.0], "y": [1.0, 2.0]})), "x", "y")
+
+
 def test_grouped_hll_accuracy_and_layouts():
     from pdftext_ray.ops.stats import grouped_approx_distinct
 
