@@ -53,6 +53,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_lm": os.path.join(base, "expected_lm.parquet"),
         "expected_pmi": os.path.join(base, "expected_pmi.parquet"),
         "expected_grouped_hll": os.path.join(base, "expected_grouped_hll.parquet"),
+        "expected_resize": os.path.join(base, "expected_resize.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -187,6 +188,9 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
 
     goldens.materialize_golden(paths["expected_grouped_hll"], _grouped_hll_builder)
+    goldens.materialize_golden(
+        paths["expected_resize"], lambda: goldens.expected_resize_table(40)
+    )
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -844,6 +848,36 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """DAU retention matrix (first-event-date cohorts × day offsets ≤ 7):
+    one co-locating shuffle, per-partition pre-counts, tiny final sum."""
+    from pdftext_ray.ops import relational
+
+    return relational.retention_cohorts(
+        _read(sf_dir, "events", ["user_id", "ts"]), max_offset_days=7
+    )
+
+
+def _q_media_resize(sf_dir: str):
+    """Real-pixel actor-pool resize: deterministic PPM images decoded,
+    nearest-neighbor index-map resized, re-encoded — sha256 of the output
+    bytes compared against a per-pixel scalar golden."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdftext_ray.ops import media
+
+    _require_gate_corpus(sf_dir)
+    ds = ray.data.from_arrow(media.synth_ppm_table(40))
+
+    def drop_payload(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["payload"])
+
+    return media.resize_media(ds, out_w=16, out_h=12).map_batches(
+        drop_payload, batch_format="pyarrow"
+    )
 
 
 def _q_extract_matches(sf_dir: str):
@@ -1999,6 +2033,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "grouped_hll": _q_grouped_hll,
         "funnel_conversion": _q_funnel,
         "extract_matches": _q_extract_matches,
+        "media_resize": _q_media_resize,
+        "retention_cohorts": _q_retention_cohorts,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2439,6 +2475,15 @@ def _full_oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
+        "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
+        "retention_cohorts": (
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, f.c, "
+            "date_diff('day', f.c, CAST(e.ts AS DATE)) AS off "
+            "FROM events e JOIN f USING (user_id)) "
+            "SELECT strftime(c, '%Y-%m-%d') AS cohort_day, CAST(off AS BIGINT) AS day_offset, "
+            "count(*) AS n_users FROM a WHERE off <= 7 GROUP BY c, off"
+        ),
         "extract_matches": (
             # zipped unnests (equal lengths) — the line_dedup oracle's idiom
             "WITH m AS (SELECT doc_id, regexp_extract_all(text, "

@@ -246,3 +246,88 @@ def hydrate_media_refs(
         return pa.table(cols)
 
     return ds.map_batches(hyd, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel resize stage (PPM end-to-end — no codec library needed)
+# ---------------------------------------------------------------------------
+
+def synth_ppm_table(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic REAL images: gradient+noise RGB rasters of varied
+    sizes, binary-PPM encoded — every byte a pure function of (seed, i)."""
+    rng = np.random.RandomState(seed)
+    refs, types, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(8, 64))
+        h = int(rng.randint(8, 64))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            rng.randint(0, 256, (h, w)),
+        ], axis=-1).astype(np.uint8)
+        refs.append(f"media://ppm/{i}")
+        types.append("image")
+        payloads.append(encode_ppm(img))
+        ws.append(w)
+        hs.append(h)
+        fs.append(1)
+    return pa.Table.from_arrays(
+        [
+            pa.array(refs), pa.array(types), pa.array(payloads, pa.binary()),
+            pa.array(ws, pa.int32()), pa.array(hs, pa.int32()), pa.array(fs, pa.int32()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class PpmResizer:
+    """Actor-pool stage: decode PPM → nearest-neighbor resize to a fixed
+    (out_w, out_h) → re-encode. Codec built ONCE per actor; the resize is
+    the standard index-map gather (``src = dst·src_dim // dst_dim``) —
+    integer arithmetic only, so engine and scalar golden agree per pixel.
+    Output rows carry the resized payload plus a pixel checksum and a
+    sha256 (string) for cheap value comparison."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 12):
+        self.codec = PpmCodec()
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, sums, shas = [], [], []
+        for payload in payloads:
+            img = self.codec.decode(payload, 0, 0)
+            h, w = img.shape[:2]
+            ys = np.arange(self.out_h) * h // self.out_h
+            xs = np.arange(self.out_w) * w // self.out_w
+            resized = img[np.ix_(ys, xs)]
+            enc = encode_ppm(resized)
+            out_p.append(enc)
+            sums.append(int(resized.sum()))
+            shas.append(hashlib.sha256(enc).hexdigest())
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "out_width": pa.array([self.out_w] * len(refs), pa.int32()),
+            "out_height": pa.array([self.out_h] * len(refs), pa.int32()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "payload_sha": pa.array(shas, pa.string()),
+            "payload": pa.array(out_p, pa.binary()),
+        })
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    out_w: int = 16,
+    out_h: int = 12,
+    batch_size: int = 16,
+    concurrency: Optional[int] = None,
+) -> ray.data.Dataset:
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(PpmResizer(out_w, out_h), **kwargs)

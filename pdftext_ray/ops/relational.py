@@ -538,6 +538,59 @@ def funnel_conversion(
     }))
 
 
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    max_offset_days: int = 7,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by the DATE of their first
+    event; for each (cohort_day, day_offset ≤ max) the number of cohort
+    users active that day (the DAU-retention analytics query).
+
+    Plan: ONE co-locating hash shuffle on key; per partition a vectorized
+    pass computes each user's first day + distinct active-day offsets and
+    pre-counts (cohort, offset) pairs; the final grouped sum is
+    cohort·offset-cardinality small. Cohort days emit as '%Y-%m-%d'
+    STRINGS — the date-type-convention-free comparison (DuckDB DATE and
+    pandas datetime64 stringify differently otherwise).
+
+    Output: cohort_day, day_offset, n_users.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key, ts]].copy()
+        g["day"] = g[ts].dt.floor("D")
+        g = g[[key, "day"]].drop_duplicates()
+        first = g.groupby(key)["day"].transform("min")
+        off = ((g["day"] - first).dt.days).astype("int64")
+        keep = off <= max_offset_days
+        out = pd.DataFrame({
+            "cohort_day": first[keep].dt.strftime("%Y-%m-%d"),
+            "day_offset": off[keep],
+        }).groupby(["cohort_day", "day_offset"], as_index=False).size()
+        out.columns = ["cohort_day", "day_offset", "n_users"]
+        return from_pandas_clean(out)
+
+    parts = (
+        ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    final = parts.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype("int64")
+        return df[["cohort_day", "day_offset", "n_users"]]
+
+    return final.map_batches(shape, batch_format="pandas")
+
+
 def sort_rank(
     ds: ray.data.Dataset,
     value_col: str,

@@ -803,3 +803,45 @@ def expected_grouped_hll_table(groups, values, p: int = 10) -> pa.Table:
         "event_type": pa.array([str(k) for k in keys], pa.string()),
         "approx_n": pa.array(ests, pa.float64()),
     })
+
+
+def expected_resize_table(n: int, seed: int = 11, out_w: int = 16, out_h: int = 12) -> pa.Table:
+    """Golden PPM resize — per-pixel scalar loops and a hand-rolled header
+    parse (the Ray op uses PpmCodec + np.ix_ gather). Shares the input
+    synthesis (the table under test) and the index-map CONTRACT
+    src = dst*src_dim // dst_dim only."""
+    import hashlib
+
+    from pdftext_ray.ops.media import synth_ppm_table
+
+    t = synth_ppm_table(n, seed=seed)
+    refs = t.column("media_ref").to_pylist()
+    payloads = t.column("payload").to_pylist()
+    sums, shas, outs = [], [], []
+    for payload in payloads:
+        # encode_ppm writes exactly: b"P6\n<w> <h>\n255\n" + raster
+        header_end = payload.index(b"\n255\n") + len(b"\n255\n")
+        dims = payload[3 : payload.index(b"\n255\n")].split()
+        w, h = int(dims[0]), int(dims[1])
+        raster = payload[header_end:]
+        resized = bytearray()
+        total = 0
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                off = (sy * w + sx) * 3
+                px = raster[off : off + 3]
+                resized += px
+                total += px[0] + px[1] + px[2]
+        enc = b"P6\n%d %d\n255\n" % (out_w, out_h) + bytes(resized)
+        outs.append(enc)
+        sums.append(total)
+        shas.append(hashlib.sha256(enc).hexdigest())
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "out_width": pa.array([out_w] * n, pa.int32()),
+        "out_height": pa.array([out_h] * n, pa.int32()),
+        "pixel_sum": pa.array(sums, pa.int64()),
+        "payload_sha": pa.array(shas, pa.string()),
+    })

@@ -78,3 +78,25 @@ def test_ppm_codec_decodes_real_pixels():
             acc[c * 16:(c + 1) * 16] += hist
         want = (acc / max(acc.sum(), 1e-9)).astype(np.float32)
         assert np.array_equal(np.asarray(via_ppm.loc[ref, "feature"], dtype=np.float32), want)
+
+
+def test_ppm_resize_matches_scalar_golden_and_shrinks():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pdftext_ray.ops.media import PpmCodec, resize_media, synth_ppm_table
+    from pdftext_ray.pipelines.goldens import expected_resize_table
+
+    t = synth_ppm_table(12)
+    out = (
+        resize_media(ray.data.from_arrow(t), out_w=16, out_h=12)
+        .to_pandas().sort_values("media_ref").reset_index(drop=True)
+    )
+    want = expected_resize_table(12).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert out["payload_sha"].tolist() == want["payload_sha"].tolist()  # byte-exact
+    assert out["pixel_sum"].tolist() == want["pixel_sum"].tolist()
+    # payloads decode back to 12x16 rasters; the gradient survives resize
+    img = PpmCodec().decode(out["payload"].iloc[0], 0, 0)
+    assert img.shape == (12, 16, 3)
+    assert img[0, 0, 0] <= img[0, -1, 0]  # x-gradient in channel 0 preserved

@@ -467,3 +467,26 @@ def test_heavy_bucket_blocks_sized_from_footers(tmp_path):
     assert _heavy_bucket_blocks(str(d), 64) == 256  # ceil(3208/8)=401, capped at 4×64
     assert _heavy_bucket_blocks(str(d), 128) == (8 + 3200 + 7) // 8  # uncapped: rows/8
     assert _heavy_bucket_blocks(str(tmp_path / "missing"), 64) == 2  # 0 rows → floor
+
+
+def test_retention_cohorts_semantics():
+    from pdftext_ray.ops import relational
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = [
+        (1, base), (1, base + pd.Timedelta(days=1, hours=5)), (1, base + pd.Timedelta(days=9)),
+        (2, base), (2, base + pd.Timedelta(hours=3)),  # same-day repeat → one day-0 row
+        (3, base + pd.Timedelta(days=1)), (3, base + pd.Timedelta(days=2)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = (
+        relational.retention_cohorts(ray.data.from_pandas(df).repartition(3), max_offset_days=7)
+        .to_pandas().sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    )
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("2024-03-01", 0): 2,  # users 1, 2
+        ("2024-03-01", 1): 1,  # user 1 (day-9 visit beyond max_offset dropped)
+        ("2024-03-02", 0): 1,  # user 3
+        ("2024-03-02", 1): 1,
+    }
