@@ -850,6 +850,52 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_upsert_latest(sf_dir: str):
+    """Corpus-refresh upsert: v1 = every doc, v2 = an updated third of the
+    corpus (uppercased text) — keep-latest-version per doc via one
+    co-locating shuffle. Output hashes the surviving text (md5 — identical
+    in hashlib and DuckDB on this ASCII corpus)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import relational
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def v1(t: pa.Table) -> pa.Table:
+        return t.append_column("version", pa.array([1] * len(t), pa.int64()))
+
+    def v2(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0, pa.bool_()
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.utf8_upper(t.column("text")),
+            "version": pa.array([2] * len(t), pa.int64()),
+        })
+
+    u = docs.map_batches(v1, batch_format="pyarrow").union(
+        docs.map_batches(v2, batch_format="pyarrow")
+    )
+    kept = relational.upsert_latest(u, "doc_id", "version")
+
+    def shape(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(s.encode()).hexdigest() for s in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "version": pc.cast(t.column("version"), pa.int64()),
+            "text_hash": pa.array(hashes, pa.string()),
+        })
+
+    return kept.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_retention_cohorts(sf_dir: str):
     """DAU retention matrix (first-event-date cohorts × day offsets ≤ 7):
     one co-locating shuffle, per-partition pre-counts, tiny final sum."""
@@ -2035,6 +2081,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "extract_matches": _q_extract_matches,
         "media_resize": _q_media_resize,
         "retention_cohorts": _q_retention_cohorts,
+        "upsert_latest": _q_upsert_latest,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2476,6 +2523,14 @@ def _full_oracle_sql() -> dict[str, str]:
         "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
+        "upsert_latest": (
+            "WITH v1 AS (SELECT doc_id, 1 AS version, text FROM documents), "
+            "v2 AS (SELECT doc_id, 2 AS version, upper(text) AS text FROM documents WHERE doc_id % 3 = 0), "
+            "u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) "
+            "SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS text_hash "
+            "FROM r WHERE rn = 1"
+        ),
         "retention_cohorts": (
             "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id), "
             "a AS (SELECT DISTINCT e.user_id, f.c, "

@@ -474,6 +474,39 @@ def grouped_topk(
     )
 
 
+def upsert_latest(
+    ds: ray.data.Dataset,
+    key: str,
+    version_col: str,
+) -> ray.data.Dataset:
+    """Corpus-refresh upsert: of all rows sharing a key, keep the one with
+    the highest version (ties broken deterministically by preferring the
+    LARGEST remaining column tuple — versions are unique per key in a sane
+    ingest, the tie-break just pins the contract). The merge-new-crawl-
+    into-corpus primitive.
+
+    One few-partition hash shuffle on key co-locates versions; the
+    per-partition vectorized sort+drop_duplicates is globally exact. Never
+    a per-distinct-key aggregate (~65 µs/key) and never a broadcast — both
+    sides of the merge stream.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in g.columns if c not in (key, version_col, "_part")]
+        g = g.sort_values([key, version_col, *other], ascending=False)
+        out = g.drop_duplicates(subset=[key], keep="first").drop(columns=["_part"])
+        return from_pandas_clean(out.sort_values(key))
+
+    return (
+        ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def funnel_conversion(
     ds: ray.data.Dataset,
     first_step: str = "click",

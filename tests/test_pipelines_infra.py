@@ -490,3 +490,22 @@ def test_retention_cohorts_semantics():
         ("2024-03-02", 0): 1,  # user 3
         ("2024-03-02", 1): 1,
     }
+
+
+def test_upsert_latest_keeps_highest_version():
+    from pdftext_ray.ops import relational
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3, 3],
+        "version": [1, 3, 2, 1, 2, 2],
+        "payload": ["a", "b", "c", "d", "e", "f"],
+    })
+    out = (
+        relational.upsert_latest(ray.data.from_pandas(df).repartition(4), "k", "version")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["version"].tolist() == [3, 1, 2]
+    assert out["payload"].tolist()[:2] == ["b", "d"]
+    # version tie (k=3): deterministic — largest remaining tuple wins
+    assert out["payload"].iloc[2] == "f"
