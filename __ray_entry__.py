@@ -54,6 +54,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_pmi": os.path.join(base, "expected_pmi.parquet"),
         "expected_grouped_hll": os.path.join(base, "expected_grouped_hll.parquet"),
         "expected_resize": os.path.join(base, "expected_resize.parquet"),
+        "expected_pca": os.path.join(base, "expected_pca.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -191,6 +192,14 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
     goldens.materialize_golden(
         paths["expected_resize"], lambda: goldens.expected_resize_table(40)
     )
+
+    def _pca_builder():
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        return goldens.expected_pca_table(
+            np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        )
+
+    goldens.materialize_golden(paths["expected_pca"], _pca_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -848,6 +857,20 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_pca_top_component(sf_dir: str):
+    """Distributed top-PC: exact integer second moments per block →
+    arbitrary-precision combine → one float conversion → pinned power
+    iteration — bit-exact vs the single-block scalar golden at any
+    layout."""
+    import ray.data
+
+    from pdftext_ray.ops import cluster
+
+    return ray.data.from_arrow(
+        cluster.pca_top_component(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    )
 
 
 def _q_upsert_latest(sf_dir: str):
@@ -2082,6 +2105,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "retention_cohorts": _q_retention_cohorts,
         "upsert_latest": _q_upsert_latest,
+        "pca_top_component": _q_pca_top_component,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2523,6 +2547,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "pmi_collocations": f"SELECT gram, n, pmi FROM read_parquet('{p['expected_pmi']}')",
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
+        "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
         "upsert_latest": (
             "WITH v1 AS (SELECT doc_id, 1 AS version, text FROM documents), "
             "v2 AS (SELECT doc_id, 2 AS version, upper(text) AS text FROM documents WHERE doc_id % 3 = 0), "

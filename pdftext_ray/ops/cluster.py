@@ -324,3 +324,96 @@ def cluster_balanced_sample(
         .groupby("cluster")
         .map_groups(final_head, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (top principal component from exact integer moments)
+# ---------------------------------------------------------------------------
+
+def pca_top_component(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    n_iter: int = 30,
+) -> "pa.Table":
+    """Top principal component of an embedding column, layout-independent
+    to the last bit: each block quantizes vectors to int64 (``round(x·
+    scale)``) and emits EXACT integer partials (n, Σx d-vector, ΣxᵀX d×d
+    upper triangle); the driver combines in arbitrary-precision Python
+    ints, forms the scaled covariance ``C = n·Σxx − Σx·Σxᵀ`` exactly, and
+    only then converts to float64 ONCE (correctly rounded per entry).
+    Power iteration (fixed ``n_iter``, all-ones start, np.linalg.norm
+    normalization, sign pinned to the first nonzero component positive)
+    runs driver-side on the d×d matrix — O(d²) work, the k-means-centroid
+    bounded-collect contract. OPENBLAS_NUM_THREADS=1 (set at package
+    import) keeps the matvec deterministic.
+
+    Int64 partial safety: |x|·scale ≤ ~2³¹ per component keeps a block's
+    d×d product sums exact for ≥4k-row blocks; the cross-block combine is
+    overflow-free (Python ints).
+
+    Returns a d-row pa.Table: (dim_idx, weight, eigenvalue, n_rows).
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pdftext_ray.ops import round_half_away
+
+        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        xi = np.asarray(round_half_away(x * scale, 0), dtype=np.int64)
+        s = xi.sum(axis=0)
+        ss = xi.T @ xi  # int64 matmul — exact within the documented bound
+        return pa.table({
+            "n": pa.array([len(xi)], pa.int64()),
+            "s": pa.array([s.tobytes()], pa.binary()),
+            "ss": pa.array([ss.tobytes()], pa.binary()),
+            "d": pa.array([xi.shape[1]], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("pca_top_component over an empty dataset")
+    d = int(parts[0]["d"])
+    n = 0
+    s_tot = [0] * d
+    ss_tot = [[0] * d for _ in range(d)]
+    for prt in parts:
+        n += int(prt["n"])
+        s_arr = np.frombuffer(prt["s"], dtype=np.int64)
+        ss_arr = np.frombuffer(prt["ss"], dtype=np.int64).reshape(d, d)
+        for i in range(d):
+            s_tot[i] += int(s_arr[i])
+            row = ss_arr[i]
+            ti = ss_tot[i]
+            for j in range(d):
+                ti[j] += int(row[j])
+    # exact scaled covariance: C_ij = n·Σxx_ij − Σx_i·Σx_j  (Python ints)
+    c = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            c[i, j] = float(n * ss_tot[i][j] - s_tot[i] * s_tot[j])
+    v = np.ones(d, dtype=np.float64)
+    v /= np.linalg.norm(v)
+    for _ in range(n_iter):
+        v = c @ v
+        nv = np.linalg.norm(v)
+        if nv == 0.0:
+            raise ValueError("pca_top_component: zero covariance matrix")
+        v /= nv
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    eig = float(v @ (c @ v))
+    # report in the ORIGINAL units: covariance was scaled by n²·scale²
+    from pdftext_ray.ops import round_half_away
+
+    eig_unit = float(round_half_away(eig / (float(n) * float(n) * scale * scale), 6))
+    comp = [float(round_half_away(x, 6)) for x in v]
+    # exploded rows (dim_idx, weight) — list-column comparisons are
+    # dtype-convention fragile across engines; rows are not
+    return pa.table({
+        "dim_idx": pa.array(list(range(d)), pa.int64()),
+        "weight": pa.array(comp, pa.float64()),
+        "eigenvalue": pa.array([eig_unit] * d, pa.float64()),
+        "n_rows": pa.array([n] * d, pa.int64()),
+    })

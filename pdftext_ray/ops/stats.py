@@ -498,6 +498,8 @@ def histogram_buckets(
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(column), Max(column))
+    if agg is None or agg.get(f"min({column})") is None:
+        raise ValueError("histogram_buckets over an empty dataset")
     lo, hi = int(agg[f"min({column})"]), int(agg[f"max({column})"])
     span = hi - lo
 

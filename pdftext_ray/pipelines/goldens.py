@@ -845,3 +845,42 @@ def expected_resize_table(n: int, seed: int = 11, out_w: int = 16, out_h: int = 
         "pixel_sum": pa.array(sums, pa.int64()),
         "payload_sha": pa.array(shas, pa.string()),
     })
+
+
+def expected_pca_table(vecs: np.ndarray, scale: int = 10**6, n_iter: int = 30) -> pa.Table:
+    """Golden top-PC — single-block exact integer moments (int addition is
+    associative, so one-block totals equal the op's distributed combine
+    bit-for-bit) + the same pinned power-iteration formulas written
+    independently. Shares the CONTRACT: round(x*scale) int64 quantization;
+    C = n*Sxx - Sx*Sx^T in exact ints, ONE float conversion; all-ones
+    start, n_iter fixed, norm-normalized, sign pinned to first nonzero
+    positive; weight/eigenvalue rounded half-away to 6 (eigenvalue in
+    original units: /(n^2 * scale^2))."""
+    from pdftext_ray.ops import round_half_away
+
+    x = np.asarray(vecs, dtype=np.float64)
+    xi = np.asarray(round_half_away(x * scale, 0), dtype=np.int64)
+    n, d = xi.shape
+    s = [int(t) for t in xi.sum(axis=0)]
+    ss = xi.T @ xi
+    c = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            c[i, j] = float(n * int(ss[i, j]) - s[i] * s[j])
+    v = np.ones(d, dtype=np.float64)
+    v /= np.linalg.norm(v)
+    for _ in range(n_iter):
+        v = c @ v
+        v /= np.linalg.norm(v)
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    eig = float(v @ (c @ v))
+    return pa.table({
+        "dim_idx": pa.array(list(range(d)), pa.int64()),
+        "weight": pa.array([float(round_half_away(t, 6)) for t in v], pa.float64()),
+        "eigenvalue": pa.array(
+            [float(round_half_away(eig / (float(n) ** 2 * scale * scale), 6))] * d, pa.float64()
+        ),
+        "n_rows": pa.array([n] * d, pa.int64()),
+    })

@@ -731,3 +731,30 @@ def test_streaming_dedup_counts_identical_distinct_blocks():
     t = pa.table({"doc_id": [0], "text": [BASE]})
     out = streaming.streaming_dedup(ray.data.from_arrow([t, t]), n_shards=2)
     assert out.count() == 1  # second identical block deduped, not absorbed
+
+
+def test_pca_top_component_matches_golden_and_known_axis():
+    from pdftext_ray.ops import cluster as _cluster
+    from pdftext_ray.pipelines.goldens import expected_pca_table
+
+    rng = np.random.RandomState(8)
+    # dominant variance along a known axis in 8-d
+    axis = np.zeros(8)
+    axis[3] = 1.0
+    vecs = rng.standard_normal((400, 8)) * 0.1 + np.outer(rng.standard_normal(400) * 3.0, axis)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(400)), "embedding": [v.tolist() for v in vecs]
+    }))
+    got = _cluster.pca_top_component(ds).to_pandas()
+    want = expected_pca_table(vecs).to_pandas()
+    assert got["weight"].tolist() == want["weight"].tolist()  # bit-exact
+    assert got["eigenvalue"].iloc[0] == want["eigenvalue"].iloc[0]
+    # the recovered component is the planted axis
+    assert abs(got["weight"].iloc[3]) > 0.99
+    assert got["weight"].iloc[3] > 0  # sign pinned positive
+    # layout independence
+    ds2 = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(400))[::-1], "embedding": [v.tolist() for v in vecs[::-1]]
+    })).repartition(7)
+    got2 = _cluster.pca_top_component(ds2).to_pandas()
+    assert got2["weight"].tolist() == got["weight"].tolist()
