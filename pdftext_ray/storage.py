@@ -8,8 +8,10 @@ is a deployment detail, not a code change.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+import pyarrow as pa
 import ray.data
 
 try:  # pragma: no cover - lance not installed in this sandbox
@@ -54,7 +56,8 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
     """Read a document table as a Ray Dataset (column-pruned at the read).
 
     Format dispatch by extension: ``.lance`` (when pylance is installed),
-    ``.jsonl``/``.json`` (newline-delimited JSON), ``.csv``, else Parquet
+    ``.jsonl``/``.json`` (newline-delimited JSON), ``.csv``, ``.orc``
+    (distributed per-file pyarrow.orc decode), else Parquet
     (the canonical format). For row-oriented formats column pruning happens
     AFTER parse (``select_columns``) — the format physically stores whole
     rows; at 100 TB convert to Parquet/Lance at ingest and prune at the
@@ -62,6 +65,10 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
     """
     if _HAVE_LANCE and uri.endswith(".lance"):
         return ray.data.read_lance(uri, columns=columns, **kwargs)
+    if uri.endswith(".orc") or (os.path.isdir(uri) and any(
+        f.endswith(".orc") for f in os.listdir(uri)
+    )):
+        return _read_orc(uri, columns)
     if uri.endswith((".jsonl", ".json")):
         ds = ray.data.read_json(uri, **kwargs)
         return ds.select_columns(list(columns)) if columns else ds
@@ -82,7 +89,8 @@ def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
     """Write a Dataset as a directory of part files (resumable layout).
 
     Format dispatch mirrors :func:`read_table`: ``.lance`` / ``.jsonl`` /
-    ``.csv`` by extension, Parquet otherwise.
+    ``.csv`` / ``.orc`` (one part file per block) by extension, Parquet
+    otherwise.
     """
     if _HAVE_LANCE and uri.endswith(".lance"):
         ds.write_lance(uri, **kwargs)
@@ -90,5 +98,47 @@ def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
         ds.write_json(uri, **kwargs)
     elif uri.endswith(".csv"):
         ds.write_csv(uri, **kwargs)
+    elif uri.endswith(".orc"):
+        _write_orc(ds, uri)
     else:
         ds.write_parquet(uri, **kwargs)
+
+
+def _read_orc(uri: str, columns: Optional[list]) -> ray.data.Dataset:
+    """Distributed ORC read (Ray has no native reader): one binary-file row
+    per ORC part fans out to a per-file pyarrow.orc decode inside
+    map_batches — per-file parallelism, columns pruned AT the decode
+    (ORCFile.read(columns=...)), so only requested columns materialize.
+    batch_size=1 keeps one file per task (a file is one wide binary row)."""
+    import io
+
+    from pyarrow import orc as pa_orc
+
+    def decode(t: pa.Table) -> pa.Table:
+        out = []
+        for blob in t.column("bytes").to_pylist():
+            f = pa_orc.ORCFile(io.BytesIO(blob))
+            out.append(f.read(columns=list(columns)) if columns else f.read())
+        return pa.concat_tables(out)
+
+    return ray.data.read_binary_files(uri, file_extensions=["orc"]).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _write_orc(ds: ray.data.Dataset, uri: str) -> None:
+    """Distributed ORC write: each block writes its own part file (the
+    resumable many-part layout write_parquet uses) via pyarrow.orc."""
+    import uuid
+
+    from pyarrow import orc as pa_orc
+
+    os.makedirs(uri, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t):
+            path = os.path.join(uri, f"part-{uuid.uuid4().hex}.orc")
+            pa_orc.write_table(t, path)
+        return pa.table({"rows_written": pa.array([len(t)], pa.int64())})
+
+    ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).materialize()

@@ -46,6 +46,50 @@ EMPTY_OK = [
     ("pack_sequences", lambda: pack.pack_sequences(_mk(DOCS), budget=128)),
     ("connected_components", lambda: cluster.connected_components_distributed(_mk(PAIRS))),
     ("streaming_dedup", lambda: streaming.streaming_dedup(_mk(DOCS), n_shards=2)),
+    ("ngram_repetition", lambda: textstats.ngram_repetition(_mk(DOCS))),
+    ("chunk_documents", lambda: textstats.chunk_documents(_mk(DOCS))),
+    ("extract_matches", lambda: textstats.extract_matches(_mk(DOCS), "aa")),
+    ("lm_perplexity", lambda: textstats.lm_perplexity(_mk(DOCS))),
+    ("pmi_collocations", lambda: textstats.pmi_collocations(_mk(DOCS))),
+]
+
+
+def _graph_empty():
+    from pdftext_ray.ops import graph
+
+    edges = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    return graph.pagerank(_mk(edges), n_iter=2)
+
+
+def _windows_empty():
+    import pandas as pd
+
+    from pdftext_ray.ops import relational
+
+    df = pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "value": pd.Series([], dtype="float64"),
+    })
+    return relational.events_window_functions(ray.data.from_pandas(df))
+
+
+def _upsert_empty():
+    from pdftext_ray.ops import relational
+
+    t = pa.table({
+        "k": pa.array([], pa.int64()),
+        "version": pa.array([], pa.int64()),
+        "payload": pa.array([], pa.string()),
+    })
+    return relational.upsert_latest(_mk(t), "k", "version")
+
+
+EMPTY_OK += [
+    ("pagerank", _graph_empty),
+    ("events_window_functions", _windows_empty),
+    ("upsert_latest", _upsert_empty),
 ]
 
 

@@ -277,7 +277,7 @@ def test_read_write_table_format_dispatch(tmp_path):
 
     src = pa.table({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"], "n": [10, 20, 30]})
     ds = ray.data.from_arrow(src)
-    for ext in ("jsonl", "csv"):
+    for ext in ("jsonl", "csv", "orc"):
         out = str(tmp_path / f"t_{ext}.{ext}")
         storage.write_table(ds, out)
         back = storage.read_table(out, columns=["doc_id", "text"]).to_pandas()
@@ -287,6 +287,13 @@ def test_read_write_table_format_dispatch(tmp_path):
             back, pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]}),
             check_dtype=False,
         )
+    # ORC: multi-block write produces one part per block; read fans out per file
+    import os as _os
+
+    orc_dir = str(tmp_path / "multi.orc")
+    storage.write_table(ds.repartition(3), orc_dir)
+    assert len([f for f in _os.listdir(orc_dir) if f.endswith(".orc")]) == 3
+    assert len(storage.read_table(orc_dir).to_pandas()) == 3
 
 
 def test_checkpoint_mtime_fingerprint_invalidates(tmp_path):
