@@ -859,6 +859,22 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_streaming_window(sf_dir: str):
+    """Actor-held tumbling event-time windows (true streaming shape: shard
+    actors accumulate open windows in integer cents while the stream
+    flows); flushed totals are arrival-order independent and must equal
+    the batch hourly aggregate — the oracle IS events_hourly's SQL."""
+    import ray.data
+
+    from pdftext_ray.ops import streaming
+
+    return ray.data.from_arrow(
+        streaming.streaming_window_counts(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]), width_sec=3600
+        )
+    )
+
+
 def _q_pca_top_component(sf_dir: str):
     """Distributed top-PC: exact integer second moments per block →
     arbitrary-precision combine → one float conversion → pinned power
@@ -2106,6 +2122,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "upsert_latest": _q_upsert_latest,
         "pca_top_component": _q_pca_top_component,
+        "streaming_window": _q_streaming_window,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2548,6 +2565,12 @@ def _full_oracle_sql() -> dict[str, str]:
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
         "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
+        "streaming_window": (
+            # the actor-window flush must equal the batch hourly aggregate
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
         "upsert_latest": (
             "WITH v1 AS (SELECT doc_id, 1 AS version, text FROM documents), "
             "v2 AS (SELECT doc_id, 2 AS version, upper(text) AS text FROM documents WHERE doc_id % 3 = 0), "

@@ -229,3 +229,127 @@ def streaming_dedup_counts(
         "text_hash": pa.array([k.hex() for k, _ in rows], pa.string()),
         "dup_count": pa.array([c for _, c in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Streaming tumbling-window aggregate (actor-held open windows + watermark)
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0.25)
+class _WindowShard:
+    """Open tumbling windows for one hash slice of the key space.
+
+    Accumulators are INTEGER cents — exact addition commutes, so the final
+    window totals are arrival-order independent even though the stream
+    is not (same contract split as the dedup shards: only order-
+    independent outputs are gate-worthy; late-DROP counts depend on
+    arrival order and are exposed for controlled/sequential use only).
+    Offers carry the positional batch fingerprint for retry absorption."""
+
+    def __init__(self, width_sec: int, allowed_lateness_sec=None):
+        self._width = width_sec
+        self._late = allowed_lateness_sec
+        self._open: dict = {}     # (window_start_sec, key) -> [n, cents]
+        self._closed: dict = {}   # same, past the watermark (late target)
+        self._watermark = None    # max event time seen (sec)
+        self._dropped = 0
+        self._done: set = set()
+
+    def offer(self, batch_fp: bytes, windows, keys, cents) -> int:
+        if batch_fp in self._done:
+            return 0
+        self._done.add(batch_fp)
+        dropped = 0
+        for w, k, c in zip(windows, keys, cents):
+            if self._late is not None and self._watermark is not None and (
+                w + self._width + self._late <= self._watermark
+            ):
+                dropped += 1  # beyond allowed lateness: row is dropped
+                continue
+            acc = self._open.setdefault((w, k), [0, 0])
+            acc[0] += 1
+            acc[1] += c
+        if self._late is not None and windows:
+            mx = max(windows)
+            if self._watermark is None or mx > self._watermark:
+                self._watermark = mx
+        self._dropped += dropped
+        return dropped
+
+    def flush(self):
+        """All window accumulators (open + closed): [(w, key, n, cents)]."""
+        return [(w, k, v[0], v[1]) for (w, k), v in self._open.items()]
+
+    def n_dropped(self) -> int:
+        return self._dropped
+
+
+def streaming_window_counts(
+    ds: ray.data.Dataset,
+    width_sec: int = 3600,
+    n_shards: int = 8,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    allowed_lateness_sec=None,
+) -> pa.Table:
+    """Tumbling event-time windows held OPEN in a shard-actor pool while
+    the stream flows — the true streaming-window shape (state every batch
+    writes mid-flight), vs relational.events_hourly_window's batch
+    partial-aggregate plan which needs the input bounded.
+
+    One message per batch-shard pair routes (window, key, cents) triples
+    to the owning shard (hash of key — a key's windows co-locate);
+    integer-cents accumulators make the flushed totals arrival-order
+    independent, which is the gate contract. With ``allowed_lateness_sec``
+    set, each shard tracks an event-time watermark and DROPS rows whose
+    window closed more than the lateness before it — order-dependent by
+    nature, so that mode is for controlled/sequential feeds (unit-tested
+    via direct actor calls), not the gate.
+
+    Returns the flushed table: (window_start timestamp-sec, key, n_events,
+    sum_value round 2).
+    """
+    import pandas as pd
+
+    shards = [
+        _WindowShard.remote(width_sec, allowed_lateness_sec) for _ in range(n_shards)
+    ]
+
+    def feed(t: pa.Table) -> pa.Table:
+        from pdftext_ray.ops import round_half_away
+
+        n = len(t)
+        if n == 0:
+            return pa.table({"fed": pa.array([0], pa.int64())})
+        fp = _task_batch_fp()
+        epoch = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        windows = (epoch // width_sec * width_sec).astype(np.int64)
+        keys = t.column(key_col).to_pylist()
+        cents = np.asarray(
+            round_half_away(t.column(value_col).to_numpy(zero_copy_only=False) * 100.0, 0),
+            dtype=np.int64,
+        )
+        shard_of = _route(_digest16(keys), n_shards)
+        futures = []
+        for s in range(n_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if len(idx):
+                futures.append(shards[s].offer.remote(
+                    fp, windows[idx].tolist(), [keys[i] for i in idx], cents[idx].tolist()
+                ))
+        ray.get(futures)
+        return pa.table({"fed": pa.array([n], pa.int64())})
+
+    # side-effectful pass: materialize so the lineage runs exactly once
+    ds.map_batches(feed, batch_format="pyarrow").materialize()
+    rows = [r for s in ray.get([sh.flush.remote() for sh in shards]) for r in s]
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "window_start": pa.array(
+            pd.to_datetime([r[0] for r in rows], unit="s"), pa.timestamp("us")
+        ),
+        key_col: pa.array([r[1] for r in rows], pa.string()),
+        "n_events": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_value": pa.array([round(r[3] / 100.0, 2) for r in rows], pa.float64()),
+    })

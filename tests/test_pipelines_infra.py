@@ -516,3 +516,40 @@ def test_upsert_latest_keeps_highest_version():
     assert out["payload"].tolist()[:2] == ["b", "d"]
     # version tie (k=3): deterministic — largest remaining tuple wins
     assert out["payload"].iloc[2] == "f"
+
+
+def test_streaming_window_matches_batch_and_drops_late():
+    import pyarrow as pa
+
+    from pdftext_ray.ops import streaming
+
+    base = pd.Timestamp("2024-01-01 00:10:00")
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b", "a", "b"],
+        "ts": [base, base + pd.Timedelta(minutes=30), base,
+               base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=2)],
+        "value": [1.25, 2.00, 3.10, 4.00, 0.65],
+    })
+    out = streaming.streaming_window_counts(
+        ray.data.from_pandas(df).repartition(3), width_sec=3600
+    ).to_pandas()
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.sum_value) for r in out.itertuples()}
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (2, 3.25),
+        ("2024-01-01 00:00:00", "b"): (1, 3.10),
+        ("2024-01-01 01:00:00", "a"): (1, 4.00),
+        ("2024-01-01 02:00:00", "b"): (1, 0.65),
+    }
+    # watermark mode: controlled SEQUENTIAL feed via direct actor calls
+    shard = streaming._WindowShard.remote(3600, allowed_lateness_sec=0)
+    # window 0 then window 2*3600 advances the watermark; a late row for
+    # window 0 (closed: 0+3600+0 <= 7200) must drop
+    assert ray.get(shard.offer.remote(b"b1", [0], ["k"], [100])) == 0
+    assert ray.get(shard.offer.remote(b"b2", [7200], ["k"], [100])) == 0
+    assert ray.get(shard.offer.remote(b"b3", [0], ["k"], [100])) == 1  # dropped
+    assert ray.get(shard.n_dropped.remote()) == 1
+    rows = ray.get(shard.flush.remote())
+    assert sorted(rows) == [(0, "k", 1, 100), (7200, "k", 1, 100)]
+    # replay absorption: same fingerprint re-offered is a no-op
+    assert ray.get(shard.offer.remote(b"b2", [7200], ["k"], [100])) == 0
+    assert sorted(ray.get(shard.flush.remote())) == [(0, "k", 1, 100), (7200, "k", 1, 100)]
