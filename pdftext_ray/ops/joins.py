@@ -194,6 +194,13 @@ def salted_hash_join(
     right = right.select_columns(list(dict.fromkeys([*right_cols, right_key])))
     ltypes = _arrow_types(left)
     rtypes = _arrow_types(right)
+    for label, typ in (("left_key", ltypes[left_key]), ("right_key", rtypes[right_key]),
+                       ("salt_col", ltypes[salt_col])):
+        if not pa.types.is_integer(typ):
+            raise TypeError(
+                f"salted_hash_join requires integer {label} (got {typ}); hash "
+                "string keys to int64 upstream (e.g. ops.dedup's bucket hash)"
+            )
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.select([left_key]).to_pandas().groupby(left_key, as_index=False).size()
