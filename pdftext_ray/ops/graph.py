@@ -93,25 +93,33 @@ def pagerank(
     from pdftext_ray.ops.relational import hash_grouped_agg
 
     def node_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate([
-                t.column(src).to_numpy(zero_copy_only=False),
-                t.column(dst).to_numpy(zero_copy_only=False),
-            ])
-        )
-        return pa.table({"node": pa.array(u, pa.int64()),
-                         "one": pa.array(np.ones(len(u), np.int64), pa.int64())})
+        # src rows carry their (globally final) outdeg, dst rows 0 — a MAX
+        # merge yields the node universe AND per-node out-degree in the one
+        # pass (dangling nodes never appear as src, so their max stays 0)
+        s_arr = t.column(src).to_numpy(zero_copy_only=False)
+        d_arr = t.column(dst).to_numpy(zero_copy_only=False)
+        od_arr = t.column("outdeg").to_numpy(zero_copy_only=False)
+        node = np.concatenate([s_arr, d_arr])
+        deg = np.concatenate([od_arr, np.zeros(len(d_arr), np.int64)])
+        df = pd.DataFrame({"node": node, "outdeg": deg}).groupby(
+            "node", as_index=False
+        )["outdeg"].max()
+        return from_pandas_clean(df)
 
     nodes_df = hash_grouped_agg(
         deduped.map_batches(node_partial, batch_format="pyarrow"),
         "node",
-        {"one": ("one", "max")},
+        {"outdeg": ("outdeg", "max")},
     ).to_pandas()
-    node_ids = (
-        np.sort(nodes_df["node"].to_numpy().astype(np.int64))
-        if "node" in nodes_df.columns
-        else np.array([], dtype=np.int64)  # zero-batch (empty) input
-    )
+    if "node" not in nodes_df.columns:  # zero-batch (empty) input
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_fp": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64()),
+        }))
+    order = np.argsort(nodes_df["node"].to_numpy())
+    node_ids = nodes_df["node"].to_numpy().astype(np.int64)[order]
+    outdeg = nodes_df["outdeg"].to_numpy().astype(np.int64)[order]
     n = len(node_ids)
     if n == 0:
         return ray.data.from_arrow(pa.table({
@@ -121,25 +129,11 @@ def pagerank(
         }))
     ranks = np.full(n, scale // n, dtype=np.int64)
 
-    # outdeg per node (0 for dangling), aligned to node_ids
-    outdeg = np.zeros(n, dtype=np.int64)
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        df = t.select([src, "outdeg"]).to_pandas().drop_duplicates()
-        return from_pandas_clean(df)
-
-    deg_df = (
-        deduped.map_batches(deg_partial, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    outdeg[np.searchsorted(node_ids, deg_df[src].to_numpy().astype(np.int64))] = (
-        deg_df["outdeg"].to_numpy().astype(np.int64)
-    )
-
     base = (100 - damping_pct) * scale // (100 * n)
+    # node_ids never change: broadcast ONCE; only the rank vector re-ships
+    ids_ref = ray.put(node_ids)
     for _ in range(n_iter):
-        ref = ray.put((node_ids, ranks))
+        ranks_ref = ray.put(ranks)
 
         def contrib(t: pa.Table) -> pa.Table:
             # per-block partial: contributions pre-summed by dst, emitted as
@@ -147,7 +141,7 @@ def pagerank(
             # is one np.add.at — no per-iteration shuffle (the collect is
             # ≤ #nodes rows per block, the op's bounded contract; k-means'
             # centroid partials use the same pattern, ops/cluster.py)
-            ids, r = ray.get(ref)
+            ids, r = ray.get(ids_ref), ray.get(ranks_ref)
             s = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
             d = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
             od = t.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)

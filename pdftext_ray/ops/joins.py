@@ -282,7 +282,14 @@ def salted_hash_join(
             for c in out_right_cols:
                 if pa.types.is_integer(dict(all_cols)[c]):
                     out[c] = out[c].astype("Int64")
-        return from_pandas_clean(out[[c for c, _ in all_cols]])
+        # type EVERY output column explicitly (CLAUDE.md invariant 12): an
+        # empty bucket (no key matches) or an all-null right column (left
+        # join, no right rows in the bucket) would otherwise infer Arrow
+        # type null and break schema unification across blocks
+        return pa.Table.from_arrays(
+            [pa.Array.from_pandas(out[c], type=typ) for c, typ in all_cols],
+            names=[c for c, _ in all_cols],
+        )
 
     return (
         lt.union(rt)

@@ -250,12 +250,16 @@ class _WindowShard:
         self._width = width_sec
         self._late = allowed_lateness_sec
         self._open: dict = {}     # (window_start_sec, key) -> [n, cents]
-        self._closed: dict = {}   # same, past the watermark (late target)
-        self._watermark = None    # max event time seen (sec)
+        self._watermark = None    # max EVENT time seen (sec) — not window start
         self._dropped = 0
         self._done: set = set()
 
-    def offer(self, batch_fp: bytes, windows, keys, cents) -> int:
+    def offer(self, batch_fp: bytes, windows, keys, cents, max_ts=None) -> int:
+        """``max_ts`` is the batch-shard's max event time — the watermark
+        advances from TRUE event time, so a window closes exactly
+        ``allowed_lateness`` after its end passes the stream's frontier
+        (advancing from window starts would hold windows open up to a
+        full width longer than the documented semantics)."""
         if batch_fp in self._done:
             return 0
         self._done.add(batch_fp)
@@ -269,15 +273,15 @@ class _WindowShard:
             acc = self._open.setdefault((w, k), [0, 0])
             acc[0] += 1
             acc[1] += c
-        if self._late is not None and windows:
-            mx = max(windows)
-            if self._watermark is None or mx > self._watermark:
-                self._watermark = mx
+        if self._late is not None and max_ts is not None and (
+            self._watermark is None or max_ts > self._watermark
+        ):
+            self._watermark = max_ts
         self._dropped += dropped
         return dropped
 
     def flush(self):
-        """All window accumulators (open + closed): [(w, key, n, cents)]."""
+        """All held window accumulators: [(w, key, n, cents)]."""
         return [(w, k, v[0], v[1]) for (w, k), v in self._open.items()]
 
     def n_dropped(self) -> int:
@@ -312,6 +316,8 @@ def streaming_window_counts(
     """
     import pandas as pd
 
+    from pdftext_ray.ops import round_half_away as _rha
+
     shards = [
         _WindowShard.remote(width_sec, allowed_lateness_sec) for _ in range(n_shards)
     ]
@@ -336,7 +342,8 @@ def streaming_window_counts(
             idx = np.flatnonzero(shard_of == s)
             if len(idx):
                 futures.append(shards[s].offer.remote(
-                    fp, windows[idx].tolist(), [keys[i] for i in idx], cents[idx].tolist()
+                    fp, windows[idx].tolist(), [keys[i] for i in idx],
+                    cents[idx].tolist(), int(epoch[idx].max()),
                 ))
         ray.get(futures)
         return pa.table({"fed": pa.array([n], pa.int64())})
@@ -351,5 +358,10 @@ def streaming_window_counts(
         ),
         key_col: pa.array([r[1] for r in rows], pa.string()),
         "n_events": pa.array([r[2] for r in rows], pa.int64()),
-        "sum_value": pa.array([round(r[3] / 100.0, 2) for r in rows], pa.float64()),
+        "sum_value": pa.array(
+            # invariant 2: gate-compared float columns go through
+            # round_half_away (numerically inert here — cents/100 already
+            # has 2 decimals — but the convention must hold if scale changes)
+            [float(_rha(r[3] / 100.0, 2)) for r in rows], pa.float64()
+        ),
     })

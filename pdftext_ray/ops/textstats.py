@@ -253,21 +253,24 @@ def ngram_repetition_batch(
                      occurrences BEYOND the first (a doc with no repeated
                      5-grams scores exactly 0)
 
-    Tokens are ``\\S+`` runs (the repo-wide convention). Stateless and
-    per-doc — embarrassingly parallel at any scale. Fractions are
+    Tokens are ``\\S+`` runs — the repo-wide convention, matching the
+    oracle's RE2 ``\\S+`` on ASCII corpora (Python's Unicode ``\\s`` ⊃
+    RE2's ASCII class on exotic whitespace; the shared-token contract is
+    ASCII text, like every textstats oracle). Stateless and per-doc —
+    embarrassingly parallel at any scale. Fractions are
     integer·integer/integer double arithmetic, so SQL reproduces them
     bit-for-bit; rounded half-away to 6.
     """
     import re
     from collections import Counter
 
-    split = re.compile(_WS_SPLIT_RE)
+    find = re.compile(r"\S+").findall
     texts = batch.column("text").to_pylist()
     top_grams: list = []
     top_fracs: list = []
     dup_fracs: list = []
     for t in texts:
-        toks = [w for w in split.split(t) if w]
+        toks = find(t) if t else []
         nc = max(len(t), 1)
         if len(toks) >= top_n:
             c2 = Counter(
@@ -883,6 +886,13 @@ def extract_matches(
     import re
 
     rx = re.compile(pattern)
+    if rx.groups:
+        raise ValueError(
+            "extract_matches patterns must not contain capturing groups — "
+            "re.findall would return group contents instead of full matches, "
+            "diverging from regexp_extract_all's whole-match convention; use "
+            "(?:...) instead"
+        )
 
     def explode(b: pa.Table) -> pa.Table:
         doc_ids: list = []
@@ -966,9 +976,6 @@ def pmi_collocations(
         )
     t1 = int(uni_df["n"].sum()) if len(uni_df) else 0
     uni_counts = dict(zip(uni_df.get("gram", []), uni_df.get("n", [])))
-    # T2 = total bigram occurrences = Σ per-doc (n_tokens − 1); derive from
-    # the bigram rows to avoid a second pass
-    t2_ref = None
 
     def bi_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("lvl"), 1)).select(["gram", "n"])
@@ -976,8 +983,9 @@ def pmi_collocations(
     bi_ds = totals.map_batches(bi_only, batch_format="pyarrow").materialize()
     import ray.data.aggregate as _agg
 
-    t2 = bi_ds.aggregate(_agg.Sum("n"))["sum(n)"] if bi_ds.count() else 0
-    t2 = int(t2 or 0)
+    # T2 = total bigram occurrences; one aggregate pass (None on empty)
+    agg = bi_ds.aggregate(_agg.Sum("n"))
+    t2 = int((agg or {}).get("sum(n)") or 0)
     ref = ray.put((uni_counts, t1, t2))
 
     def score(t: pa.Table) -> pa.Table:

@@ -65,9 +65,7 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
     """
     if _HAVE_LANCE and uri.endswith(".lance"):
         return ray.data.read_lance(uri, columns=columns, **kwargs)
-    if uri.endswith(".orc") or (os.path.isdir(uri) and any(
-        f.endswith(".orc") for f in os.listdir(uri)
-    )):
+    if uri.endswith(".orc") or _is_local_orc_dir(uri):
         return _read_orc(uri, columns)
     if uri.endswith((".jsonl", ".json")):
         ds = ray.data.read_json(uri, **kwargs)
@@ -104,6 +102,16 @@ def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
         ds.write_parquet(uri, **kwargs)
 
 
+def _is_local_orc_dir(uri: str) -> bool:
+    """Sniff only LOCAL directories (remote URIs need the explicit ``.orc``
+    suffix), and only when the dir is homogeneously ORC — a stray .orc part
+    inside a parquet directory must not flip the whole read's format."""
+    if not os.path.isdir(uri):
+        return False
+    data = [f for f in os.listdir(uri) if f.endswith((".orc", ".parquet"))]
+    return bool(data) and all(f.endswith(".orc") for f in data)
+
+
 def _read_orc(uri: str, columns: Optional[list]) -> ray.data.Dataset:
     """Distributed ORC read (Ray has no native reader): one binary-file row
     per ORC part fans out to a per-file pyarrow.orc decode inside
@@ -121,9 +129,25 @@ def _read_orc(uri: str, columns: Optional[list]) -> ray.data.Dataset:
             out.append(f.read(columns=list(columns)) if columns else f.read())
         return pa.concat_tables(out)
 
-    return ray.data.read_binary_files(uri, file_extensions=["orc"]).map_batches(
+    mapped = ray.data.read_binary_files(uri, file_extensions=["orc"]).map_batches(
         decode, batch_format="pyarrow", batch_size=1
     )
+    # schema seed: Ray drops zero-row blocks' schemas (an all-empty ORC dir
+    # would read back column-less); one typed 0-row block from the first
+    # file's header (driver-side, header only) pins it — harmless otherwise
+    first = uri
+    if os.path.isdir(uri):
+        parts = sorted(f for f in os.listdir(uri) if f.endswith(".orc"))
+        first = os.path.join(uri, parts[0]) if parts else None
+    if first is not None and os.path.isfile(first):
+        sch = pa_orc.ORCFile(first).schema
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        seed = ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in sch})
+        )
+        return seed.union(mapped)
+    return mapped
 
 
 def _write_orc(ds: ray.data.Dataset, uri: str) -> None:
@@ -142,3 +166,11 @@ def _write_orc(ds: ray.data.Dataset, uri: str) -> None:
         return pa.table({"rows_written": pa.array([len(t)], pa.int64())})
 
     ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).materialize()
+    if not any(f.endswith(".orc") for f in os.listdir(uri)):
+        # empty dataset: still write one schema-carrying part so the
+        # round-trip returns an empty TYPED dataset (parquet parity)
+        sch = ds.schema()
+        empty = pa.table(
+            {name: pa.array([], typ) for name, typ in zip(sch.names, sch.base_schema.types)}
+        ) if sch is not None else pa.table({})
+        pa_orc.write_table(empty, os.path.join(uri, "part-empty.orc"))

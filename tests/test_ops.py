@@ -758,3 +758,8 @@ def test_pca_top_component_matches_golden_and_known_axis():
     })).repartition(7)
     got2 = _cluster.pca_top_component(ds2).to_pandas()
     assert got2["weight"].tolist() == got["weight"].tolist()
+
+
+def test_extract_matches_rejects_capturing_groups():
+    with pytest.raises(ValueError, match="capturing groups"):
+        textstats.extract_matches(_doc_table(["ab"]), r"a(b)c")

@@ -294,6 +294,22 @@ def test_read_write_table_format_dispatch(tmp_path):
     storage.write_table(ds.repartition(3), orc_dir)
     assert len([f for f in _os.listdir(orc_dir) if f.endswith(".orc")]) == 3
     assert len(storage.read_table(orc_dir).to_pandas()) == 3
+    # empty dataset round-trips through ORC with its schema (parquet parity)
+    empty_dir = str(tmp_path / "empty.orc")
+    storage.write_table(ray.data.from_arrow(src.slice(0, 0)), empty_dir)
+    back_empty = storage.read_table(empty_dir)
+    # the DATASET schema survives (Ray's to_pandas drops columns for any
+    # fully-empty dataset regardless of format — assert at the right level)
+    assert back_empty.schema().names == ["doc_id", "text", "n"]
+    assert len(back_empty.to_pandas()) == 0
+    # a stray .orc inside a parquet dir must NOT flip the format sniff
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    import pyarrow.parquet as _pq
+    from pyarrow import orc as _orc
+    _pq.write_table(src, str(mixed / "a.parquet"))
+    _orc.write_table(src, str(mixed / "stray.orc"))
+    assert not storage._is_local_orc_dir(str(mixed))
 
 
 def test_checkpoint_mtime_fingerprint_invalidates(tmp_path):
@@ -540,16 +556,16 @@ def test_streaming_window_matches_batch_and_drops_late():
         ("2024-01-01 01:00:00", "a"): (1, 4.00),
         ("2024-01-01 02:00:00", "b"): (1, 0.65),
     }
-    # watermark mode: controlled SEQUENTIAL feed via direct actor calls
+    # watermark mode: controlled SEQUENTIAL feed via direct actor calls.
+    # The watermark advances from TRUE event time (max_ts), not window
+    # starts: an event at t=3650 closes window 0 (0+3600+0 <= 3650).
     shard = streaming._WindowShard.remote(3600, allowed_lateness_sec=0)
-    # window 0 then window 2*3600 advances the watermark; a late row for
-    # window 0 (closed: 0+3600+0 <= 7200) must drop
-    assert ray.get(shard.offer.remote(b"b1", [0], ["k"], [100])) == 0
-    assert ray.get(shard.offer.remote(b"b2", [7200], ["k"], [100])) == 0
-    assert ray.get(shard.offer.remote(b"b3", [0], ["k"], [100])) == 1  # dropped
+    assert ray.get(shard.offer.remote(b"b1", [0], ["k"], [100], 100)) == 0
+    assert ray.get(shard.offer.remote(b"b2", [3600], ["k"], [100], 3650)) == 0
+    assert ray.get(shard.offer.remote(b"b3", [0], ["k"], [100], 110)) == 1  # dropped
     assert ray.get(shard.n_dropped.remote()) == 1
     rows = ray.get(shard.flush.remote())
-    assert sorted(rows) == [(0, "k", 1, 100), (7200, "k", 1, 100)]
+    assert sorted(rows) == [(0, "k", 1, 100), (3600, "k", 1, 100)]
     # replay absorption: same fingerprint re-offered is a no-op
-    assert ray.get(shard.offer.remote(b"b2", [7200], ["k"], [100])) == 0
-    assert sorted(ray.get(shard.flush.remote())) == [(0, "k", 1, 100), (7200, "k", 1, 100)]
+    assert ray.get(shard.offer.remote(b"b2", [3600], ["k"], [100], 3650)) == 0
+    assert sorted(ray.get(shard.flush.remote())) == [(0, "k", 1, 100), (3600, "k", 1, 100)]
