@@ -55,6 +55,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_grouped_hll": os.path.join(base, "expected_grouped_hll.parquet"),
         "expected_resize": os.path.join(base, "expected_resize.parquet"),
         "expected_pca": os.path.join(base, "expected_pca.parquet"),
+        "expected_describe": os.path.join(base, "expected_describe.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -200,6 +201,12 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
 
     goldens.materialize_golden(paths["expected_pca"], _pca_builder)
+
+    def _describe_builder():
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        return goldens.expected_describe_table(t)
+
+    goldens.materialize_golden(paths["expected_describe"], _describe_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -857,6 +864,22 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_describe_table(sf_dir: str):
+    """Ingest-QA table profile: one pass of mergeable per-column partials
+    (counts, nulls, min/max, HLL registers); golden recomputes whole-column
+    scalar-side."""
+    import ray.data
+
+    from pdftext_ray.ops import stats
+
+    return ray.data.from_arrow(
+        stats.describe_table(
+            _read(sf_dir, "documents", None),
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    )
 
 
 def _q_streaming_window(sf_dir: str):
@@ -2123,6 +2146,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "upsert_latest": _q_upsert_latest,
         "pca_top_component": _q_pca_top_component,
         "streaming_window": _q_streaming_window,
+        "describe_table": _q_describe_table,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2565,6 +2589,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "grouped_hll": f"SELECT event_type, approx_n FROM read_parquet('{p['expected_grouped_hll']}')",
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
         "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
+        "describe_table": f"SELECT * FROM read_parquet('{p['expected_describe']}')",
         "streaming_window": (
             # the actor-window flush must equal the batch hourly aggregate
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -426,6 +426,114 @@ def approx_distinct(
     )
 
 
+def describe_table(
+    ds: ray.data.Dataset,
+    columns,
+    p: int = 10,
+) -> pa.Table:
+    """Table profile — one row per column: (column, dtype, n, n_null,
+    min_str, max_str, approx_distinct). The ingest-QA pass a corpus
+    pipeline runs before anything else.
+
+    One stateless pass: each block emits per-column partials (count, null
+    count, min, max, HLL registers — all MERGEABLE: sums, min/max, register
+    max), combined driver-side at #cols · 2^p bytes per block. min/max are
+    STRINGIFIED with Python str() — exact for int/string columns (DuckDB's
+    VARCHAR cast agrees); float formatting is engine-specific, so float
+    columns are profiled but their min_str/max_str are outside the
+    cross-engine contract (documented, not hidden).
+    """
+    cols = list(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        names, dtypes, ns, nulls, mins, maxs, regs = [], [], [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            valid = col.drop_null()
+            names.append(c)
+            dtypes.append(str(col.type))
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            vals = valid.to_pylist()
+            mins.append(str(min(vals)) if vals else None)
+            maxs.append(str(max(vals)) if vals else None)
+            if pa.types.is_integer(col.type):
+                h = _splitmix64(np.asarray(valid).astype(np.uint64))
+            else:
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+                        )
+                        for v in vals
+                    ),
+                    dtype=np.uint64,
+                    count=len(vals),
+                )
+            m = 1 << p
+            reg = np.zeros(m, dtype=np.uint8)
+            if len(h):
+                idx = (h >> np.uint64(64 - p)).astype(np.int64)
+                w = (h << np.uint64(p)).astype(np.uint64)
+                rho = np.minimum(_clz64(w), 64 - p) + 1
+                np.maximum.at(reg, idx, rho.astype(np.uint8))
+            regs.append(reg.tobytes())
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "dtype": pa.array(dtypes, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_s": pa.array(mins, pa.string()),
+            "max_s": pa.array(maxs, pa.string()),
+            "reg": pa.array(regs, pa.binary()),
+        })
+
+    acc: dict = {}
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for r in part.to_pylist():
+            a = acc.setdefault(r["column"], {
+                "dtype": r["dtype"], "n": 0, "n_null": 0, "min": None, "max": None,
+                "reg": np.zeros(1 << p, dtype=np.uint8),
+            })
+            a["n"] += r["n"]
+            a["n_null"] += r["n_null"]
+            # merge min/max on PARSED values — lexicographic compare of
+            # stringified numbers would rank "100" < "99"
+            if a["dtype"].startswith("int"):
+                parse = int
+            elif a["dtype"].startswith(("float", "double")):
+                parse = float  # str() round-trips doubles exactly (repr)
+            else:
+                parse = str
+            for k, pick in (("min", min), ("max", max)):
+                v = r[f"{k}_s"]
+                if v is not None:
+                    a[k] = v if a[k] is None else str(pick(parse(a[k]), parse(v)))
+            a["reg"] = np.maximum(a["reg"], np.frombuffer(r["reg"], dtype=np.uint8))
+    rows = []
+    for c in cols:
+        a = acc.get(c)
+        if a is None:
+            raise ValueError(f"describe_table: no blocks carried column {c!r}")
+        rows.append((
+            c, a["dtype"], a["n"], a["n_null"], a["min"], a["max"],
+            float(round_half_away(hll_estimate_from_registers(a["reg"]), 3)),
+        ))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "dtype": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "n_null": pa.array([r[3] for r in rows], pa.int64()),
+        "min_str": pa.array([r[4] for r in rows], pa.string()),
+        "max_str": pa.array([r[5] for r in rows], pa.string()),
+        "approx_distinct": pa.array([r[6] for r in rows], pa.float64()),
+    })
+
+
 def exact_corr(
     ds: ray.data.Dataset,
     x_col: str,

@@ -884,3 +884,30 @@ def expected_pca_table(vecs: np.ndarray, scale: int = 10**6, n_iter: int = 30) -
         ),
         "n_rows": pa.array([n] * d, pa.int64()),
     })
+
+
+def expected_describe_table(table: pa.Table, p: int = 10) -> pa.Table:
+    """Golden table profile — whole-column scalar control flow (the op
+    merges per-block mergeable partials). Shares the contracts: Python
+    str() stringification of raw min/max, the splitmix64/blake2b HLL
+    boundary (via expected_hll_table), round-half-away-3 estimates."""
+    rows = []
+    for c in table.column_names:
+        col = table.column(c)
+        vals = [v for v in col.to_pylist() if v is not None]
+        est = expected_hll_table(vals, p=p).column("approx_n")[0].as_py()
+        rows.append((
+            c, str(col.type), len(col), len(col) - len(vals),
+            str(min(vals)) if vals else None,
+            str(max(vals)) if vals else None,
+            float(est),
+        ))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "dtype": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "n_null": pa.array([r[3] for r in rows], pa.int64()),
+        "min_str": pa.array([r[4] for r in rows], pa.string()),
+        "max_str": pa.array([r[5] for r in rows], pa.string()),
+        "approx_distinct": pa.array([r[6] for r in rows], pa.float64()),
+    })

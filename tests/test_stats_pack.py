@@ -66,6 +66,30 @@ def test_interp_percentiles_interpolates_between_ties():
     assert out2["value"].tolist() == [7.0, 9.0]
 
 
+def test_describe_table_profile_and_merge():
+    from pdftext_ray.ops.stats import describe_table
+
+    t = pa.table({
+        "k": pa.array([99, 100, 5, None, 7], pa.int64()),
+        "s": pa.array(["b", None, "a", "z", "a"], pa.string()),
+    })
+    out = (
+        describe_table(ray.data.from_arrow(t).repartition(4), ["k", "s"])
+        .to_pandas().set_index("column")
+    )
+    # int min/max merged NUMERICALLY across blocks (not "100" < "99")
+    assert out.loc["k", "min_str"] == "5" and out.loc["k", "max_str"] == "100"
+    assert out.loc["k", "n"] == 5 and out.loc["k", "n_null"] == 1
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "z"
+    assert abs(out.loc["k", "approx_distinct"] - 4) < 1.5
+    assert abs(out.loc["s", "approx_distinct"] - 3) < 1.5
+    # layout independence (mergeable partials)
+    out2 = (
+        describe_table(ray.data.from_arrow(t), ["k", "s"]).to_pandas().set_index("column")
+    )
+    assert out.loc["k", "approx_distinct"] == out2.loc["k", "approx_distinct"]
+
+
 def test_histogram_buckets_edges_and_counts():
     from pdftext_ray.ops.stats import histogram_buckets
 
