@@ -866,6 +866,17 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_pivot_hourly(sf_dir: str):
+    """PIVOT to a static 24-column hour-of-day matrix per event type
+    (count FILTER columns in the oracle); data-sized work is the partial
+    count, the reshape is aggregate-sized."""
+    from pdftext_ray.ops import relational
+
+    return relational.pivot_hourly_counts(
+        _read(sf_dir, "events", ["event_type", "ts"])
+    )
+
+
 def _q_describe_table(sf_dir: str):
     """Ingest-QA table profile: one pass of mergeable per-column partials
     (counts, nulls, min/max, HLL registers); golden recomputes whole-column
@@ -2150,6 +2161,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "upsert_latest": _q_upsert_latest,
         "streaming_window": _q_streaming_window,
         "describe_table": _q_describe_table,
+        "pivot_hourly": _q_pivot_hourly,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2593,6 +2605,13 @@ def _full_oracle_sql() -> dict[str, str]:
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
         "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
         "describe_table": f"SELECT * FROM read_parquet('{p['expected_describe']}')",
+        "pivot_hourly": (
+            "SELECT event_type, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE hour(ts) = {h}) AS h{h:02d}" for h in range(24)
+            )
+            + ", count(*) AS total FROM events GROUP BY event_type"
+        ),
         "streaming_window": (
             # the actor-window flush must equal the batch hourly aggregate
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -474,6 +474,46 @@ def grouped_topk(
     )
 
 
+def pivot_hourly_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """PIVOT: long events → one row per key with 24 hour-of-day count
+    columns (h00..h23) + total — the wide-matrix reshape SQL spells
+    ``count(*) FILTER (WHERE hour = k)``.
+
+    Scale shape: the only data-sized work is the partial (key, hour)
+    count inside map_batches (≤ 24·#keys rows per block cross the wire);
+    the RESHAPE runs on the aggregated tiny table in one single-partition
+    map_batches. Column set is STATIC (24 hours) — a pivot over an
+    unbounded value domain would make schema data-dependent, which is the
+    documented reason this op pins the spread dimension.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df[ts_col].dt.hour.astype("int64")
+        g = df.groupby([key_col, "hour"], as_index=False).size()
+        g.columns = [key_col, "hour", "n"]
+        return from_pandas_clean(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby([key_col, "hour"]).aggregate(Sum("n", alias_name="n"))
+
+    def reshape(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(
+            index=key_col, columns="hour", values="n", aggfunc="sum", fill_value=0
+        )
+        wide = wide.reindex(columns=range(24), fill_value=0).astype("int64")
+        wide.columns = [f"h{h:02d}" for h in range(24)]
+        wide["total"] = wide.sum(axis=1).astype("int64")
+        return from_pandas_clean(wide.reset_index().sort_values(key_col))
+
+    return final.repartition(1).map_batches(
+        reshape, batch_format="pandas", batch_size=None
+    )
+
+
 def upsert_latest(
     ds: ray.data.Dataset,
     key: str,

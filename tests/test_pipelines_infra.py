@@ -569,3 +569,19 @@ def test_streaming_window_matches_batch_and_drops_late():
     # replay absorption: same fingerprint re-offered is a no-op
     assert ray.get(shard.offer.remote(b"b2", [3600], ["k"], [100], 3650)) == 0
     assert sorted(ray.get(shard.flush.remote())) == [(0, "k", 1, 100), (3600, "k", 1, 100)]
+
+
+def test_pivot_hourly_counts_matrix():
+    from pdftext_ray.ops import relational
+
+    ts = pd.to_datetime(["2024-01-01 03:15:00", "2024-01-01 03:45:00",
+                         "2024-01-01 17:00:00", "2024-01-02 03:05:00"])
+    df = pd.DataFrame({"event_type": ["a", "a", "a", "b"], "ts": ts})
+    out = (
+        relational.pivot_hourly_counts(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().set_index("event_type")
+    )
+    assert out.loc["a", "h03"] == 2 and out.loc["a", "h17"] == 1 and out.loc["a", "total"] == 3
+    assert out.loc["b", "h03"] == 1 and out.loc["b", "total"] == 1
+    assert out.loc["b", "h17"] == 0  # absent combinations fill 0
+    assert list(out.columns) == [f"h{h:02d}" for h in range(24)] + ["total"]
