@@ -204,7 +204,9 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
 
     def _describe_builder():
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        return goldens.expected_describe_table(t)
+        # SAME explicit column list as _q_describe_table — the contract is
+        # pinned, not a coincidence of the current file schema
+        return goldens.expected_describe_table(t, DESCRIBE_COLUMNS)
 
     goldens.materialize_golden(paths["expected_describe"], _describe_builder)
 
@@ -877,6 +879,9 @@ def _q_pivot_hourly(sf_dir: str):
     )
 
 
+DESCRIBE_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def _q_describe_table(sf_dir: str):
     """Ingest-QA table profile: one pass of mergeable per-column partials
     (counts, nulls, min/max, HLL registers); golden recomputes whole-column
@@ -886,10 +891,7 @@ def _q_describe_table(sf_dir: str):
     from pdftext_ray.ops import stats
 
     return ray.data.from_arrow(
-        stats.describe_table(
-            _read(sf_dir, "documents", None),
-            ["doc_id", "text", "lang", "source", "n_chars"],
-        )
+        stats.describe_table(_read(sf_dir, "documents", None), DESCRIBE_COLUMNS)
     )
 
 

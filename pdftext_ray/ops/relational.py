@@ -490,22 +490,41 @@ def pivot_hourly_counts(
     unbounded value domain would make schema data-dependent, which is the
     documented reason this op pins the spread dimension.
     """
+    hour_cols = [f"h{h:02d}" for h in range(24)]
+
     def partial(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key_col).type
         df = batch.to_pandas()
         df["hour"] = df[ts_col].dt.hour.astype("int64")
         g = df.groupby([key_col, "hour"], as_index=False).size()
-        g.columns = [key_col, "hour", "n"]
-        return from_pandas_clean(g)
+        # TYPE every output column (invariant 12): an empty batch's frame
+        # would otherwise infer null types and break the keyed shuffle
+        return pa.Table.from_arrays(
+            [
+                pa.Array.from_pandas(g[key_col], type=ktype),
+                pa.Array.from_pandas(g["hour"], type=pa.int64()),
+                pa.Array.from_pandas(g["size"].astype("int64"), type=pa.int64()),
+            ],
+            names=[key_col, "hour", "n"],
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby([key_col, "hour"]).aggregate(Sum("n", alias_name="n"))
 
-    def reshape(df: pd.DataFrame) -> pd.DataFrame:
+    def reshape(df: pd.DataFrame):
+        if df.empty:
+            # typed empty wide schema (string key by contract for the
+            # empty case — there are no rows to carry another type)
+            return pa.table(
+                {key_col: pa.array([], pa.string()),
+                 **{h: pa.array([], pa.int64()) for h in hour_cols},
+                 "total": pa.array([], pa.int64())}
+            )
         wide = df.pivot_table(
             index=key_col, columns="hour", values="n", aggfunc="sum", fill_value=0
         )
         wide = wide.reindex(columns=range(24), fill_value=0).astype("int64")
-        wide.columns = [f"h{h:02d}" for h in range(24)]
+        wide.columns = hour_cols
         wide["total"] = wide.sum(axis=1).astype("int64")
         return from_pandas_clean(wide.reset_index().sort_values(key_col))
 

@@ -376,6 +376,38 @@ def hll_estimate_from_registers(reg: np.ndarray) -> float:
     return est
 
 
+def _hll_hash_column(col) -> np.ndarray:
+    """uint64 hashes for an Arrow column — the ONE hash boundary shared
+    with the scalar golden (splitmix64 for ints, blake2b-8 over str() for
+    everything else). Extracted so approx_distinct,
+    grouped_approx_distinct and describe_table cannot desynchronize."""
+    if pa.types.is_integer(col.type):
+        return _splitmix64(np.asarray(col).astype(np.uint64))
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for v in col.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(col),
+    )
+
+
+def _registers_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p HLL registers from uint64 hashes (max leading-zero runs)."""
+    reg = np.zeros(1 << p, dtype=np.uint8)
+    if len(h):
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h << np.uint64(p)).astype(np.uint64)
+        rho = np.minimum(_clz64(w), 64 - p) + 1
+        np.maximum.at(reg, idx, rho.astype(np.uint8))
+    return reg
+
+
 def approx_distinct(
     ds: ray.data.Dataset, column: str, p: int = 10
 ) -> ray.data.Dataset:
@@ -392,28 +424,7 @@ def approx_distinct(
     m = 1 << p
 
     def sketch(t: pa.Table) -> pa.Table:
-        col = t.column(column)
-        if pa.types.is_integer(col.type):
-            h = _splitmix64(np.asarray(col).astype(np.uint64))
-        else:
-            import hashlib
-
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
-                    )
-                    for v in col.to_pylist()
-                ),
-                dtype=np.uint64,
-                count=len(col),
-            )
-        reg = np.zeros(m, dtype=np.uint8)
-        if len(h):
-            idx = (h >> np.uint64(64 - p)).astype(np.int64)
-            w = (h << np.uint64(p)).astype(np.uint64)
-            rho = np.minimum(_clz64(w), 64 - p) + 1
-            np.maximum.at(reg, idx, rho.astype(np.uint8))
+        reg = _registers_from_hashes(_hll_hash_column(t.column(column)), p)
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
@@ -437,17 +448,32 @@ def describe_table(
 
     One stateless pass: each block emits per-column partials (count, null
     count, min, max, HLL registers — all MERGEABLE: sums, min/max, register
-    max), combined driver-side at #cols · 2^p bytes per block. min/max are
-    STRINGIFIED with Python str() — exact for int/string columns (DuckDB's
-    VARCHAR cast agrees); float formatting is engine-specific, so float
-    columns are profiled but their min_str/max_str are outside the
-    cross-engine contract (documented, not hidden).
+    max), combined driver-side at #cols · 2^p bytes per block; the
+    accumulator is SEEDED from the dataset schema, so an empty input (Ray
+    never invokes the UDF on zero-row blocks) returns honest n=0 rows
+    instead of crashing. min/max are STRINGIFIED with Python str() — exact
+    for int/string columns (DuckDB's VARCHAR cast agrees); float formatting
+    is engine-specific, so float columns are profiled but their
+    min_str/max_str are outside the cross-engine contract (documented, not
+    hidden). Profiling contract covers int (signed or unsigned), float and
+    string columns — bool/nested types REFUSE loudly (their hash/stringify
+    conventions are undefined vs the golden).
     """
     cols = list(columns)
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.base_schema.types))
+    for c in cols:
+        t = types.get(c)
+        if t is None:
+            raise ValueError(f"describe_table: dataset has no column {c!r}")
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise TypeError(
+                f"describe_table supports int/float/string columns; {c!r} is {t} "
+                "(bool/nested hash+stringify conventions are undefined vs the golden)"
+            )
 
     def partial(t: pa.Table) -> pa.Table:
-        import hashlib
-
         names, dtypes, ns, nulls, mins, maxs, regs = [], [], [], [], [], [], []
         for c in cols:
             col = t.column(c)
@@ -459,27 +485,7 @@ def describe_table(
             vals = valid.to_pylist()
             mins.append(str(min(vals)) if vals else None)
             maxs.append(str(max(vals)) if vals else None)
-            if pa.types.is_integer(col.type):
-                h = _splitmix64(np.asarray(valid).astype(np.uint64))
-            else:
-                h = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
-                        )
-                        for v in vals
-                    ),
-                    dtype=np.uint64,
-                    count=len(vals),
-                )
-            m = 1 << p
-            reg = np.zeros(m, dtype=np.uint8)
-            if len(h):
-                idx = (h >> np.uint64(64 - p)).astype(np.int64)
-                w = (h << np.uint64(p)).astype(np.uint64)
-                rho = np.minimum(_clz64(w), 64 - p) + 1
-                np.maximum.at(reg, idx, rho.astype(np.uint8))
-            regs.append(reg.tobytes())
+            regs.append(_registers_from_hashes(_hll_hash_column(valid), p).tobytes())
         return pa.table({
             "column": pa.array(names, pa.string()),
             "dtype": pa.array(dtypes, pa.string()),
@@ -490,25 +496,30 @@ def describe_table(
             "reg": pa.array(regs, pa.binary()),
         })
 
-    acc: dict = {}
+    # merge min/max on PARSED values (picked from the ARROW type object, so
+    # uint columns parse as int too — a dtype-string prefix check would
+    # lexicographic-compare them: "100" < "99"); str() round-trips doubles
+    # exactly (repr), so float parse is lossless
+    def _parser(t):
+        if pa.types.is_integer(t):
+            return int
+        if pa.types.is_floating(t):
+            return float
+        return str
+
+    acc = {
+        c: {"dtype": str(types[c]), "parse": _parser(types[c]), "n": 0, "n_null": 0,
+            "min": None, "max": None, "reg": np.zeros(1 << p, dtype=np.uint8)}
+        for c in cols
+    }
     for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
         for r in part.to_pylist():
-            a = acc.setdefault(r["column"], {
-                "dtype": r["dtype"], "n": 0, "n_null": 0, "min": None, "max": None,
-                "reg": np.zeros(1 << p, dtype=np.uint8),
-            })
+            a = acc[r["column"]]
             a["n"] += r["n"]
             a["n_null"] += r["n_null"]
-            # merge min/max on PARSED values — lexicographic compare of
-            # stringified numbers would rank "100" < "99"
-            if a["dtype"].startswith("int"):
-                parse = int
-            elif a["dtype"].startswith(("float", "double")):
-                parse = float  # str() round-trips doubles exactly (repr)
-            else:
-                parse = str
+            parse = a["parse"]
             for k, pick in (("min", min), ("max", max)):
                 v = r[f"{k}_s"]
                 if v is not None:
@@ -516,9 +527,7 @@ def describe_table(
             a["reg"] = np.maximum(a["reg"], np.frombuffer(r["reg"], dtype=np.uint8))
     rows = []
     for c in cols:
-        a = acc.get(c)
-        if a is None:
-            raise ValueError(f"describe_table: no blocks carried column {c!r}")
+        a = acc[c]
         rows.append((
             c, a["dtype"], a["n"], a["n_null"], a["min"], a["max"],
             float(round_half_away(hll_estimate_from_registers(a["reg"]), 3)),
@@ -659,34 +668,13 @@ def grouped_approx_distinct(
     n_parts = default_num_partitions()
 
     def sketch(t: pa.Table) -> pa.Table:
-        col = t.column(column)
-        if pa.types.is_integer(col.type):
-            h = _splitmix64(np.asarray(col).astype(np.uint64))
-        else:
-            import hashlib
-
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
-                    )
-                    for v in col.to_pylist()
-                ),
-                dtype=np.uint64,
-                count=len(col),
-            )
+        h = _hll_hash_column(t.column(column))
         groups = t.column(group_col).to_numpy(zero_copy_only=False)
         out_g: list = []
         out_reg: list = []
         for g in np.unique(groups):
-            hg = h[groups == g]
-            reg = np.zeros(m, dtype=np.uint8)
-            idx = (hg >> np.uint64(64 - p)).astype(np.int64)
-            w = (hg << np.uint64(p)).astype(np.uint64)
-            rho = np.minimum(_clz64(w), 64 - p) + 1
-            np.maximum.at(reg, idx, rho.astype(np.uint8))
             out_g.append(g)
-            out_reg.append(reg.tobytes())
+            out_reg.append(_registers_from_hashes(h[groups == g], p).tobytes())
         return pa.table({
             group_col: pa.array(out_g, t.column(group_col).type),
             "reg": pa.array(out_reg, pa.binary()),

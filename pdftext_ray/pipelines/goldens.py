@@ -886,13 +886,15 @@ def expected_pca_table(vecs: np.ndarray, scale: int = 10**6, n_iter: int = 30) -
     })
 
 
-def expected_describe_table(table: pa.Table, p: int = 10) -> pa.Table:
+def expected_describe_table(table: pa.Table, columns=None, p: int = 10) -> pa.Table:
     """Golden table profile — whole-column scalar control flow (the op
     merges per-block mergeable partials). Shares the contracts: Python
     str() stringification of raw min/max, the splitmix64/blake2b HLL
-    boundary (via expected_hll_table), round-half-away-3 estimates."""
+    boundary (via expected_hll_table), round-half-away-3 estimates.
+    ``columns`` pins the profiled list to the query's (golden and op must
+    enumerate the SAME columns, not coincide via the file schema)."""
     rows = []
-    for c in table.column_names:
+    for c in (list(columns) if columns is not None else table.column_names):
         col = table.column(c)
         vals = [v for v in col.to_pylist() if v is not None]
         est = expected_hll_table(vals, p=p).column("approx_n")[0].as_py()

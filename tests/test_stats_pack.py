@@ -398,3 +398,18 @@ def test_shuffle_rank_is_a_permutation_and_layout_independent():
     want = {i: r for r, (hh, i) in enumerate(sorted(zip(h, range(500))))}
     got = dict(zip(a["doc_id"], a["shuffle_rank"]))
     assert got == want
+
+
+def test_describe_table_empty_and_unsupported():
+    from pdftext_ray.ops.stats import describe_table
+
+    empty = pa.table({"k": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    out = describe_table(ray.data.from_arrow(empty), ["k", "s"]).to_pandas()
+    assert out["n"].tolist() == [0, 0]
+    assert out["min_str"].isna().all() and out["approx_distinct"].tolist() == [0.0, 0.0]
+    with pytest.raises(TypeError, match="int/float/string"):
+        describe_table(
+            ray.data.from_arrow(pa.table({"b": pa.array([True], pa.bool_())})), ["b"]
+        )
+    with pytest.raises(ValueError, match="no column"):
+        describe_table(ray.data.from_arrow(empty), ["missing"])
