@@ -252,6 +252,7 @@ class _WindowShard:
         self._open: dict = {}     # (window_start_sec, key) -> [n, cents]
         self._watermark = None    # max EVENT time seen (sec) — not window start
         self._dropped = 0
+        self._seen = 0  # rows received (accepted + dropped) — invariant side
         self._done: set = set()
 
     def offer(self, batch_fp: bytes, windows, keys, cents, max_ts=None) -> int:
@@ -278,7 +279,11 @@ class _WindowShard:
         ):
             self._watermark = max_ts
         self._dropped += dropped
+        self._seen += len(windows)
         return dropped
+
+    def n_seen(self) -> int:
+        return self._seen
 
     def flush(self):
         """All held window accumulators: [(w, key, n, cents)]."""
@@ -349,7 +354,19 @@ def streaming_window_counts(
         return pa.table({"fed": pa.array([n], pa.int64())})
 
     # side-effectful pass: materialize so the lineage runs exactly once
-    ds.map_batches(feed, batch_format="pyarrow").materialize()
+    fed = ds.map_batches(feed, batch_format="pyarrow").materialize()
+    n_fed = sum(r["fed"] for r in fed.take_all())
+    n_seen = sum(ray.get([sh.n_seen.remote() for sh in shards]))
+    if n_fed != n_seen:
+        # LOUD on shard state loss (an actor died and restarted empty mid-
+        # stream: its windows are gone and its counters reset) or an
+        # unabsorbed replay — never a silently short window table
+        # (streaming_dedup's survivors-vs-index contract)
+        raise RuntimeError(
+            f"streaming_window invariant violation: {n_fed} rows fed vs "
+            f"{n_seen} rows seen by shard actors — a shard lost state or a "
+            "retry was not absorbed; rerun the pass"
+        )
     rows = [r for s in ray.get([sh.flush.remote() for sh in shards]) for r in s]
     rows.sort(key=lambda r: (r[0], r[1]))
     return pa.table({

@@ -569,6 +569,9 @@ def test_streaming_window_matches_batch_and_drops_late():
     # replay absorption: same fingerprint re-offered is a no-op
     assert ray.get(shard.offer.remote(b"b2", [3600], ["k"], [100], 3650)) == 0
     assert sorted(ray.get(shard.flush.remote())) == [(0, "k", 1, 100), (3600, "k", 1, 100)]
+    # n_seen counts accepted AND dropped rows, absorbs replays — the
+    # fed-vs-seen invariant's shard side
+    assert ray.get(shard.n_seen.remote()) == 3
 
 
 def test_pivot_hourly_counts_matrix():
