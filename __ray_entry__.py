@@ -56,6 +56,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_resize": os.path.join(base, "expected_resize.parquet"),
         "expected_pca": os.path.join(base, "expected_pca.parquet"),
         "expected_describe": os.path.join(base, "expected_describe.parquet"),
+        "expected_bpe": os.path.join(base, "expected_bpe.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -209,6 +210,12 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_describe_table(t, DESCRIBE_COLUMNS)
 
     goldens.materialize_golden(paths["expected_describe"], _describe_builder)
+
+    def _bpe_builder():
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        return goldens.expected_bpe_table(t.column("text").to_pylist(), n_merges=30)
+
+    goldens.materialize_golden(paths["expected_bpe"], _bpe_builder)
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -866,6 +873,20 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_bpe_train(sf_dir: str):
+    """BPE vocab induction (30 merges): corpus-sized work is ONE
+    distributed word count; the merge loop runs on the bounded vocab
+    (lm_perplexity's honest-collect contract). Golden = independent
+    Counter-based trainer under the shared spec."""
+    import ray.data
+
+    from pdftext_ray.ops import textstats
+
+    return ray.data.from_arrow(
+        textstats.bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]), n_merges=30)
+    )
 
 
 def _q_pivot_hourly(sf_dir: str):
@@ -2164,6 +2185,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_window": _q_streaming_window,
         "describe_table": _q_describe_table,
         "pivot_hourly": _q_pivot_hourly,
+        "bpe_train": _q_bpe_train,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2607,6 +2629,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "media_resize": f"SELECT media_ref, out_width, out_height, pixel_sum, payload_sha FROM read_parquet('{p['expected_resize']}')",
         "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
         "describe_table": f"SELECT * FROM read_parquet('{p['expected_describe']}')",
+        "bpe_train": f'SELECT "rank", "left", "right", merged, "count" FROM read_parquet(\'{p["expected_bpe"]}\')',
         "pivot_hourly": (
             "SELECT event_type, "
             + ", ".join(

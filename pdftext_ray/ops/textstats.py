@@ -870,6 +870,98 @@ def lm_perplexity(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int = 30,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+) -> pa.Table:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) —
+    the tokenizer-training pass, in the published word-count formulation
+    (pair statistics depend only on DISTINCT words × multiplicities, so
+    the corpus-sized work is ONE distributed word count; the merge loop
+    runs driver-side on the bounded vocab — the same honest-collect
+    contract as lm_perplexity, with the same ``max_vocab`` refusal).
+
+    Deterministic spec shared with the scalar golden: lowercased \\S+
+    words split to character tuples; per round the merge is the pair with
+    max total count, ties to the lexicographically smallest (left, right);
+    within a word, occurrences merge left-to-right non-overlapping
+    (scan i: match → emit joined, skip 2). Stops early when no pair
+    repeats. Output: (rank, left, right, merged, count).
+    """
+    import re
+
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        find = re.compile(r"\S+").findall
+        counts: dict = {}
+        for t in b.column(text_col).to_pylist():
+            for w in find(t.lower()) if t else []:
+                counts[w] = counts.get(w, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "tok": pa.array(keys, pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    vocab_df = hash_grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "tok", {"n": ("n", "sum")},
+    ).to_pandas()
+    if len(vocab_df) > max_vocab:
+        raise ValueError(
+            f"vocabulary has {len(vocab_df)} distinct words > max_vocab={max_vocab}"
+        )
+    word_counts = dict(zip(vocab_df.get("tok", []), (int(v) for v in vocab_df.get("n", []))))
+    seqs = {w: tuple(w) for w in word_counts}
+    out_rank: list = []
+    out_l: list = []
+    out_r: list = []
+    out_m: list = []
+    out_c: list = []
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        for w, cnt in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best_cnt = max(pair_counts.values())
+        if best_cnt < 2:
+            break  # nothing repeats: further merges are arbitrary
+        left, right = min(p for p, c in pair_counts.items() if c == best_cnt)
+        merged = left + right
+        for w, s in seqs.items():
+            if left not in s:
+                continue
+            ns: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = tuple(ns)
+        out_rank.append(rank)
+        out_l.append(left)
+        out_r.append(right)
+        out_m.append(merged)
+        out_c.append(best_cnt)
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "left": pa.array(out_l, pa.string()),
+        "right": pa.array(out_r, pa.string()),
+        "merged": pa.array(out_m, pa.string()),
+        "count": pa.array(out_c, pa.int64()),
+    })
+
+
 def extract_matches(
     ds: ray.data.Dataset,
     pattern: str,

@@ -913,3 +913,52 @@ def expected_describe_table(table: pa.Table, columns=None, p: int = 10) -> pa.Ta
         "max_str": pa.array([r[5] for r in rows], pa.string()),
         "approx_distinct": pa.array([r[6] for r in rows], pa.float64()),
     })
+
+
+def expected_bpe_table(texts, n_merges: int = 30) -> pa.Table:
+    """Golden BPE merge list — Counter-based scalar control flow (the op
+    counts words through a distributed keyed merge and mutates tuple
+    sequences). Shares only the SPEC: lowercased \\S+ words as char
+    symbols; per round max-count pair, ties to lexicographically smallest
+    (left, right); left-to-right non-overlapping application; stop when
+    the best pair count < 2."""
+    import re
+    from collections import Counter
+
+    find = re.compile(r"\S+").findall
+    wc = Counter(w for t in texts for w in (find(t.lower()) if t else []))
+    symbols = {w: list(w) for w in wc}
+    rows = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, cnt in wc.items():
+            s = symbols[w]
+            pairs.update({(a, b): 0 for a, b in zip(s, s[1:])})  # keys
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best_cnt = max(pairs.values())
+        if best_cnt < 2:
+            break
+        left, right = min(p for p, c in pairs.items() if c == best_cnt)
+        for w in symbols:
+            s = symbols[w]
+            j = 0
+            ns = []
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == left and s[j + 1] == right:
+                    ns.append(left + right)
+                    j += 2
+                else:
+                    ns.append(s[j])
+                    j += 1
+            symbols[w] = ns
+        rows.append((rank, left, right, left + right, best_cnt))
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], pa.int64()),
+        "left": pa.array([r[1] for r in rows], pa.string()),
+        "right": pa.array([r[2] for r in rows], pa.string()),
+        "merged": pa.array([r[3] for r in rows], pa.string()),
+        "count": pa.array([r[4] for r in rows], pa.int64()),
+    })

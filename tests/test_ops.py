@@ -763,3 +763,23 @@ def test_pca_top_component_matches_golden_and_known_axis():
 def test_extract_matches_rejects_capturing_groups():
     with pytest.raises(ValueError, match="capturing groups"):
         textstats.extract_matches(_doc_table(["ab"]), r"a(b)c")
+
+
+def test_bpe_train_hand_case_and_golden():
+    # "banana" x3, "bandana" x2: first merge must be ('a','n') — count 3*2+2*2=10
+    docs = ["banana banana", "banana bandana", "bandana"]
+    out = textstats.bpe_train(_doc_table(docs), n_merges=5).to_pandas()
+    assert (out["left"].iloc[0], out["right"].iloc[0]) == ("a", "n")
+    assert out["count"].iloc[0] == 10
+    assert out["merged"].iloc[0] == "an"
+    # golden equality (independent Counter trainer, shared spec)
+    from pdftext_ray.pipelines.goldens import expected_bpe_table
+
+    want = expected_bpe_table(docs, n_merges=5).to_pandas()
+    assert out.values.tolist() == want.values.tolist()
+    # layout independence
+    out2 = textstats.bpe_train(_doc_table(docs).repartition(3), n_merges=5).to_pandas()
+    assert out2.values.tolist() == out.values.tolist()
+    # merges stop when nothing repeats
+    tiny = textstats.bpe_train(_doc_table(["ab cd"]), n_merges=10).to_pandas()
+    assert len(tiny) == 0  # every pair occurs once → best < 2 → stop
