@@ -933,7 +933,6 @@ def expected_bpe_table(texts, n_merges: int = 30) -> pa.Table:
         pairs: Counter = Counter()
         for w, cnt in wc.items():
             s = symbols[w]
-            pairs.update({(a, b): 0 for a, b in zip(s, s[1:])})  # keys
             for a, b in zip(s, s[1:]):
                 pairs[(a, b)] += cnt
         if not pairs:
