@@ -57,6 +57,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_pca": os.path.join(base, "expected_pca.parquet"),
         "expected_describe": os.path.join(base, "expected_describe.parquet"),
         "expected_bpe": os.path.join(base, "expected_bpe.parquet"),
+        "expected_audio": os.path.join(base, "expected_audio.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -216,6 +217,9 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         return goldens.expected_bpe_table(t.column("text").to_pylist(), n_merges=30)
 
     goldens.materialize_golden(paths["expected_bpe"], _bpe_builder)
+    goldens.materialize_golden(
+        paths["expected_audio"], lambda: goldens.expected_audio_table(30)
+    )
 
     def _hll_builder():
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
@@ -873,6 +877,19 @@ def _q_pricing_rollup(sf_dir: str):
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
+
+
+def _q_audio_features(sf_dir: str):
+    """REAL audio path: deterministic PCM16 WAVs decoded by the stdlib
+    RIFF codec, framed RMS energy per 256-sample window (integer energy
+    sums + correctly-rounded sqrt — exact vs the per-sample scalar
+    golden)."""
+    import ray.data
+
+    from pdftext_ray.ops import media
+
+    _require_gate_corpus(sf_dir)
+    return media.audio_features(ray.data.from_arrow(media.synth_wav_table(30)))
 
 
 def _q_bpe_train(sf_dir: str):
@@ -2186,6 +2203,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "describe_table": _q_describe_table,
         "pivot_hourly": _q_pivot_hourly,
         "bpe_train": _q_bpe_train,
+        "audio_features": _q_audio_features,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2630,6 +2648,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "pca_top_component": f"SELECT dim_idx, weight, eigenvalue, n_rows FROM read_parquet('{p['expected_pca']}')",
         "describe_table": f"SELECT * FROM read_parquet('{p['expected_describe']}')",
         "bpe_train": f'SELECT "rank", "left", "right", merged, "count" FROM read_parquet(\'{p["expected_bpe"]}\')',
+        "audio_features": f"SELECT media_ref, frame_idx, rms FROM read_parquet('{p['expected_audio']}')",
         "pivot_hourly": (
             "SELECT event_type, "
             + ", ".join(

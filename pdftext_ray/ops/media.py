@@ -331,3 +331,134 @@ def resize_media(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(PpmResizer(out_w, out_h), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Real-audio stage (WAV/PCM16 end-to-end — stdlib struct only, no codec lib)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono little-endian."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+class WavCodec:
+    """A REAL audio decoder — PCM 16-bit mono WAV needs only stdlib struct,
+    so the audio decode boundary is exercised end-to-end with actual
+    samples (the JPEG/OGG/MP3 analog stays behind the RealCodec seam).
+    Returns (samples int16 array, sample_rate)."""
+
+    def decode_wav(self, payload: bytes):
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("WavCodec: payload is not RIFF/WAVE")
+        pos = 12
+        rate, data = None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+                if fmt != 1 or ch != 1 or bits != 16:
+                    raise ValueError("WavCodec: only PCM 16-bit mono supported")
+            elif tag == b"data":
+                data = np.frombuffer(body, dtype="<i2")
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None or data is None:
+            raise ValueError("WavCodec: missing fmt/data chunk")
+        return data, rate
+
+
+def synth_wav_table(n: int, seed: int = 13) -> pa.Table:
+    """Deterministic REAL audio: sine bursts + integer noise, PCM16-encoded
+    — every byte a pure function of (seed, i)."""
+    rng = np.random.RandomState(seed)
+    refs, types, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        n_samp = int(rng.randint(400, 2000))
+        t = np.arange(n_samp)
+        freq = float(rng.uniform(50, 800))
+        wave = 8000.0 * np.sin(2 * np.pi * freq * t / 8000.0)
+        noise = rng.randint(-500, 500, n_samp)
+        samples = np.clip(wave + noise, -32768, 32767).astype(np.int16)
+        refs.append(f"media://wav/{i}")
+        types.append("audio")
+        payloads.append(encode_wav(samples))
+        ws.append(0)
+        hs.append(0)
+        fs.append(1)
+    return pa.Table.from_arrays(
+        [
+            pa.array(refs), pa.array(types), pa.array(payloads, pa.binary()),
+            pa.array(ws, pa.int32()), pa.array(hs, pa.int32()), pa.array(fs, pa.int32()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class WavFeaturizer:
+    """Actor-pool stage: decode WAV → framed RMS energy (window/hop), the
+    VAD/loudness feature a speech-data pipeline computes first. Exact
+    determinism: frame energy sums are INTEGER (Σ x², x int16 — exact in
+    int64), the mean is one int/int division and sqrt is IEEE
+    correctly-rounded, so engine and scalar golden produce the same double
+    (the exact_corr contract); rounded half-away to 6. One exploded row
+    per frame: (media_ref, frame_idx, rms)."""
+
+    def __init__(self, window: int = 256, hop: int = 128):
+        self.codec = WavCodec()
+        self.window = window
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from pdftext_ray.ops import round_half_away
+
+        refs_out: list = []
+        idx_out: list = []
+        rms_out: list = []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            samples, _rate = self.codec.decode_wav(payload)
+            x = samples.astype(np.int64)
+            for fi, start in enumerate(range(0, max(len(x) - self.window + 1, 1), self.hop)):
+                frame = x[start : start + self.window]
+                if len(frame) == 0:
+                    continue
+                e = int((frame * frame).sum())  # exact integer energy
+                # math.sqrt is IEEE correctly-rounded (** 0.5 is pow, which
+                # is not guaranteed to be) — shared with the scalar golden
+                rms = float(round_half_away(math.sqrt(e / len(frame)), 6))
+                refs_out.append(ref)
+                idx_out.append(fi)
+                rms_out.append(rms)
+        return pa.table({
+            "media_ref": pa.array(refs_out, pa.string()),
+            "frame_idx": pa.array(idx_out, pa.int64()),
+            "rms": pa.array(rms_out, pa.float64()),
+        })
+
+
+def audio_features(
+    ds: ray.data.Dataset,
+    window: int = 256,
+    hop: int = 128,
+    batch_size: int = 16,
+    concurrency: Optional[int] = None,
+) -> ray.data.Dataset:
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(WavFeaturizer(window, hop), **kwargs)

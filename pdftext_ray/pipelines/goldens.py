@@ -961,3 +961,49 @@ def expected_bpe_table(texts, n_merges: int = 30) -> pa.Table:
         "merged": pa.array([r[3] for r in rows], pa.string()),
         "count": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+def expected_audio_table(n: int, seed: int = 13, window: int = 256, hop: int = 128) -> pa.Table:
+    """Golden framed RMS — hand-rolled RIFF parse + per-sample scalar loops
+    (the Ray op uses WavCodec + numpy frame slices). Shares the input
+    synthesis and the exactness contract: integer energy sums, one int/int
+    division, math.sqrt (IEEE correctly-rounded), round half-away to 6."""
+    import math
+    import struct
+
+    from pdftext_ray.ops import round_half_away
+    from pdftext_ray.ops.media import synth_wav_table
+
+    t = synth_wav_table(n, seed=seed)
+    refs_out, idx_out, rms_out = [], [], []
+    for ref, payload in zip(
+        t.column("media_ref").to_pylist(), t.column("payload").to_pylist()
+    ):
+        # independent parse: trust the writer's fixed 44-byte header layout
+        assert payload[:4] == b"RIFF" and payload[36:40] == b"data"
+        n_bytes = struct.unpack("<I", payload[40:44])[0]
+        samples = [
+            struct.unpack("<h", payload[44 + 2 * i : 46 + 2 * i])[0]
+            for i in range(n_bytes // 2)
+        ]
+        fi = 0
+        start = 0
+        last_start = max(len(samples) - window, 0)
+        while start <= last_start:
+            frame = samples[start : start + window]
+            if not frame:
+                break
+            e = 0
+            for v in frame:
+                e += v * v
+            rms_out.append(float(round_half_away(math.sqrt(e / len(frame)), 6)))
+            refs_out.append(ref)
+            idx_out.append(fi)
+            fi += 1
+            start += hop
+        # (matches the op's range(0, max(len-window+1, 1), hop) frame walk)
+    return pa.table({
+        "media_ref": pa.array(refs_out, pa.string()),
+        "frame_idx": pa.array(idx_out, pa.int64()),
+        "rms": pa.array(rms_out, pa.float64()),
+    })

@@ -100,3 +100,31 @@ def test_ppm_resize_matches_scalar_golden_and_shrinks():
     img = PpmCodec().decode(out["payload"].iloc[0], 0, 0)
     assert img.shape == (12, 16, 3)
     assert img[0, 0, 0] <= img[0, -1, 0]  # x-gradient in channel 0 preserved
+
+
+def test_wav_codec_roundtrip_and_rms():
+
+    import numpy as np
+    import ray
+
+    from pdftext_ray.ops.media import WavCodec, audio_features, encode_wav, synth_wav_table
+
+    # byte-exact roundtrip
+    samples = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    dec, rate = WavCodec().decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(dec, samples)
+    # known RMS: constant amplitude A over a full window → rms == A
+    import pyarrow as pa
+
+    const = np.full(256, 1000, dtype=np.int16)
+    one = pa.table({
+        "media_ref": pa.array(["media://wav/const"], pa.string()),
+        "payload": pa.array([encode_wav(const)], pa.binary()),
+    })
+    out = audio_features(ray.data.from_arrow(one)).to_pandas()
+    assert (out["rms"] == 1000.0).all() and len(out) == 1
+    # golden equality at table scale is covered by the gate; spot layout
+    ds = ray.data.from_arrow(synth_wav_table(8))
+    a = audio_features(ds).to_pandas().sort_values(["media_ref", "frame_idx"])
+    b = audio_features(ds.repartition(4)).to_pandas().sort_values(["media_ref", "frame_idx"])
+    assert a["rms"].tolist() == b["rms"].tolist()
