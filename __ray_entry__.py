@@ -58,6 +58,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_describe": os.path.join(base, "expected_describe.parquet"),
         "expected_bpe": os.path.join(base, "expected_bpe.parquet"),
         "expected_audio": os.path.join(base, "expected_audio.parquet"),
+        "expected_video": os.path.join(base, "expected_video.parquet"),
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
@@ -219,6 +220,9 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
     goldens.materialize_golden(paths["expected_bpe"], _bpe_builder)
     goldens.materialize_golden(
         paths["expected_audio"], lambda: goldens.expected_audio_table(30)
+    )
+    goldens.materialize_golden(
+        paths["expected_video"], lambda: goldens.expected_video_table(25)
     )
 
     def _hll_builder():
@@ -890,6 +894,18 @@ def _q_audio_features(sf_dir: str):
 
     _require_gate_corpus(sf_dir)
     return media.audio_features(ray.data.from_arrow(media.synth_wav_table(30)))
+
+
+def _q_video_frame_stats(sf_dir: str):
+    """REAL video path: PPMV container (concatenated PPM frames) decoded
+    by seek-then-decode frame sampling; exact per-channel pixel means vs
+    the per-pixel scalar golden."""
+    import ray.data
+
+    from pdftext_ray.ops import media
+
+    _require_gate_corpus(sf_dir)
+    return media.video_frame_stats(ray.data.from_arrow(media.synth_ppmv_table(25)))
 
 
 def _q_bpe_train(sf_dir: str):
@@ -2204,6 +2220,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "pivot_hourly": _q_pivot_hourly,
         "bpe_train": _q_bpe_train,
         "audio_features": _q_audio_features,
+        "video_frame_stats": _q_video_frame_stats,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2649,6 +2666,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "describe_table": f"SELECT * FROM read_parquet('{p['expected_describe']}')",
         "bpe_train": f'SELECT "rank", "left", "right", merged, "count" FROM read_parquet(\'{p["expected_bpe"]}\')',
         "audio_features": f"SELECT media_ref, frame_idx, rms FROM read_parquet('{p['expected_audio']}')",
+        "video_frame_stats": f"SELECT media_ref, frame_idx, mean_r, mean_g, mean_b FROM read_parquet('{p['expected_video']}')",
         "pivot_hourly": (
             "SELECT event_type, "
             + ", ".join(

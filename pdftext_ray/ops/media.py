@@ -462,3 +462,125 @@ def audio_features(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(WavFeaturizer(window, hop), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Real-video stage (PPMV: concatenated PPM frames — frame-sample real pixels)
+# ---------------------------------------------------------------------------
+
+def encode_ppmv(frames) -> bytes:
+    """Minimal video container: b'PPMV' + frame count + length-prefixed
+    binary-PPM frames. Enough structure to exercise REAL frame seeking."""
+    import struct
+
+    blobs = [encode_ppm(f) for f in frames]
+    out = [b"PPMV", struct.pack("<I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+class PpmvCodec:
+    """A REAL video decoder: walks the PPMV index and decodes ONLY the
+    requested frames (the seek-then-decode shape a real container decoder
+    has — sampling must not pay for skipped frames)."""
+
+    def __init__(self):
+        self._img = PpmCodec()
+
+    def sample_frames(self, payload: bytes, stride: int):
+        import struct
+
+        if payload[:4] != b"PPMV":
+            raise ValueError("PpmvCodec: payload is not PPMV")
+        n = struct.unpack("<I", payload[4:8])[0]
+        pos = 8
+        offsets = []
+        for _ in range(n):
+            size = struct.unpack("<I", payload[pos : pos + 4])[0]
+            offsets.append((pos + 4, size))
+            pos += 4 + size
+        out = []
+        for fi in range(0, n, stride):
+            off, size = offsets[fi]
+            out.append((fi, self._img.decode(payload[off : off + size], 0, 0)))
+        return out
+
+
+def synth_ppmv_table(n: int, seed: int = 17) -> pa.Table:
+    """Deterministic REAL videos: 3–9 gradient+noise frames each."""
+    rng = np.random.RandomState(seed)
+    refs, types, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(8, 24))
+        h = int(rng.randint(8, 24))
+        nf = int(rng.randint(3, 10))
+        frames = []
+        for k in range(nf):
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames.append(np.stack([
+                (xx * 255 // max(w - 1, 1)),
+                np.full((h, w), (k * 37) % 256),
+                rng.randint(0, 256, (h, w)),
+            ], axis=-1).astype(np.uint8))
+        refs.append(f"media://ppmv/{i}")
+        types.append("video")
+        payloads.append(encode_ppmv(frames))
+        ws.append(w)
+        hs.append(h)
+        fs.append(nf)
+    return pa.Table.from_arrays(
+        [
+            pa.array(refs), pa.array(types), pa.array(payloads, pa.binary()),
+            pa.array(ws, pa.int32()), pa.array(hs, pa.int32()), pa.array(fs, pa.int32()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class PpmvFrameStats:
+    """Actor-pool stage: seek-sample every ``stride``-th frame, emit exact
+    per-channel pixel means — integer sums / count, one division each,
+    round half-away 6 (the WavFeaturizer exactness contract). One row per
+    sampled frame: (media_ref, frame_idx, mean_r, mean_g, mean_b)."""
+
+    def __init__(self, stride: int = 2):
+        self.codec = PpmvCodec()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdftext_ray.ops import round_half_away
+
+        refs_out: list = []
+        idx_out: list = []
+        means = ([], [], [])
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            for fi, img in self.codec.sample_frames(payload, self.stride):
+                npix = img.shape[0] * img.shape[1]
+                refs_out.append(ref)
+                idx_out.append(fi)
+                for c in range(3):
+                    s = int(img[:, :, c].astype(np.int64).sum())
+                    means[c].append(float(round_half_away(s / npix, 6)))
+        return pa.table({
+            "media_ref": pa.array(refs_out, pa.string()),
+            "frame_idx": pa.array(idx_out, pa.int64()),
+            "mean_r": pa.array(means[0], pa.float64()),
+            "mean_g": pa.array(means[1], pa.float64()),
+            "mean_b": pa.array(means[2], pa.float64()),
+        })
+
+
+def video_frame_stats(
+    ds: ray.data.Dataset,
+    stride: int = 2,
+    batch_size: int = 16,
+    concurrency: Optional[int] = None,
+) -> ray.data.Dataset:
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(PpmvFrameStats(stride), **kwargs)

@@ -1007,3 +1007,50 @@ def expected_audio_table(n: int, seed: int = 13, window: int = 256, hop: int = 1
         "frame_idx": pa.array(idx_out, pa.int64()),
         "rms": pa.array(rms_out, pa.float64()),
     })
+
+
+def expected_video_table(n: int, seed: int = 17, stride: int = 2) -> pa.Table:
+    """Golden PPMV frame stats — hand-rolled container walk + per-pixel
+    scalar sums (the op seeks with PpmvCodec + numpy channel sums). Shares
+    the input synthesis and the exactness contract: integer pixel sums,
+    one int/int division per channel, round half-away 6."""
+    import struct
+
+    from pdftext_ray.ops import round_half_away
+    from pdftext_ray.ops.media import synth_ppmv_table
+
+    t = synth_ppmv_table(n, seed=seed)
+    refs_out, idx_out = [], []
+    chans = ([], [], [])
+    for ref, payload in zip(
+        t.column("media_ref").to_pylist(), t.column("payload").to_pylist()
+    ):
+        assert payload[:4] == b"PPMV"
+        nf = struct.unpack("<I", payload[4:8])[0]
+        pos = 8
+        frames = []
+        for _ in range(nf):
+            size = struct.unpack("<I", payload[pos : pos + 4])[0]
+            frames.append(payload[pos + 4 : pos + 4 + size])
+            pos += 4 + size
+        for fi in range(0, nf, stride):
+            blob = frames[fi]
+            # encode_ppm layout: b"P6\n<w> <h>\n255\n" + raster
+            hdr_end = blob.index(b"\n255\n") + 5
+            w, h = (int(x) for x in blob[3 : blob.index(b"\n255\n")].split())
+            raster = blob[hdr_end:]
+            sums = [0, 0, 0]
+            for px in range(w * h):
+                for c in range(3):
+                    sums[c] += raster[px * 3 + c]
+            refs_out.append(ref)
+            idx_out.append(fi)
+            for c in range(3):
+                chans[c].append(float(round_half_away(sums[c] / (w * h), 6)))
+    return pa.table({
+        "media_ref": pa.array(refs_out, pa.string()),
+        "frame_idx": pa.array(idx_out, pa.int64()),
+        "mean_r": pa.array(chans[0], pa.float64()),
+        "mean_g": pa.array(chans[1], pa.float64()),
+        "mean_b": pa.array(chans[2], pa.float64()),
+    })

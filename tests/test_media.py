@@ -128,3 +128,26 @@ def test_wav_codec_roundtrip_and_rms():
     a = audio_features(ds).to_pandas().sort_values(["media_ref", "frame_idx"])
     b = audio_features(ds.repartition(4)).to_pandas().sort_values(["media_ref", "frame_idx"])
     assert a["rms"].tolist() == b["rms"].tolist()
+
+
+def test_ppmv_codec_seeks_and_means():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pdftext_ray.ops.media import PpmvCodec, encode_ppmv, video_frame_stats
+
+    # three 2x2 frames with known channel values
+    f = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    payload = encode_ppmv(f)
+    sampled = PpmvCodec().sample_frames(payload, stride=2)
+    assert [fi for fi, _ in sampled] == [0, 2]  # stride skips frame 1
+    assert sampled[1][1][0, 0, 0] == 30
+    one = pa.table({
+        "media_ref": pa.array(["media://ppmv/x"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = video_frame_stats(ray.data.from_arrow(one), stride=2).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 2]
+    assert out["mean_r"].tolist() == [10.0, 30.0]
+    assert out["mean_g"].tolist() == [10.0, 30.0]
