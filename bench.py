@@ -356,6 +356,7 @@ def run_bench() -> dict:
         similarity.sq8_topk(emb, q, k=10).to_pandas()
 
     timed("similarity_sq8", q_sq8)
+    timed("bpe_train", lambda: textstats.bpe_train(docs_ds(), n_merges=30))
 
     ray.shutdown()
     return {

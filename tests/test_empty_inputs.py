@@ -51,6 +51,21 @@ EMPTY_OK = [
     ("extract_matches", lambda: textstats.extract_matches(_mk(DOCS), "aa")),
     ("lm_perplexity", lambda: textstats.lm_perplexity(_mk(DOCS))),
     ("pmi_collocations", lambda: textstats.pmi_collocations(_mk(DOCS))),
+    ("bpe_train", lambda: textstats.bpe_train(_mk(DOCS))),
+]
+
+
+def _media_empty(fn):
+    from pdftext_ray.ops.media import MEDIA_SCHEMA
+
+    return fn(_mk(MEDIA_SCHEMA.empty_table()))
+
+
+EMPTY_OK += [
+    ("audio_features", lambda: _media_empty(
+        __import__("pdftext_ray.ops.media", fromlist=["audio_features"]).audio_features)),
+    ("video_frame_stats", lambda: _media_empty(
+        __import__("pdftext_ray.ops.media", fromlist=["video_frame_stats"]).video_frame_stats)),
 ]
 
 
