@@ -883,6 +883,71 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_top_orders_q3(sf_dir: str):
+    """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
+    semi-filter orders by the BUILDING customer keys (bounded dimension
+    collect), date-filter both fact sides at the read, partial per-order
+    revenue inside map_batches, one co-partitioned join, tiny global
+    sort+limit. The multi-join pipeline shape a reporting workload runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import from_pandas_clean, joins, round_half_away
+
+    cutoff = "1997-01-01"
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = [r["c_custkey"] for r in cust.take_all()]  # bounded: dimension side
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(__import__("datetime").date(1997, 1, 1)))),
+        batch_format="pyarrow",
+    )
+    orders = joins.semi_join(orders, keys, "o_custkey")
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(__import__("datetime").date(1997, 1, 1))))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = t.append_column("rev", rev).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    from ray.data.aggregate import Sum
+
+    rev = (
+        line.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    joined = joins.partitioned_hash_join(
+        rev, orders, "l_orderkey", "o_orderkey",
+        left_cols=["l_orderkey", "rev"],
+        right_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def shape(df):
+        df["revenue"] = round_half_away(df["rev"], 2)
+        df["o_orderdate"] = df["o_orderdate"].astype(str)
+        return from_pandas_clean(
+            df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+        )
+
+    return (
+        joined.map_batches(shape, batch_format="pandas")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio path: deterministic PCM16 WAVs decoded by the stdlib
     RIFF codec, framed RMS energy per 256-sample window (integer energy
@@ -2221,6 +2286,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
+        "top_orders_q3": _q_top_orders_q3,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2667,6 +2733,16 @@ def _full_oracle_sql() -> dict[str, str]:
         "bpe_train": f'SELECT "rank", "left", "right", merged, "count" FROM read_parquet(\'{p["expected_bpe"]}\')',
         "audio_features": f"SELECT media_ref, frame_idx, rms FROM read_parquet('{p['expected_audio']}')",
         "video_frame_stats": f"SELECT media_ref, frame_idx, mean_r, mean_g, mean_b FROM read_parquet('{p['expected_video']}')",
+        "top_orders_q3": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < DATE '1997-01-01' AND l_shipdate > DATE '1997-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
         "pivot_hourly": (
             "SELECT event_type, "
             + ", ".join(
