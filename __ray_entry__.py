@@ -889,12 +889,14 @@ def _q_top_orders_q3(sf_dir: str):
     collect), date-filter both fact sides at the read, partial per-order
     revenue inside map_batches, one co-partitioned join, tiny global
     sort+limit. The multi-join pipeline shape a reporting workload runs."""
+    from datetime import date
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from pdftext_ray.ops import from_pandas_clean, joins, round_half_away
 
-    cutoff = "1997-01-01"
+    cutoff = date(1997, 1, 1)  # ONE threshold, mirrored by the oracle literal
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
         .select(["c_custkey"]),
@@ -905,7 +907,7 @@ def _q_top_orders_q3(sf_dir: str):
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(
-        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(__import__("datetime").date(1997, 1, 1)))),
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
     orders = joins.semi_join(orders, keys, "o_custkey")
@@ -915,7 +917,7 @@ def _q_top_orders_q3(sf_dir: str):
     )
 
     def rev_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(__import__("datetime").date(1997, 1, 1))))
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         g = t.append_column("rev", rev).group_by("l_orderkey").aggregate([("rev", "sum")])
@@ -928,15 +930,27 @@ def _q_top_orders_q3(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="rev"))
     )
-    joined = joins.partitioned_hash_join(
-        rev, orders, "l_orderkey", "o_orderkey",
+
+    # the join-back uses the EMPTY-ROBUST co-partitioned salted plan, not
+    # Acero Dataset.join — both sides here are row-filtered and can have
+    # empty partitions or be empty overall (CLAUDE.md invariant 7)
+    def date_to_str(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d"),
+            "o_orderpriority": t.column("o_orderpriority"),
+        })
+
+    joined = joins.salted_hash_join(
+        rev,
+        orders.map_batches(date_to_str, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", salt_col="l_orderkey",
         left_cols=["l_orderkey", "rev"],
         right_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
 
     def shape(df):
         df["revenue"] = round_half_away(df["rev"], 2)
-        df["o_orderdate"] = df["o_orderdate"].astype(str)
         return from_pandas_clean(
             df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
         )
@@ -957,7 +971,7 @@ def _q_audio_features(sf_dir: str):
 
     from pdftext_ray.ops import media
 
-    _require_gate_corpus(sf_dir)
+    # no gate-corpus guard: the golden is a pure function of (seed, n)
     return media.audio_features(ray.data.from_arrow(media.synth_wav_table(30)))
 
 
@@ -969,7 +983,7 @@ def _q_video_frame_stats(sf_dir: str):
 
     from pdftext_ray.ops import media
 
-    _require_gate_corpus(sf_dir)
+    # no gate-corpus guard: the golden is a pure function of (seed, n)
     return media.video_frame_stats(ray.data.from_arrow(media.synth_ppmv_table(25)))
 
 
@@ -982,6 +996,7 @@ def _q_bpe_train(sf_dir: str):
 
     from pdftext_ray.ops import textstats
 
+    _require_gate_corpus(sf_dir)  # the golden merge list derives from sf0.01
     return ray.data.from_arrow(
         textstats.bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]), n_merges=30)
     )

@@ -512,14 +512,9 @@ def pivot_hourly_counts(
     final = partials.groupby([key_col, "hour"]).aggregate(Sum("n", alias_name="n"))
 
     def reshape(df: pd.DataFrame):
-        if df.empty:
-            # typed empty wide schema (string key by contract for the
-            # empty case — there are no rows to carry another type)
-            return pa.table(
-                {key_col: pa.array([], pa.string()),
-                 **{h: pa.array([], pa.int64()) for h in hour_cols},
-                 "total": pa.array([], pa.int64())}
-            )
+        # no empty branch: Ray never invokes map_batches UDFs on zero-row
+        # blocks (verified on 2.49), so df is always non-empty here — a
+        # hardcoded empty schema would only risk a type mismatch
         wide = df.pivot_table(
             index=key_col, columns="hour", values="n", aggfunc="sum", fill_value=0
         )

@@ -459,9 +459,12 @@ def describe_table(
     string columns — bool/nested types REFUSE loudly (their hash/stringify
     conventions are undefined vs the golden).
     """
+    from pdftext_ray.ops.joins import _arrow_types
+
     cols = list(columns)
-    sch = ds.schema()
-    types = dict(zip(sch.names, sch.base_schema.types))
+    # _arrow_types normalizes pandas-backed block schemas (numpy dtypes) to
+    # Arrow types — raw base_schema.types would crash pa.types.is_integer
+    types = _arrow_types(ds)
     for c in cols:
         t = types.get(c)
         if t is None:

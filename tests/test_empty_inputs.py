@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 import ray
 
-from pdftext_ray.ops import cluster, dedup, pack, sampling, streaming, textstats
+from pdftext_ray.ops import cluster, dedup, media, pack, sampling, streaming, textstats
 
 DOCS = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
 EMB = pa.table({"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))})
@@ -55,17 +55,9 @@ EMPTY_OK = [
 ]
 
 
-def _media_empty(fn):
-    from pdftext_ray.ops.media import MEDIA_SCHEMA
-
-    return fn(_mk(MEDIA_SCHEMA.empty_table()))
-
-
 EMPTY_OK += [
-    ("audio_features", lambda: _media_empty(
-        __import__("pdftext_ray.ops.media", fromlist=["audio_features"]).audio_features)),
-    ("video_frame_stats", lambda: _media_empty(
-        __import__("pdftext_ray.ops.media", fromlist=["video_frame_stats"]).video_frame_stats)),
+    ("audio_features", lambda: media.audio_features(_mk(media.MEDIA_SCHEMA.empty_table()))),
+    ("video_frame_stats", lambda: media.video_frame_stats(_mk(media.MEDIA_SCHEMA.empty_table()))),
 ]
 
 
