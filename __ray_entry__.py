@@ -883,6 +883,16 @@ def _q_pricing_rollup(sf_dir: str):
     return relational.lineitem_pricing_rollup(_read(sf_dir, "lineitem", cols))
 
 
+def _q_user_journeys(sf_dir: str):
+    """Per-user ordered event-type path (SQL string_agg ORDER BY ts, id):
+    one co-locating shuffle, vectorized join per partition."""
+    from pdftext_ray.ops import relational
+
+    return relational.user_journey_paths(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
 def _q_top_orders_q3(sf_dir: str):
     """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
     semi-filter orders by the BUILDING customer keys (bounded dimension
@@ -2302,6 +2312,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
         "top_orders_q3": _q_top_orders_q3,
+        "user_journeys": _q_user_journeys,
         "histogram_buckets": _q_histogram,
         "exact_corr": _q_exact_corr,
         "events_window_funcs": _q_events_window_funcs,
@@ -2748,6 +2759,11 @@ def _full_oracle_sql() -> dict[str, str]:
         "bpe_train": f'SELECT "rank", "left", "right", merged, "count" FROM read_parquet(\'{p["expected_bpe"]}\')',
         "audio_features": f"SELECT media_ref, frame_idx, rms FROM read_parquet('{p['expected_audio']}')",
         "video_frame_stats": f"SELECT media_ref, frame_idx, mean_r, mean_g, mean_b FROM read_parquet('{p['expected_video']}')",
+        "user_journeys": (
+            "SELECT user_id, count(*) AS n_steps, "
+            "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+            "FROM events GROUP BY user_id"
+        ),
         "top_orders_q3": (
             "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority "

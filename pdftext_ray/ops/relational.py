@@ -474,6 +474,42 @@ def grouped_topk(
     )
 
 
+def user_journey_paths(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    step_col: str = "event_type",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> ray.data.Dataset:
+    """Ordered per-key string aggregation — each user's event-type sequence
+    joined into one path string (the journey/funnel-exploration query;
+    SQL's ``string_agg(... ORDER BY ts, id)``).
+
+    ONE co-locating hash shuffle on key, then a vectorized sort +
+    groupby-join per partition (key-cardinality-independent). The order
+    key includes the row id so ties are deterministic on both sides.
+    Output: key, n_steps, path.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, id_col])
+        agg = g.groupby(key, sort=True).agg(
+            n_steps=(step_col, "size"), path=(step_col, sep.join)
+        )
+        agg["n_steps"] = agg["n_steps"].astype("int64")
+        return from_pandas_clean(agg.reset_index()[[key, "n_steps", "path"]])
+
+    return (
+        ds.map_batches(_key_part_tag(key, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def pivot_hourly_counts(
     ds: ray.data.Dataset,
     key_col: str = "event_type",

@@ -588,3 +588,22 @@ def test_pivot_hourly_counts_matrix():
     assert out.loc["b", "h03"] == 1 and out.loc["b", "total"] == 1
     assert out.loc["b", "h17"] == 0  # absent combinations fill 0
     assert list(out.columns) == [f"h{h:02d}" for h in range(24)] + ["total"]
+
+
+def test_user_journey_paths_order_and_layouts():
+    from pdftext_ray.ops import relational
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [2, 0, 1, 3],
+        "user_id": [1, 1, 1, 2],
+        "ts": [base + pd.Timedelta(minutes=5), base, base, base],
+        "event_type": ["purchase", "view", "click", "signup"],
+    })
+    out = (
+        relational.user_journey_paths(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().set_index("user_id")
+    )
+    # ts ties (events 0 and 1 at t0) break by event_id: view(0) then click(1)
+    assert out.loc[1, "path"] == "view>click>purchase" and out.loc[1, "n_steps"] == 3
+    assert out.loc[2, "path"] == "signup"
