@@ -904,7 +904,7 @@ def _q_top_orders_q3(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from pdftext_ray.ops import from_pandas_clean, joins, round_half_away
+    from pdftext_ray.ops import from_pandas_clean, joins
 
     cutoff = date(1997, 1, 1)  # ONE threshold, mirrored by the oracle literal
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
@@ -927,18 +927,36 @@ def _q_top_orders_q3(sf_dir: str):
     )
 
     def rev_partial(t: pa.Table) -> pa.Table:
+        # fixed-point revenue (CLAUDE.md invariant 13): accumulating
+        # l_extendedprice*(1-l_discount) in float drifts by accumulation
+        # order vs DuckDB and can flip the final 2-decimal rounding on a
+        # .xx5 boundary. price_cents * (100 - discount_cents) is an exact
+        # int64 4-decimal value; sums are order-independent.
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
-        rev = pc.multiply(t.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        g = t.append_column("rev", rev).group_by("l_orderkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "rev"])
+        price_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        g = (
+            pa.table({"l_orderkey": t.column("l_orderkey"), "rev_e4": rev_e4})
+            .group_by("l_orderkey")
+            .aggregate([("rev_e4", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev_e4"])
 
     from ray.data.aggregate import Sum
 
     rev = (
         line.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
         .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="rev"))
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
     )
 
     # the join-back uses the EMPTY-ROBUST co-partitioned salted plan, not
@@ -955,12 +973,15 @@ def _q_top_orders_q3(sf_dir: str):
         rev,
         orders.map_batches(date_to_str, batch_format="pyarrow"),
         "l_orderkey", "o_orderkey", salt_col="l_orderkey",
-        left_cols=["l_orderkey", "rev"],
+        left_cols=["l_orderkey", "rev_e4"],
         right_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
 
     def shape(df):
-        df["revenue"] = round_half_away(df["rev"], 2)
+        # integer half-up (revenue > 0 so half-up == half away from zero):
+        # exact 2-decimal rounding of the 4-decimal fixed-point sum, no
+        # float boundary ambiguity; mirrored by the oracle's (e4+50)//100
+        df["revenue"] = ((df["rev_e4"].astype("int64") + 50) // 100) / 100.0
         return from_pandas_clean(
             df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
         )
@@ -2765,7 +2786,12 @@ def _full_oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id"
         ),
         "top_orders_q3": (
-            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            # fixed-point (invariant 13): price_cents * (100 - disc_cents)
+            # summed as integers (DuckDB promotes to HUGEINT), then integer
+            # half-up to cents — identical arithmetic to the Ray side
+            "SELECT l_orderkey, "
+            "((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0 AS revenue, "
             "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority "
             "FROM customer, orders, lineitem "
             "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "

@@ -1396,30 +1396,55 @@ def embedding_dup_pairs(
             names=["bucket", id_col, vec_col],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pd.DataFrame):
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        })
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return from_pandas_clean(empty)
         g = group.sort_values(id_col).drop_duplicates(id_col).reset_index(drop=True)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return from_pandas_clean(empty)
         mat = np.asarray(g[vec_col].tolist(), dtype=np.float64)
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(g), k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {
-                "id_a": g[id_col].values[ia[keep]],
-                "id_b": g[id_col].values[ib[keep]],
+                "id_a": g[id_col].values[ia[keep]].astype(np.int64),
+                "id_b": g[id_col].values[ib[keep]].astype(np.int64),
                 "cosine": round_half_away(sims[ia, ib][keep], 6),
             }
-        )
+        ))
 
     pairs = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    # global pair dedup (a pair co-buckets in several probed buckets): the
+    # few-partition shuffle + vectorized max pattern (invariant 9) — NOT a
+    # per-distinct-pair Max aggregate (~65 µs/key, and the distinct-key count
+    # here IS the pair count, which explodes exactly on duplication-heavy
+    # corpora, the op's whole target).
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part2", pa.array(_pair_part_array(t, "id_a", "id_b", n_parts), pa.int64())
+        )
+
+    def max_part(g: pd.DataFrame):
+        return from_pandas_clean(
+            g.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+        )
+
+    return pairs.map_batches(tag_pair, batch_format="pyarrow").groupby("_part2").map_groups(
+        max_part, batch_format="pandas"
+    )
 
 
 def semantic_dedup(
