@@ -53,3 +53,49 @@ def test_pagerank_order_and_dangling():
 def test_pagerank_empty_edges():
     out = graph.pagerank(_edges_ds([]), n_iter=3).to_pandas()
     assert len(out) == 0
+
+
+def test_pagerank_dataset_mode_bit_identical():
+    # the dataset-resident plan must produce the SAME int64 rank_fp as the
+    # driver plan — integer fixed-point sums commute, so the physical plan
+    # cannot change a single bit
+    rng = np.random.RandomState(11)
+    pairs = list(zip(rng.randint(0, 60, 800).tolist(), rng.randint(0, 60, 800).tolist()))
+    a = graph.pagerank(_edges_ds(pairs), n_iter=5, mode="driver").to_pandas().sort_values("node")
+    b = graph.pagerank(
+        _edges_ds(pairs[::-1], repartition=7), n_iter=5, mode="dataset"
+    ).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["rank_fp"].tolist() == b["rank_fp"].tolist()
+    assert a["rank"].tolist() == b["rank"].tolist()
+
+
+def test_pagerank_dataset_mode_dangling_golden():
+    # dataset plan vs the independent scalar golden, dangling-heavy graph
+    pairs = [(0, 1), (1, 0), (2, 0), (2, 1), (0, 3), (1, 3), (0, 1)]
+    got = graph.pagerank(_edges_ds(pairs), n_iter=8, mode="dataset").to_pandas().sort_values("node")
+    want = expected_pagerank_table(pairs, n_iter=8).to_pandas()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["rank_fp"].tolist() == want["rank_fp"].tolist()
+
+
+def test_pagerank_driver_guard_and_auto_switch():
+    import pytest
+
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    # mode='driver' past the guard raises loudly with remedies
+    with pytest.raises(ValueError, match="max_driver_nodes"):
+        graph.pagerank(_edges_ds(pairs), n_iter=2, mode="driver", max_driver_nodes=2)
+    # mode='auto' past the guard silently takes the dataset plan instead
+    out = graph.pagerank(
+        _edges_ds(pairs), n_iter=2, mode="auto", max_driver_nodes=2
+    ).to_pandas().sort_values("node")
+    ref = graph.pagerank(_edges_ds(pairs), n_iter=2, mode="driver").to_pandas().sort_values("node")
+    assert out["rank_fp"].tolist() == ref["rank_fp"].tolist()
+    with pytest.raises(ValueError, match="mode"):
+        graph.pagerank(_edges_ds(pairs), mode="bogus")
+
+
+def test_pagerank_dataset_mode_empty_edges():
+    out = graph.pagerank(_edges_ds([]), n_iter=3, mode="dataset").to_pandas()
+    assert len(out) == 0
