@@ -115,8 +115,15 @@ def classify_quality(
 def classifier_sql(vocab: Sequence[str], weights: Sequence[int], text_expr: str = "text") -> str:
     """The classifier's select-list as DuckDB SQL (mirrors LinearTextScorer):
     integer logit numerator, sigmoid of S/n rounded to 6, integer-sign label."""
+    # vocab words land inside SQL string literals — escape quotes (ADVICE
+    # r3: a word containing ' would break/inject the oracle SQL; harmless
+    # with DEFAULT_VOCAB, but the function accepts arbitrary vocab).
+    # text_expr is an SQL EXPRESSION by contract (caller-trusted), not a
+    # literal, so it is interpolated as-is.
     counts = [
-        f"len(list_filter(regexp_extract_all(lower({text_expr}), '\\S+'), x -> x = '{w}'))"
+        "len(list_filter(regexp_extract_all(lower({e}), '\\S+'), x -> x = '{w}'))".format(
+            e=text_expr, w=w.replace("'", "''")
+        )
         for w in vocab
     ]
     s = " + ".join(f"{int(wt)} * c{j}" for j, wt in enumerate(weights))

@@ -348,9 +348,13 @@ def pca_top_component(
     bounded-collect contract. OPENBLAS_NUM_THREADS=1 (set at package
     import) keeps the matvec deterministic.
 
-    Int64 partial safety: |x|·scale ≤ ~2³¹ per component keeps a block's
-    d×d product sums exact for ≥4k-row blocks; the cross-block combine is
-    overflow-free (Python ints).
+    Int64 partial safety: an entry of the block partial is Σ_rows xᵢ·xⱼ,
+    bounded by rows·max(|x·scale|)², so exactness requires
+    ``rows · max(|xᵢ|)² < 2⁶³`` — e.g. max|x|·scale ≤ 2²³ allows 64k-row
+    blocks with 2⁶²-headroom (a SINGLE product of two ~2³¹ values is
+    already ~2⁶², so large components overflow at 2 rows). ``partial()``
+    asserts this bound at runtime (numpy wraps silently otherwise); the
+    cross-block combine is overflow-free (Python ints).
 
     Returns a d-row pa.Table: (dim_idx, weight, eigenvalue, n_rows).
     """
@@ -361,8 +365,20 @@ def pca_top_component(
 
         x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
         xi = np.asarray(round_half_away(x * scale, 0), dtype=np.int64)
+        # runtime overflow guard (ADVICE r3): an int64 partial entry is
+        # Σ_rows xi_i·xi_j ≤ rows·max|xi|²; numpy wraps silently past 2⁶³,
+        # producing wrong PCA with no error — raise instead, with remedies
+        if len(xi):
+            m = float(np.abs(xi).max())
+            if m * m * len(xi) >= float(2**62):
+                raise ValueError(
+                    f"pca_top_component: block of {len(xi)} rows with "
+                    f"max|x·scale|={m:.3g} would overflow the int64 partial "
+                    f"(rows·max² ≥ 2^62); lower scale= (now {scale}) or "
+                    "reduce block size"
+                )
         s = xi.sum(axis=0)
-        ss = xi.T @ xi  # int64 matmul — exact within the documented bound
+        ss = xi.T @ xi  # int64 matmul — exact within the asserted bound
         return pa.table({
             "n": pa.array([len(xi)], pa.int64()),
             "s": pa.array([s.tobytes()], pa.binary()),

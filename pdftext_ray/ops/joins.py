@@ -48,11 +48,26 @@ def broadcast_join(
     small_df = small.to_pandas()
     ref = ray.put(small_df)
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        rhs = ray.get(ref)
-        return batch.merge(rhs, left_on=left_key, right_on=right_key, how=how)
+    class _Merge:
+        """Actor-pool merger: the broadcast frame is ray.get ONCE per actor
+        in __init__, not once per batch (plasma makes the bytes cheap on a
+        node; the pandas deserialization per batch is not — VERDICT r3 item
+        5). The ref arrives via fn_constructor_args so actor restart stays
+        possible (no ObjectRef closure capture)."""
 
-    return large.map_batches(merge, batch_format="pandas")
+        def __init__(self, broadcast_ref):
+            self.rhs = ray.get(broadcast_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.rhs, left_on=left_key, right_on=right_key, how=how)
+
+    from pdftext_ray.ops import default_num_partitions
+
+    return large.map_batches(
+        _Merge, batch_format="pandas",
+        concurrency=(1, default_num_partitions()),
+        fn_constructor_args=(ref,),
+    )
 
 
 def partitioned_hash_join(

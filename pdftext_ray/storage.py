@@ -26,6 +26,25 @@ def have_lance() -> bool:
     return _HAVE_LANCE
 
 
+_lance_fallback_logged = False
+
+
+def _log_lance_fallback(uri: str) -> None:
+    """Log the lance→parquet fallback ONCE per process (VERDICT r3 item 8:
+    the fallback must be visible, not silent — an operator reading a
+    ``.lance`` URI should know the bytes are parquet until pylance ships)."""
+    global _lance_fallback_logged
+    if not _lance_fallback_logged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pylance not installed: %r routes through the Parquet arm "
+            "(same schema, parquet part files under the .lance path); "
+            "install pylance to use the native Lance format", uri
+        )
+        _lance_fallback_logged = True
+
+
 def _stripped_file_schema(uri: str, columns: Optional[list]):
     """Metadata-free read schema for a single parquet file.
 
@@ -63,8 +82,10 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
     rows; at 100 TB convert to Parquet/Lance at ingest and prune at the
     read.
     """
-    if _HAVE_LANCE and uri.endswith(".lance"):
-        return ray.data.read_lance(uri, columns=columns, **kwargs)
+    if uri.endswith(".lance"):
+        if _HAVE_LANCE:
+            return ray.data.read_lance(uri, columns=columns, **kwargs)
+        _log_lance_fallback(uri)
     if uri.endswith(".orc") or _is_local_orc_dir(uri):
         return _read_orc(uri, columns)
     if uri.endswith((".jsonl", ".json")):
@@ -90,8 +111,11 @@ def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
     ``.csv`` / ``.orc`` (one part file per block) by extension, Parquet
     otherwise.
     """
-    if _HAVE_LANCE and uri.endswith(".lance"):
+    if uri.endswith(".lance") and _HAVE_LANCE:
         ds.write_lance(uri, **kwargs)
+    elif uri.endswith(".lance"):
+        _log_lance_fallback(uri)
+        ds.write_parquet(uri, **kwargs)
     elif uri.endswith((".jsonl", ".json")):
         ds.write_json(uri, **kwargs)
     elif uri.endswith(".csv"):
@@ -100,6 +124,19 @@ def write_table(ds: ray.data.Dataset, uri: str, **kwargs) -> None:
         _write_orc(ds, uri)
     else:
         ds.write_parquet(uri, **kwargs)
+
+
+def _require_local_orc(uri: str) -> None:
+    """The ORC arm is LOCAL-FILESYSTEM-ONLY (os.makedirs / os.listdir for
+    part layout and the schema-seed header probe) — unlike the parquet arm,
+    whose remote URIs route through pyarrow.fs. A remote ORC URI would
+    crash the write and silently skip the read's empty-dataset schema
+    guarantee, so fail loudly with the remedy instead (ADVICE r3)."""
+    if "://" in uri and not uri.startswith("file://"):
+        raise NotImplementedError(
+            f"ORC read/write is local-filesystem-only (got {uri!r}); "
+            "convert to parquet for remote storage, or localize the path"
+        )
 
 
 def _is_local_orc_dir(uri: str) -> bool:
@@ -121,6 +158,8 @@ def _read_orc(uri: str, columns: Optional[list]) -> ray.data.Dataset:
     import io
 
     from pyarrow import orc as pa_orc
+
+    _require_local_orc(uri)
 
     def decode(t: pa.Table) -> pa.Table:
         out = []
@@ -157,6 +196,7 @@ def _write_orc(ds: ray.data.Dataset, uri: str) -> None:
 
     from pyarrow import orc as pa_orc
 
+    _require_local_orc(uri)
     os.makedirs(uri, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:

@@ -372,6 +372,85 @@ def test_lance_dispatch_contract(monkeypatch, tmp_path):
     assert t.equals(src.select(["doc_id", "text"]))
 
 
+def test_lance_fallback_logs_once_and_roundtrips(tmp_path, caplog):
+    """Without pylance, a .lance URI routes through the parquet arm AND
+    says so once per process (VERDICT r3 item 8: the fallback must be
+    visible, not silent). Round-trip correctness is unaffected."""
+    import logging
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdftext_ray import storage
+
+    assert not storage.have_lance()  # env fact: no pylance wheel in sandbox
+    storage._lance_fallback_logged = False  # reset the once-per-process latch
+    src = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    uri = str(tmp_path / "docs.lance")
+    with caplog.at_level(logging.WARNING, logger="pdftext_ray.storage"):
+        storage.write_table(ray.data.from_arrow(src), uri)
+        back = storage.read_table(uri, columns=["doc_id", "text"]).to_pandas()
+        storage.read_table(uri)  # second use: latch suppresses a repeat
+    msgs = [r for r in caplog.records if "pylance not installed" in r.message]
+    assert len(msgs) == 1  # logged exactly once, with the reason
+    pd.testing.assert_frame_equal(
+        back.sort_values("doc_id").reset_index(drop=True),
+        src.to_pandas(),
+        check_dtype=False,
+    )
+
+
+def test_orc_remote_uri_raises():
+    """ORC is local-filesystem-only; remote URIs must fail loudly with the
+    remedy, not crash mid-write or silently skip the schema seed (ADVICE
+    r3)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pdftext_ray import storage
+
+    ds = ray.data.from_arrow(pa.table({"a": [1]}))
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        storage.write_table(ds, "s3://bucket/t.orc")
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        storage.read_table("s3://bucket/t.orc")
+
+
+def test_pca_overflow_guard():
+    """Out-of-contract magnitudes must raise, not silently wrap int64
+    (ADVICE r3: a single product of two ~2^31 components is already ~2^62,
+    so numpy wraps with no error and PCA is silently wrong)."""
+    import pytest
+    import ray.data
+
+    from pdftext_ray.ops import cluster
+
+    big = 3.0e9  # |x·scale| = 3e15 → one row pair already overflows
+    ds = ray.data.from_items(
+        [{"embedding": [big, -big]}, {"embedding": [big, big]}]
+    )
+    with pytest.raises(Exception, match="overflow"):
+        cluster.pca_top_component(ds, scale=10**6)
+
+
+def test_classifier_sql_escapes_quotes():
+    """A vocab word containing a single quote must produce valid, correctly
+    quoted SQL (ADVICE r3: raw interpolation breaks/injects the oracle)."""
+    import duckdb
+
+    from pdftext_ray.ops.classifier import classifier_sql
+
+    sql = classifier_sql(["don't", "stop"], [2, -1])
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, 'don''t stop don''t' AS text")
+    got = con.execute(sql).df()
+    # 2 hits of don't (+2 each) + 1 hit of stop (-1) → s=3 over n=3 tokens
+    assert got["n_matched"].tolist() == [3]
+    assert got["label"].tolist() == ["keep"]
+
+
 def test_cli_page_range_validation(tmp_path, capsys):
     """Pages beyond every document's length must ERROR like the reference
     (scripts/extract_text.py:38-43), not silently filter (VERDICT r2
