@@ -88,16 +88,20 @@ def clean_corpus(
     )
 
     # dedup among survivors: keep the min doc_id per content hash; carry the
-    # doc-level stats via min-aggregates (identical within a hash group)
-    from ray.data.aggregate import Min
+    # doc-level stats via min-aggregates (identical within a hash group).
+    # text_hash cardinality ≈ corpus size, so this routes through the
+    # few-partition hash shuffle + vectorized per-partition agg (CLAUDE.md
+    # invariant 9) — a per-distinct-key Ray aggregate pays ~65 µs/key, which
+    # at web scale IS the job.
+    from pdftext_ray.ops.relational import hash_grouped_agg
 
-    return (
-        gated.groupby("text_hash")
-        .aggregate(
-            Min(id_col, alias_name=id_col),
-            Min("n_tokens", alias_name="n_tokens"),
-            Min("alpha_ratio", alias_name="alpha_ratio"),
-            Min("stop_ratio", alias_name="stop_ratio"),
-        )
-        .drop_columns(["text_hash"])
-    )
+    return hash_grouped_agg(
+        gated,
+        "text_hash",
+        {
+            id_col: (id_col, "min"),
+            "n_tokens": ("n_tokens", "min"),
+            "alpha_ratio": ("alpha_ratio", "min"),
+            "stop_ratio": ("stop_ratio", "min"),
+        },
+    ).drop_columns(["text_hash"])

@@ -39,11 +39,6 @@ def training_mixture(
     packed position: (doc_id, lang, n_tokens, start_offset, seq_id,
     seq_pos, n_seqs), deterministic and layout-independent end to end.
     """
-    from pdftext_ray.ops import default_num_partitions
-    from pdftext_ray.ops.pack import pack_from_counts
-    from pdftext_ray.ops.relational import _key_part_tag
-    from pdftext_ray.ops.sampling import temperature_sample
-
     gated = ds.map_batches(
         functools.partial(
             quality_gate_batch,
@@ -56,6 +51,29 @@ def training_mixture(
         ),
         batch_format="pyarrow",
     )
+    return mixture_from_gated(
+        gated, budget=budget, alpha=alpha,
+        lang_col=lang_col, id_col=id_col, seed=seed,
+    )
+
+
+def mixture_from_gated(
+    gated: ray.data.Dataset,
+    budget: int = 512,
+    alpha: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Dedup → rebalance → pack over an already-gated survivors table
+    (columns: id, lang, n_tokens, text_hash). Split out so the resumable
+    runner (pipelines.checkpoint.run_mixture_checkpointed) can feed
+    checkpointed phase-1 output into the identical global phase."""
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.pack import pack_from_counts
+    from pdftext_ray.ops.relational import _key_part_tag
+    from pdftext_ray.ops.sampling import temperature_sample
+
     # ARG-min dedup: keep the min-id row WHOLE per content hash, so the
     # survivor carries its OWN lang (a column-wise min(lang) could borrow a
     # duplicate's label and skew the rebalance). text_hash cardinality ≈
