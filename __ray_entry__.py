@@ -893,6 +893,18 @@ def _q_user_journeys(sf_dir: str):
     )
 
 
+def _q_domain_cap(sf_dir: str):
+    """Per-source quota: at most 10 docs per source, chosen by seeded hash
+    rank — the 'cap documents per domain/host' web-curation rule. One
+    hash(group) few-partition shuffle + vectorized per-partition head."""
+    from pdftext_ray.ops import sampling
+
+    return sampling.group_cap(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        cap=10, group_col="source", key_col="doc_id",
+    )
+
+
 def _q_top_orders_q3(sf_dir: str):
     """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
     semi-filter orders by the BUILDING customer keys (bounded dimension
@@ -2304,6 +2316,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "temperature_sample": _q_temperature_sample,
         "stratified_sample": _q_stratified_sample,
+        "domain_cap": _q_domain_cap,
         "media_features": _q_media_features,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
@@ -2493,6 +2506,14 @@ def _full_oracle_sql() -> dict[str, str]:
             "SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT), count(*) FROM sample "
             "UNION ALL "
             "SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT), count(*) FROM sample"
+        ),
+        "domain_cap": (
+            # hash32 mirrors ops.sampling._key_hash32's integer path exactly
+            "SELECT doc_id, source, group_rank FROM ("
+            "SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY "
+            "(((CAST(doc_id + 17 AS HUGEINT) * 11400714819323198485) % 18446744073709551616) "
+            "// 4294967296), doc_id) AS BIGINT) AS group_rank FROM documents) t "
+            "WHERE group_rank <= 10"
         ),
         "shuffle_rank": (
             "SELECT doc_id, row_number() OVER (ORDER BY "

@@ -265,6 +265,64 @@ def weighted_sample(
     return local.sort(["priority", key_col], descending=[True, False]).limit(k)
 
 
+def group_cap(
+    ds: ray.data.Dataset,
+    cap: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Per-group quota sampling: keep at most ``cap`` rows per group — the
+    'at most N documents per domain/host' curation rule (C4/RefinedWeb-style
+    host caps). Which rows survive is deterministic and layout-independent:
+    the ``cap`` smallest ``(hash32(key), key)`` per group, i.e. a seeded
+    uniform draw without an RNG, mirrorable in SQL as
+    ``row_number() OVER (PARTITION BY group ORDER BY hash32(key), key) <= cap``.
+
+    Plan: ONE few-partition hash shuffle on hash(group) co-locates every
+    group (group cardinality may be corpus-sized — millions of hosts — so
+    per-distinct-key aggregates are out, CLAUDE.md invariant 9), then a
+    single vectorized sort + cumcount head per partition. Only
+    (key, group, h) triples move. Output: (key_col, group_col, group_rank)
+    with group_rank 1-based in hash order.
+    """
+    import pandas as pd
+
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.dedup import _bucket_array
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    n_parts = default_num_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        col_k = t.column(key_col).combine_chunks()
+        col_g = t.column(group_col).combine_chunks()
+        return pa.table({
+            key_col: col_k,
+            group_col: col_g,
+            "_h": pa.array(_key_hash32(col_k, seed), pa.int64()),
+            "_part": pa.array(_bucket_array(col_g, n_parts), pa.int64()),
+        })
+
+    def head(g: pd.DataFrame):
+        g = g.sort_values([group_col, "_h", key_col], kind="mergesort")
+        r = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        keep = r <= cap
+        return from_pandas_clean(pd.DataFrame({
+            key_col: g[key_col].to_numpy()[keep],
+            group_col: g[group_col].to_numpy()[keep],
+            "group_rank": r[keep].astype(np.int64),
+        }))
+
+    return (
+        ds.select_columns([key_col, group_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(head, batch_format="pandas")
+    )
+
+
 def _key_hash32(col, seed: int) -> np.ndarray:
     """Per-row 32-bit hash (the PRE-modulo value behind ``_key_buckets``) —
     the sort key for deterministic global shuffling. Same SQL parity story:

@@ -413,3 +413,44 @@ def test_describe_table_empty_and_unsupported():
         )
     with pytest.raises(ValueError, match="no column"):
         describe_table(ray.data.from_arrow(empty), ["missing"])
+
+
+def _scalar_group_cap(ids, groups, cap, seed=17):
+    # independent scalar replication of group_cap's rank contract
+    K = 0x9E3779B97F4A7C15
+    by_group = {}
+    for i, g in zip(ids, groups):
+        h = (((i + seed) * K) % (1 << 64)) >> 32
+        by_group.setdefault(g, []).append((h, i))
+    out = []
+    for g, rows in by_group.items():
+        for rank, (_, i) in enumerate(sorted(rows), start=1):
+            if rank <= cap:
+                out.append((i, g, rank))
+    return sorted(out)
+
+
+def test_group_cap_matches_scalar_and_layouts():
+    rng = np.random.default_rng(5)
+    n = 1500
+    groups = [f"host{int(x)}" for x in rng.integers(0, 40, size=n)]
+    ids = list(range(n))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "source": groups}))
+    out = sampling.group_cap(ds, cap=7, group_col="source").to_pandas()
+    got = sorted(zip(out["doc_id"], out["source"], out["group_rank"]))
+    assert got == _scalar_group_cap(ids, groups, cap=7)
+    # every group capped at 7; groups smaller than 7 keep everything
+    sizes = out.groupby("source").size()
+    assert sizes.max() <= 7
+    # layout-independent: reversed 9-block layout keeps the same rows
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": ids[::-1], "source": groups[::-1]})
+    ).repartition(9)
+    out2 = sampling.group_cap(ds2, cap=7, group_col="source").to_pandas()
+    assert sorted(zip(out2["doc_id"], out2["source"], out2["group_rank"])) == got
+
+
+def test_group_cap_rejects_bad_cap():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "source": ["a"]}))
+    with pytest.raises(ValueError, match="cap"):
+        sampling.group_cap(ds, cap=0)
