@@ -1294,9 +1294,11 @@ def embedding_pairs_bruteforce(
         fetched ONCE per actor in __init__ (VERDICT r2: a per-batch ray.get
         re-deserializes the id array every batch; plasma makes the bytes
         near-free on a node, the numpy view reconstruction is not). The ref
-        arrives via fn_constructor_args, NOT a closure capture — a captured
-        ObjectRef makes Ray serialize the constructor into the object store
-        and disables actor restart (VERDICT r3 item 4, core_worker warning)."""
+        arrives via fn_constructor_args, NOT a closure capture; since ANY
+        ObjectRef among constructor args lands in the object store and would
+        make an actor RESTART fail if it were collected, restarts are
+        disabled explicitly (max_restarts=0) — the streaming executor
+        re-creates a fresh actor from lineage instead (VERDICT r3 item 4)."""
 
         def __init__(self, broadcast_ref):
             self.ids_o, self.mat_o = ray.get(broadcast_ref)
@@ -1326,6 +1328,7 @@ def embedding_pairs_bruteforce(
         _Pairs, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, default_num_partitions()),
         fn_constructor_args=(ref,),
+        max_restarts=0,
     )
 
 
