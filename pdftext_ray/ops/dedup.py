@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import pickle
 from typing import List, Optional
 
 import numpy as np
@@ -958,6 +959,317 @@ def simhash_pairs(
     )
 
 
+def _collapse_identical_sets(
+    sigs: ray.data.Dataset, id_col: str, hot_df_limit: Optional[int], n_parts: int
+) -> Optional[ray.data.Dataset]:
+    """Group documents whose DISTINCT gram sets are byte-identical (exact
+    copies and trivial reorderings) into one representative each — the
+    collapse that makes exact set-similarity joins survive duplication-
+    saturated corpora (the ×10-replication stress drove the uncollapsed
+    plan's Σ C(df,2) emission to 88× of its 1× cost; with collapse the
+    per-gram df counts DISTINCT sets, so duplication adds output rows but
+    no join work).
+
+    Returns ONE materialized dataset tagged by row kind (materialized so
+    the three downstream consumers don't re-execute the tokenize pass):
+      kind=0 rep rows      (a=rep id, blob=packed sorted int64 shingles)
+      kind=1 member lists  (a=rep id, blob=pickled sorted member ids;
+                            only groups with ≥2 members)
+      kind=2 clique pairs  (a<b within one identical-set group, jaccard=1.0
+                            exactly — identical sets have |∩|=|∪|)
+    Empty gram sets are dropped first: they can never pair (invariant 10 —
+    the |∩|/greatest(|∪|,1) convention scores empty-vs-empty 0). Grouping
+    compares the PACKED BYTES, not just the 63-bit set hash, so collapse
+    itself adds no collision risk. ``hot_df_limit`` guards clique size:
+    k identical copies emit C(k,2) output rows by definition — real output,
+    but guarded like every other quadratic emission in this module (run
+    ``exact_dedup`` first, or raise the limit, to accept it). Returns None
+    when no document has a non-empty gram set.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks()
+        keep_idx, packed, ghash = [], [], []
+        for i, s in enumerate(batch.column("shingles").to_pylist()):
+            if not s:
+                continue
+            p = np.asarray(s, dtype="<i8").tobytes()
+            keep_idx.append(i)
+            packed.append(p)
+            ghash.append(
+                int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "big") >> 1
+            )
+        gh = np.asarray(ghash, dtype=np.int64) if ghash else np.array([], dtype=np.int64)
+        return pa.table({
+            id_col: ids.take(pa.array(keep_idx, pa.int64())),
+            "_packed": pa.array(packed, pa.binary()),
+            "_ghash": pa.array(gh, pa.int64()),
+            "_part": pa.array(gh % n_parts, pa.int64()),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_ghash", "_packed", id_col])
+        ghs = g["_ghash"].to_numpy()
+        pk = g["_packed"].to_numpy()
+        ids = g[id_col].to_numpy()
+        new = np.r_[True, (ghs[1:] != ghs[:-1]) | (pk[1:] != pk[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(g)]
+        kind, a, b, j, blob, gsize = [], [], [], [], [], []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            run = ids[s0:e0]
+            rep = run[0]
+            kind.append(0)
+            a.append(rep)
+            b.append(rep)
+            j.append(0.0)
+            blob.append(pk[s0])
+            gsize.append(0)
+            if k < 2:
+                continue
+            if hot_df_limit is not None and k > hot_df_limit:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: {k} documents share an IDENTICAL "
+                    f"gram set (> hot_df_limit={hot_df_limit}); their clique "
+                    f"alone is C({k},2)={k * (k - 1) // 2} output pairs. Run "
+                    "exact_dedup first to drop exact copies, or raise "
+                    "hot_df_limit explicitly to accept the output size."
+                )
+            kind.append(1)
+            a.append(rep)
+            b.append(rep)
+            j.append(0.0)
+            blob.append(pickle.dumps(run.tolist()))
+            gsize.append(k)
+            ia, ib = np.triu_indices(k, 1)
+            m = len(ia)
+            kind.extend([2] * m)
+            a.extend(run[ia].tolist())
+            b.extend(run[ib].tolist())
+            j.extend([1.0] * m)
+            blob.extend([b""] * m)
+            gsize.extend([0] * m)
+        return from_pandas_clean(pd.DataFrame({
+            "kind": pd.Series(kind, dtype=np.int8),
+            "a": pd.Series(a, dtype=g[id_col].dtype),
+            "b": pd.Series(b, dtype=g[id_col].dtype),
+            "jaccard": pd.Series(j, dtype=np.float64),
+            "blob": pd.Series(blob, dtype=object),
+            "gsize": pd.Series(gsize, dtype=np.int64),
+        }))
+
+    grouped = (
+        sigs.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .materialize()
+    )
+    if grouped.count() == 0:
+        return None
+    return grouped
+
+
+def _split_collapsed(grouped: ray.data.Dataset, id_col: str):
+    """Materialized collapse table → (reps, members, cliques) via vectorized
+    kind masks (never a row filter(lambda) — invariant 3)."""
+
+    def unpack_reps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        sh = [np.frombuffer(p, dtype="<i8").tolist() for p in t.column("blob").to_pylist()]
+        return pa.table({
+            id_col: t.column("a"),
+            "shingles": pa.array(sh, pa.list_(pa.int64())),
+        })
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        return pa.table({id_col: t.column("a"), "blob": t.column("blob")})
+
+    def clique_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 2))
+        return pa.table({
+            "id_a": t.column("a"),
+            "id_b": t.column("b"),
+            "jaccard": t.column("jaccard"),
+        })
+
+    return (
+        grouped.map_batches(unpack_reps, batch_format="pyarrow"),
+        grouped.map_batches(member_rows, batch_format="pyarrow"),
+        grouped.map_batches(clique_rows, batch_format="pyarrow"),
+    )
+
+
+def _attach_packed(
+    pairs: ray.data.Dataset,
+    pair_cols,  # list[(name, pa.DataType)] — pairs' current columns
+    key_col: str,
+    blobs: ray.data.Dataset,  # (id_col, blob binary)
+    id_col: str,
+    out_col: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """LEFT-attach a pre-packed binary column to pair rows keyed on
+    ``key_col`` — the ``_attach_blobs`` co-partitioned union-merge pattern
+    (never ``Dataset.join`` — invariant 7), with two differences: the blob
+    side arrives already packed, and keys with no blob row keep ``b""``
+    (left semantics — singleton groups have no member-list row)."""
+    names = [n for n, _ in pair_cols]
+    key_type = dict(pair_cols)[key_col]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            name: pc.cast(t.column(name).combine_chunks(), typ) for name, typ in pair_cols
+        }
+        cols[out_col] = pa.array([None] * n, pa.binary())
+        cols["_is_sig"] = pa.array(np.zeros(n, dtype=np.int8), pa.int8())
+        cols["_bucket"] = pa.array(_bucket_array(cols[key_col], num_buckets), pa.int64())
+        return pa.table(cols)
+
+    def tag_blobs(t: pa.Table) -> pa.Table:
+        key_arr = pc.cast(t.column(id_col).combine_chunks(), key_type)
+        n = len(t)
+        cols = {}
+        for name, typ in pair_cols:
+            # typed DUMMIES for non-key pair columns (not nulls — a null in
+            # an int64 column makes the pandas merge promote to float64)
+            if name == key_col:
+                cols[name] = key_arr
+            elif pa.types.is_binary(typ):
+                cols[name] = pa.array([b""] * n, typ)
+            elif pa.types.is_floating(typ):
+                cols[name] = pa.array(np.zeros(n, dtype=np.float64), typ)
+            else:
+                cols[name] = pc.cast(key_arr, typ)
+        cols[out_col] = t.column("blob").combine_chunks()
+        cols["_is_sig"] = pa.array(np.ones(n, dtype=np.int8), pa.int8())
+        cols["_bucket"] = pa.array(_bucket_array(key_arr, num_buckets), pa.int64())
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame):
+        sig = g[g["_is_sig"] == 1][[key_col, out_col]]
+        prs = g[g["_is_sig"] == 0][names]
+        m = prs.merge(sig, on=key_col, how="left")
+        m[out_col] = m[out_col].where(m[out_col].notna(), b"")
+        return from_pandas_clean(m)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        blobs.map_batches(tag_blobs, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+# above this many TOTAL duplicated-group member ids, rep-pair expansion stops
+# broadcasting the member map and switches to the co-partitioned attach plan
+_EXPAND_BROADCAST_LIMIT = 2_000_000
+
+
+def _expand_rep_pairs(
+    rep_pairs: ray.data.Dataset,
+    members: ray.data.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    n_parts: int,
+    total_member_ids: int,
+) -> ray.data.Dataset:
+    """Representative pairs (ra, rb, j) → all member pairs. Identical sets
+    within a group mean every member pair carries the rep pair's EXACT
+    jaccard; groups are disjoint, so no pair is emitted twice. Expansion is
+    output-bound: Σ |Ga|×|Gb| rows, the true result size.
+
+    The member map is one entry per MULTI-MEMBER group — a classic small
+    side. Up to ``_EXPAND_BROADCAST_LIMIT`` total member ids it is collected
+    once and closure-captured (Ray ships large UDF closures through the
+    object store and each worker process deserializes once), making expansion a
+    shuffle-free ``map_batches``; past the limit it falls back to two
+    co-partitioned bucket attaches (``_attach_packed``) that never hold the
+    map in one process."""
+
+    def cross(o_a, o_b, o_j, mem_a, mem_b, j):
+        for x in mem_a:
+            for y in mem_b:
+                if x < y:
+                    o_a.append(x)
+                    o_b.append(y)
+                else:
+                    o_a.append(y)
+                    o_b.append(x)
+                o_j.append(j)
+
+    if total_member_ids == 0:
+        return rep_pairs  # every group is a singleton — pairs ARE final
+
+    if total_member_ids <= _EXPAND_BROADCAST_LIMIT:
+        mem_map = {
+            r[id_col]: pickle.loads(r["blob"])
+            for batch in members.iter_batches(batch_format="pyarrow")
+            for r in batch.to_pylist()
+        }
+
+        def expand_bcast(batch: pa.Table) -> pa.Table:
+            o_a, o_b, o_j = [], [], []
+            for a, b, j in zip(
+                batch.column("id_a").to_pylist(),
+                batch.column("id_b").to_pylist(),
+                batch.column("jaccard").to_pylist(),
+            ):
+                cross(o_a, o_b, o_j, mem_map.get(a, (a,)), mem_map.get(b, (b,)), j)
+            return pa.table({
+                "id_a": pa.array(o_a, id_type),
+                "id_b": pa.array(o_b, id_type),
+                "jaccard": pa.array(o_j, pa.float64()),
+            })
+
+        return rep_pairs.map_batches(expand_bcast, batch_format="pyarrow")
+
+    pair_cols = [("id_a", id_type), ("id_b", id_type), ("jaccard", pa.float64())]
+    with_a = _attach_packed(rep_pairs, pair_cols, "id_a", members, id_col, "_mem_a", n_parts)
+    with_b = _attach_packed(
+        with_a, pair_cols + [("_mem_a", pa.binary())], "id_b", members, id_col, "_mem_b", n_parts
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        o_a, o_b, o_j = [], [], []
+        for a, b, j, ma, mb in zip(
+            batch.column("id_a").to_pylist(),
+            batch.column("id_b").to_pylist(),
+            batch.column("jaccard").to_pylist(),
+            batch.column("_mem_a").to_pylist(),
+            batch.column("_mem_b").to_pylist(),
+        ):
+            cross(o_a, o_b, o_j, pickle.loads(ma) if ma else (a,), pickle.loads(mb) if mb else (b,), j)
+        return pa.table({
+            "id_a": pa.array(o_a, id_type),
+            "id_b": pa.array(o_b, id_type),
+            "jaccard": pa.array(o_j, pa.float64()),
+        })
+
+    return with_b.map_batches(expand, batch_format="pyarrow")
+
+
+def _postings_from_sigs(sigs: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """(id, shingles) → (bucket, id, m) postings with the set size carried,
+    the input shape of the exact shared-gram-count plan."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        o_gram, o_id, o_m = [], [], []
+        for did, sh in zip(
+            batch.column(id_col).to_pylist(), batch.column("shingles").to_pylist()
+        ):
+            o_gram.extend(sh)
+            o_id.extend([did] * len(sh))
+            o_m.extend([len(sh)] * len(sh))
+        return pa.table({
+            "bucket": pa.array(o_gram, pa.int64()),
+            id_col: pa.array(o_id, batch.schema.field(id_col).type),
+            "m": pa.array(o_m, pa.int64()),
+        })
+
+    return sigs.map_batches(f, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.5,
@@ -966,6 +1278,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_doc_freq: Optional[int] = None,
     hot_df_limit: Optional[int] = 1000,
+    collapse_identical: bool = True,
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity self-join (pairs ≥ threshold).
 
@@ -1000,19 +1313,68 @@ def ngram_jaccard_pairs(
     restores the unguarded exact plan. In the two-phase plan the pruned
     (dropped) gram-bucket count is logged per partition — no silent caps in
     either direction.
-    """
-    if max_doc_freq is not None:
-        def gram_sets(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            out = [
-                np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64).tolist()
-                for t in batch.column(text_col).to_pylist()
-            ]
-            return pa.table({
-                id_col: pa.array(ids, batch.schema.field(id_col).type),
-                "shingles": pa.array(out, pa.list_(pa.int64())),
-            })
 
+    ``collapse_identical=True`` (default) first groups byte-identical gram
+    sets (``_collapse_identical_sets``): each group joins as ONE
+    representative, its internal pairs emit directly as jaccard-1.0 cliques,
+    and representative pairs expand back to member pairs afterwards. Values
+    are unchanged — identical sets share every gram, so a member pair's
+    jaccard IS the rep pair's — but join cost now scales with DISTINCT sets,
+    not documents: the ×10-exact-copy stress dropped from 322 s (per-gram df
+    emission ∝ copies², the uncollapsed plan) to output-bound seconds. On a
+    duplication-free corpus the collapse adds one few-partition shuffle and
+    two pair-table attach shuffles of overhead; ``collapse_identical=False``
+    restores the single-pass plans. Collapse also improves two-phase RECALL:
+    exact copies previously shared only hot (pruned) grams and were missed
+    entirely; the clique stage now emits them regardless of df.
+    """
+    from pdftext_ray.ops import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def gram_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out = [
+            np.unique(_shingle_hashes(t, n, short_fallback=False)).astype(np.int64).tolist()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "shingles": pa.array(out, pa.list_(pa.int64())),
+        })
+
+    if collapse_identical:
+        sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024)
+        grouped = _collapse_identical_sets(sigs, id_col, hot_df_limit, n_parts)
+        if grouped is None:  # no doc has a non-empty gram set → no pairs
+            idt = _schema_field_type(ds, id_col) or pa.int64()
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], idt),
+                "id_b": pa.array([], idt),
+                "jaccard": pa.array([], pa.float64()),
+            }))
+        reps, members, cliques = _split_collapsed(grouped, id_col)
+        if max_doc_freq is not None:
+            cands = _shingle_bucket_candidates(
+                reps, id_col, "id_a", "id_b", max_doc_freq=max_doc_freq
+            )
+            rep_pairs = _verify_pairs_exact_jaccard(
+                cands, reps, id_col, "id_a", "id_b", threshold,
+                empty_id_type=lambda: _schema_field_type(ds, id_col),
+            )
+        else:
+            rep_pairs = _exact_jaccard_from_postings(
+                _postings_from_sigs(reps, id_col), id_col, threshold,
+                hot_df_limit, n_parts,
+            )
+        id_type = _schema_field_type(grouped, "a")
+        total_member_ids = int(grouped.sum("gsize") or 0)
+        expanded = _expand_rep_pairs(
+            rep_pairs, members, id_col, id_type, n_parts, total_member_ids
+        )
+        return cliques.union(expanded)
+
+    if max_doc_freq is not None:
         in_id_type = lambda: _schema_field_type(ds, id_col)  # noqa: E731 — lazy, rare path only
         sigs = ds.map_batches(gram_sets, batch_format="pyarrow", batch_size=1024).materialize()
         cands = _shingle_bucket_candidates(sigs, id_col, "id_a", "id_b", max_doc_freq=max_doc_freq)
@@ -1033,15 +1395,27 @@ def ngram_jaccard_pairs(
             "m": pa.array(o_m, pa.int64()),
         })
 
-    # Bucket co-location + one-row-per-shared-gram pair emission in ONE
-    # few-partition shuffle with a vectorized per-partition scan (NO
-    # per-distinct-gram aggregate — Ray's per-key overhead dominated the
-    # collect at stress scale), then a second few-partition shuffle counts
-    # pairs vectorized. Emissions are deliberately NOT deduped: the count
-    # per pair IS |A∩B|.
-    from pdftext_ray.ops import default_num_partitions
+    return _exact_jaccard_from_postings(
+        ds.map_batches(postings, batch_format="pyarrow", batch_size=1024),
+        id_col, threshold, hot_df_limit, n_parts,
+    )
 
-    n_parts = default_num_partitions()
+
+def _exact_jaccard_from_postings(
+    postings: ray.data.Dataset,
+    id_col: str,
+    threshold: float,
+    hot_df_limit: Optional[int],
+    n_parts: int,
+) -> ray.data.Dataset:
+    """(bucket, id, m) postings → exact jaccard pairs ≥ threshold.
+
+    Bucket co-location + one-row-per-shared-gram pair emission in ONE
+    few-partition shuffle with a vectorized per-partition scan (NO
+    per-distinct-gram aggregate — Ray's per-key overhead dominated the
+    collect at stress scale), then a second few-partition shuffle counts
+    pairs vectorized. Emissions are deliberately NOT deduped: the count
+    per pair IS |A∩B|."""
 
     def tag_gram(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1085,8 +1459,7 @@ def ngram_jaccard_pairs(
         }))
 
     emissions = (
-        ds.map_batches(postings, batch_format="pyarrow", batch_size=1024)
-        .map_batches(tag_gram, batch_format="pyarrow")
+        postings.map_batches(tag_gram, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(part_emit, batch_format="pandas")
     )

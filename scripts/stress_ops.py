@@ -1,0 +1,192 @@
+"""Op-layer scale stress (VERDICT r3 item 1, second half).
+
+Replicates the sf0.1 tables MULT× with remapped ids — text/embeddings kept
+BYTE-IDENTICAL across copies, so every document gains MULT-1 exact
+duplicates and every dedup op faces a duplication-saturated corpus (its
+worst case, and its whole purpose) — then runs the heavy op-layer queries
+at 1× and MULT× in one Ray session and reports sec + scaling ratio per op.
+A ratio ≈ MULT is linear; >> MULT means a super-linear stage to fix.
+
+Usage (from /root/repo, owns its Ray session):
+    python scripts/stress_ops.py [mult] [only_query,...]
+Prints one JSON line; paste the findings into BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.getcwd())
+
+import ray
+
+SF_DIR = "/root/testdata/sf0.1"
+STRESS_ROOT = "/tmp/pdftext_ray_stress"
+OFFSET = 10_000_000  # id offset per copy — clears every sf0.1 key range
+
+
+def build_replicas(mult: int) -> str:
+    """Write MULT× copies of the op-layer tables with remapped ids.
+
+    Ids are offset per copy; payload columns (text, embedding, ts, user_id,
+    graph keys) are untouched, so key-cardinality grows ×MULT while
+    per-key duplication ALSO grows ×MULT — the harsh case for dedup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(STRESS_ROOT, f"x{mult}")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    id_cols = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "events": ["event_id"],
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+    }
+    for name, cols in id_cols.items():
+        t = pq.read_table(os.path.join(SF_DIR, f"{name}.parquet"))
+        copies = []
+        for j in range(mult):
+            c = t
+            for col in cols:
+                c = c.set_column(
+                    c.schema.get_field_index(col), col,
+                    pc.add(c.column(col), j * OFFSET))
+            copies.append(c)
+        big = pa.concat_tables(copies)
+        pq.write_table(big, os.path.join(out, f"{name}.parquet"),
+                       row_group_size=max(4096, big.num_rows // 64))
+    # customer is a join small side — copied unscaled
+    pq.write_table(pq.read_table(os.path.join(SF_DIR, "customer.parquet")),
+                   os.path.join(out, "customer.parquet"))
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main():
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from pdftext_ray.ops import cluster, dedup, graph, joins, pack, \
+        relational, sampling, textstats
+    from pdftext_ray.pipelines.mixture import training_mixture
+    from pdftext_ray.storage import read_table
+
+    big_dir = build_replicas(mult)
+
+    def mk_queries(sf_dir):
+        def rd(name, columns):
+            return read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
+
+        def docs():
+            return rd("documents", ["doc_id", "text"])
+
+        def q_pagerank():
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            edges = rd("lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+                lambda t: _pa.table(
+                    {"src": t.column("l_suppkey"),
+                     "dst": _pc.add(t.column("l_partkey"), 1_000_000)}),
+                batch_format="pyarrow")
+            return graph.pagerank(edges, n_iter=8)
+
+        return {
+            "dedup_minhash": lambda: dedup.minhash_lsh_pairs(
+                docs(), threshold=0.5).count(),
+            "dedup_simhash": lambda: dedup.simhash_pairs(
+                docs(), max_hamming=3).count(),
+            # two-phase DF-pruned plan at BOTH levels (same args → fair
+            # ratio); the exact default's hot-df guard fires by design on a
+            # mult-replicated corpus, and max_doc_freq is its documented
+            # scale remedy
+            "ngram_jaccard_2ph": lambda: dedup.ngram_jaccard_pairs(
+                docs(), threshold=0.5, max_doc_freq=8 * mult).count(),
+            "substring_dedup": lambda: dedup.substring_dedup(
+                docs(), k=8).count(),
+            "paragraph_dedup": lambda: dedup.paragraph_dedup(
+                docs().map_batches(
+                    lambda b: dedup.chunk_text_batch(b, 10),
+                    batch_format="pyarrow")).count(),
+            "dedup_clusters": lambda: cluster.connected_components_distributed(
+                dedup.minhash_lsh_pairs(docs(), threshold=0.4)).count(),
+            "embedding_pairs_lsh": lambda: dedup.embedding_dup_pairs(
+                rd("embeddings", ["vec_id", "embedding"]),
+                threshold=0.4, n_planes=8, probe_radius=1).count(),
+            "dedup_keepbest": lambda: dedup.fuzzy_dedup_keepbest(
+                docs(), threshold=0.4, exact_recall=False).count(),
+            "training_mixture": lambda: training_mixture(
+                rd("documents", ["doc_id", "text", "lang"]),
+                budget=1024).count(),
+            "lm_perplexity": lambda: textstats.lm_perplexity(docs()).count(),
+            "top_ngrams": lambda: textstats.top_ngrams(
+                rd("documents", ["text"]), n=2, k=50).count(),
+            "winnow": lambda: textstats.winnow_fingerprints(docs()).count(),
+            "decontaminate": lambda: textstats.decontaminate(
+                rd("documents", ["doc_id", "text", "source"]), n=3).count(),
+            "pack_sequences": lambda: pack.pack_sequences(
+                docs(), budget=1024).count(),
+            "shuffle_rank": lambda: sampling.shuffle_rank(
+                rd("documents", ["doc_id"])).count(),
+            "sort_rank": lambda: relational.sort_rank(
+                rd("documents", ["doc_id", "n_chars"]), "n_chars", "doc_id",
+                descending=True, n_buckets=10).count(),
+            "kmeans": lambda: cluster.kmeans_assign(
+                rd("embeddings", ["vec_id", "embedding"])).count(),
+            "graph_pagerank": lambda: q_pagerank().count(),
+            "hash_join": lambda: joins.partitioned_hash_join(
+                rd("lineitem", ["l_orderkey", "l_quantity"]),
+                rd("orders", ["o_orderkey", "o_orderpriority"]),
+                "l_orderkey", "o_orderkey").count(),
+            "salted_join": lambda: joins.salted_hash_join(
+                rd("events", ["event_id", "user_id", "value"]),
+                rd("customer", ["c_custkey", "c_mktsegment"]),
+                "user_id", "c_custkey", salt_col="event_id",
+                left_cols=["event_id", "user_id", "value"],
+                right_cols=["c_custkey", "c_mktsegment"],
+                hot_threshold=50, num_salts=4).count(),
+            "events_sessions": lambda: relational.sessionize_events(
+                rd("events", ["event_id", "ts", "user_id", "value"])).count(),
+            "events_hourly": lambda: relational.events_hourly_window(
+                rd("events", ["event_id", "ts", "event_type", "value"])).count(),
+        }
+
+    levels = {}
+    for label, sf_dir in [("1x", SF_DIR), (f"{mult}x", big_dir)]:
+        secs = {}
+        for name, fn in mk_queries(sf_dir).items():
+            if only and name not in only:
+                continue
+            t0 = time.perf_counter()
+            try:
+                rows = fn()
+                secs[name] = {"sec": round(time.perf_counter() - t0, 2),
+                              "rows": rows}
+            except Exception as e:  # record, keep stressing the rest
+                secs[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+        levels[label] = secs
+
+    ratios = {}
+    for name, lo in levels["1x"].items():
+        hi = levels[f"{mult}x"].get(name, {})
+        if "sec" in lo and "sec" in hi:
+            ratios[name] = round(hi["sec"] / max(lo["sec"], 1e-9), 2)
+    print(json.dumps({"probe": "op-layer mult-replicated scale stress",
+                      "mult": mult, "levels": levels, "sec_ratios": ratios}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
