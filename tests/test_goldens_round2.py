@@ -372,3 +372,76 @@ def test_substring_dedup_property_vs_reference():
         for did in ids:
             assert got.loc[did, "text"] == want[did][0], f"trial {trial} doc {did}"
             assert got.loc[did, "n_removed"] == want[did][1], f"trial {trial} doc {did}"
+
+
+def _ngram_norm(df):
+    if df.empty and "id_a" not in df.columns:
+        # a fully-pruned legacy two-phase run yields a schema-less empty
+        return []
+    return sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist()))
+
+
+def test_ngram_collapse_identical_equals_legacy_on_dup_heavy_corpus():
+    """The identical-gram-set collapse (the ×10-stress fix) must be a pure
+    plan change: exact values equal to the uncollapsed plan on a corpus
+    where every doc has 3 exact copies, for int AND string ids, and the
+    two-phase plan's output must be a superset of its uncollapsed self
+    (collapse RECOVERS exact-copy pairs that hot-gram pruning lost)."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "short doc",  # <n tokens → empty gram set, must never pair
+        "",
+    ]
+    texts, int_ids = [], []
+    for j in range(4):
+        for i, t in enumerate(base):
+            int_ids.append(i + 100 * j)
+            texts.append(t)
+
+    def mk(ids):
+        return ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    new = _ngram_norm(dedup.ngram_jaccard_pairs(mk(int_ids), threshold=0.3).to_pandas())
+    old = _ngram_norm(
+        dedup.ngram_jaccard_pairs(mk(int_ids), threshold=0.3, collapse_identical=False).to_pandas()
+    )
+    assert new == old and len(new) > 0
+    # the 4-copy cliques are present with exact jaccard 1.0
+    assert sum(1 for _, _, j in new if j == 1.0) >= 3 * (4 * 3 // 2)
+
+    pruned_new = _ngram_norm(
+        dedup.ngram_jaccard_pairs(mk(int_ids), threshold=0.3, max_doc_freq=3).to_pandas()
+    )
+    pruned_old = _ngram_norm(
+        dedup.ngram_jaccard_pairs(
+            mk(int_ids), threshold=0.3, max_doc_freq=3, collapse_identical=False
+        ).to_pandas()
+    )
+    assert set(pruned_old) <= set(pruned_new) <= set(new)
+
+    str_ids = [f"d{i:04d}" for i in range(len(int_ids))]
+    s_new = _ngram_norm(dedup.ngram_jaccard_pairs(mk(str_ids), threshold=0.3).to_pandas())
+    s_old = _ngram_norm(
+        dedup.ngram_jaccard_pairs(mk(str_ids), threshold=0.3, collapse_identical=False).to_pandas()
+    )
+    assert s_new == s_old and len(s_new) == len(new)
+
+
+def test_ngram_collapse_clique_guard_fires():
+    """k identical copies emit C(k,2) output rows by definition; past
+    hot_df_limit that is a guarded blowup with the exact_dedup remedy."""
+    import pytest
+
+    texts = ["the same exact document text here"] * 12
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(12)), "text": texts}))
+    with pytest.raises(Exception, match="IDENTICAL"):
+        dedup.ngram_jaccard_pairs(ds, threshold=0.1, hot_df_limit=10).to_pandas()
+    ok = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(pa.table({"doc_id": list(range(12)), "text": texts})),
+        threshold=0.1,
+        hot_df_limit=None,
+    ).to_pandas()
+    assert len(ok) == 12 * 11 // 2
+    assert (ok["jaccard"] == 1.0).all()
