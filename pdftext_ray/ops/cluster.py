@@ -154,9 +154,12 @@ def connected_components_distributed(
                             "cluster_id": t.column("cluster_id").unique()}),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Min
+    # final label dedup: distinct-key count here is #docs-in-clusters, which
+    # is unbounded at web scale — route through the few-partition vectorized
+    # aggregate (invariant 9), not Ray's per-distinct-key Min.
+    from pdftext_ray.ops.relational import hash_grouped_agg
 
-    return labels.union(roots).groupby("doc_id").aggregate(Min("cluster_id", alias_name="cluster_id"))
+    return hash_grouped_agg(labels.union(roots), "doc_id", {"cluster_id": ("cluster_id", "min")})
 
 
 def kmeans_assign(
