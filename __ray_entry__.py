@@ -1433,7 +1433,7 @@ def _q_join_orders_customer(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
 
-    from pdftext_ray.ops import joins, round_half_away
+    from pdftext_ray.ops import joins
     from ray.data.aggregate import Sum
 
     small = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
@@ -1442,17 +1442,24 @@ def _q_join_orders_customer(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # fixed-point cents (CLAUDE.md invariant 13): o_totalprice is exact
+        # 2-decimal, so int64 cents sums are order-independent across
+        # engines; a float sum can flip the 2-decimal rounding on a .xx5
+        # boundary because accumulation order differs vs DuckDB.
+        df = df.assign(
+            _cents=np.round(df["o_totalprice"].to_numpy() * 100).astype("int64")
+        )
         return df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+            n_orders=("_cents", "size"), total_cents=("_cents", "sum")
         )
 
     agg = joined.map_batches(partial, batch_format="pandas").groupby("c_mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price")
+        Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
         df["n_orders"] = df["n_orders"].astype("int64")
-        df["total_price"] = round_half_away(df["total_price"], 2)
+        df["total_price"] = df["total_cents"].astype("int64") / 100.0
         return df[["c_mktsegment", "n_orders", "total_price"]]
 
     return agg.map_batches(shape, batch_format="pandas")
@@ -1463,7 +1470,7 @@ def _q_join_lineitem_orders(sf_dir: str):
     → revenue per order priority."""
     import pandas as pd
 
-    from pdftext_ray.ops import joins, round_half_away
+    from pdftext_ray.ops import joins
     from ray.data.aggregate import Sum
 
     joined = joins.partitioned_hash_join(
@@ -1475,19 +1482,30 @@ def _q_join_lineitem_orders(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"o_orderpriority": [], "n_items": [], "revenue": []})
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype="int64"),
+                "rev_e4": pd.Series([], dtype="int64"),
+            })
+        # fixed-point revenue (CLAUDE.md invariant 13, the top_orders_q3
+        # pattern): price_cents * (100 - discount_cents) is an exact int64
+        # 4-decimal value; float products drift by accumulation order.
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+        df = df.assign(rev_e4=price_c * (100 - disc_c))
         return df.groupby("o_orderpriority", as_index=False).agg(
-            n_items=("rev", "size"), revenue=("rev", "sum")
+            n_items=("rev_e4", "size"), rev_e4=("rev_e4", "sum")
         )
 
     agg = joined.map_batches(partial, batch_format="pandas").groupby("o_orderpriority").aggregate(
-        Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue")
+        Sum("n_items", alias_name="n_items"), Sum("rev_e4", alias_name="rev_e4")
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
         df["n_items"] = df["n_items"].astype("int64")
-        df["revenue"] = round_half_away(df["revenue"], 2)
+        # integer half-up e4→cents (revenue > 0 so half-up == half away
+        # from zero), mirrored by the oracle's (e4 + 50) // 100
+        df["revenue"] = ((df["rev_e4"].astype("int64") + 50) // 100) / 100.0
         return df[["o_orderpriority", "n_items", "revenue"]]
 
     return agg.map_batches(shape, batch_format="pandas")
@@ -1565,20 +1583,22 @@ def _q_top_users(sf_dir: str):
     """Top-k: partial per-batch sums → groupby → sort desc → limit."""
     import pandas as pd
 
-    from pdftext_ray.ops import round_half_away
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"))
+        # int64 cents (CLAUDE.md invariant 13): events.value is exact
+        # 2-decimal, so cents sums are order-independent across engines.
+        df = df.assign(_cents=np.round(df["value"].to_numpy() * 100).astype("int64"))
+        return df.groupby("user_id", as_index=False).agg(total_cents=("_cents", "sum"))
 
     agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("total_value", alias_name="total_value")
+        Sum("total_cents", alias_name="total_cents")
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_value"] = round_half_away(df["total_value"], 2)
+        df["total_value"] = df["total_cents"].astype("int64") / 100.0
         return df[["user_id", "total_value"]]
 
     return agg.map_batches(shape, batch_format="pandas").sort(
@@ -2773,16 +2793,20 @@ def _full_oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, score FROM r WHERE rn <= 10"
         ),
         "pricing_summary": (
+            # money columns in fixed point (invariant 13): cents / e4 sums
+            # are order-independent; l_quantity is integer so its float sum
+            # is exact on both engines
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, "
+            "((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0 AS sum_disc_price, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "pricing_rollup": (
             "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
             "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price, "
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
@@ -2829,9 +2853,11 @@ def _full_oracle_sql() -> dict[str, str]:
             + ", count(*) AS total FROM events GROUP BY event_type"
         ),
         "streaming_window": (
-            # the actor-window flush must equal the batch hourly aggregate
+            # the actor-window flush must equal the batch hourly aggregate;
+            # cents sum (invariant 13) — the flush already accumulates cents
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
         "upsert_latest": (
@@ -2962,7 +2988,7 @@ def _full_oracle_sql() -> dict[str, str]:
             "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
             "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price, "
             "count(*) AS n_rows FROM lineitem "
             "GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
@@ -2985,18 +3011,24 @@ def _full_oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.9, round(quantile_cont(n_chars, 0.9), 6), count(*) FROM documents"
         ),
         "events_hourly": (
+            # cents sum (invariant 13): order-independent across engines
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "join_orders_customer": (
-            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
+            # int64-cents sum (invariant 13): order-independent across engines
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "join_lineitem_orders": (
+            # fixed-point e4 revenue + integer half-up (the top_orders_q3 idiom)
             "SELECT o_orderpriority, count(*) AS n_items, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0 AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
         "events_asof": (
@@ -3016,7 +3048,8 @@ def _full_oracle_sql() -> dict[str, str]:
         ),
         "events_sliding": (
             "SELECT to_timestamp((floor(epoch(ts) / 900) * 900 - k.k * 900))::TIMESTAMP AS window_start, "
-            "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value "
             "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k "
             "GROUP BY 1, event_type"
         ),
@@ -3027,7 +3060,7 @@ def _full_oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, ts, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
             "ROWS UNBOUNDED PRECEDING) AS session FROM o) "
             "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
-            "round(sum(value), 2) AS sum_value, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value, "
             "CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec "
             "FROM s GROUP BY user_id, session"
         ),
@@ -3088,8 +3121,10 @@ def _full_oracle_sql() -> dict[str, str]:
             "(SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) > 20)"
         ),
         "top_users": (
-            "SELECT user_id, round(sum(value), 2) AS total_value FROM events "
-            "GROUP BY user_id ORDER BY round(sum(value), 2) DESC, user_id ASC LIMIT 10"
+            # int64-cents sum (invariant 13): order-independent across engines
+            "SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+            "AS total_value FROM events "
+            "GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 10"
         ),
         "filter_project": "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
         # windowed exact-substring dedup (ops/dedup.substring_dedup docstring

@@ -25,45 +25,89 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
     """
     def partial(batch: pa.Table) -> pa.Table:
         # pure-Arrow partial aggregate (VERDICT r2: no pandas round-trip in
-        # the wide per-batch stage; the tiny post-shuffle shape still uses it)
+        # the wide per-batch stage; the tiny post-shuffle shape still uses
+        # it). Money columns accumulate in fixed point (CLAUDE.md invariant
+        # 13): price_cents int64 and price_cents*(100-disc_cents) e4 sums
+        # are order-independent across engines, unlike float sums whose
+        # 2-decimal rounding can flip on a .xx5 boundary. l_quantity is
+        # integer-valued, so its float sum is exact (≤2^53) and stays float.
         import pyarrow.compute as pc
 
-        disc = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
         )
-        g = batch.append_column("disc_price", disc).group_by(
-            ["l_returnflag", "l_linestatus"]
-        ).aggregate([
-            ("l_quantity", "sum"),
-            ("l_extendedprice", "sum"),
-            ("disc_price", "sum"),
-            ("l_quantity", "count"),
-        ])
+        disc_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        disc_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        g = (
+            batch.append_column("price_cents", price_c)
+            .append_column("disc_e4", disc_e4)
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([
+                ("l_quantity", "sum"),
+                ("price_cents", "sum"),
+                ("disc_e4", "sum"),
+                ("l_quantity", "count"),
+            ])
+        )
         return g.rename_columns([
             "l_returnflag", "l_linestatus",
-            "sum_qty", "sum_base_price", "sum_disc_price", "n_rows",
+            "sum_qty", "base_cents", "disc_e4", "n_rows",
         ])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_e4", alias_name="disc_e4"),
         Sum("n_rows", alias_name="n_rows"),
     )
 
     def shape(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["sum_qty"] = round_half_away(df["sum_qty"], 2)
-        df["sum_base_price"] = round_half_away(df["sum_base_price"], 2)
-        df["sum_disc_price"] = round_half_away(df["sum_disc_price"], 2)
+        df["sum_base_price"] = df["base_cents"].astype("int64") / 100.0
+        # integer half-up e4→cents (prices > 0 so half-up == half away from
+        # zero), mirrored by the oracle's (e4 + 50) // 100
+        df["sum_disc_price"] = ((df["disc_e4"].astype("int64") + 50) // 100) / 100.0
         df["n_rows"] = df["n_rows"].astype("int64")
         return from_pandas_clean(
             df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "n_rows"]]
         )
 
     return final.map_batches(shape, batch_format="pyarrow")
+
+
+def _pricing_cents_partial(batch: pa.Table) -> pa.Table:
+    """Shared rollup/cube batch partial: per-(returnflag, linestatus) sums
+    with the money column in fixed-point int64 cents (CLAUDE.md invariant
+    13 — float sums accumulate in engine-specific order and can flip the
+    2-decimal rounding); l_quantity is integer-valued so its float sum is
+    exact and stays float."""
+    import pyarrow.compute as pc
+
+    price_c = pc.cast(
+        pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    g = (
+        batch.append_column("price_cents", price_c)
+        .group_by(["l_returnflag", "l_linestatus"])
+        .aggregate([
+            ("l_quantity", "sum"),
+            ("price_cents", "sum"),
+            ("l_quantity", "count"),
+        ])
+    )
+    return g.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "price_cents", "n_rows"]
+    )
 
 
 def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -79,25 +123,17 @@ def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     Subtotal levels use the sentinel 'ALL' instead of SQL's NULLs so the
     oracle comparison is null-convention independent.
     """
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"),
-            ("l_extendedprice", "sum"),
-            ("l_quantity", "count"),
-        ])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
-        )
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(
+        _pricing_cents_partial, batch_format="pyarrow", batch_size=65536
+    )
     base = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_price", alias_name="sum_price"),
+        Sum("price_cents", alias_name="price_cents"),
         Sum("n_rows", alias_name="n_rows"),
     )
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        metrics = ["sum_qty", "sum_price", "n_rows"]
+        metrics = ["sum_qty", "price_cents", "n_rows"]
         lvl1 = df.groupby("l_returnflag", as_index=False)[metrics].sum()
         lvl1["l_linestatus"] = "ALL"
         lvl0 = df[metrics].sum().to_frame().T
@@ -105,7 +141,7 @@ def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
         lvl0["l_linestatus"] = "ALL"
         out = pd.concat([df, lvl1, lvl0], ignore_index=True)
         out["sum_qty"] = round_half_away(out["sum_qty"], 2)
-        out["sum_price"] = round_half_away(out["sum_price"], 2)
+        out["sum_price"] = out["price_cents"].astype("int64") / 100.0
         out["n_rows"] = out["n_rows"].astype("int64")
         return from_pandas_clean(
             out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]]
@@ -127,25 +163,17 @@ def lineitem_pricing_cube(ds: ray.data.Dataset) -> ray.data.Dataset:
     over a single partition. 'ALL' sentinels instead of SQL NULLs keep the
     oracle comparison null-convention independent.
     """
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"),
-            ("l_extendedprice", "sum"),
-            ("l_quantity", "count"),
-        ])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
-        )
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(
+        _pricing_cents_partial, batch_format="pyarrow", batch_size=65536
+    )
     base = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_price", alias_name="sum_price"),
+        Sum("price_cents", alias_name="price_cents"),
         Sum("n_rows", alias_name="n_rows"),
     )
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        metrics = ["sum_qty", "sum_price", "n_rows"]
+        metrics = ["sum_qty", "price_cents", "n_rows"]
         by_rf = df.groupby("l_returnflag", as_index=False)[metrics].sum()
         by_rf["l_linestatus"] = "ALL"
         by_ls = df.groupby("l_linestatus", as_index=False)[metrics].sum()
@@ -155,7 +183,7 @@ def lineitem_pricing_cube(ds: ray.data.Dataset) -> ray.data.Dataset:
         total["l_linestatus"] = "ALL"
         out = pd.concat([df, by_rf, by_ls, total], ignore_index=True)
         out["sum_qty"] = round_half_away(out["sum_qty"], 2)
-        out["sum_price"] = round_half_away(out["sum_price"], 2)
+        out["sum_price"] = out["price_cents"].astype("int64") / 100.0
         out["n_rows"] = out["n_rows"].astype("int64")
         return from_pandas_clean(
             out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]]
@@ -177,21 +205,24 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["window_start"] = df["ts"].dt.floor("h")
+        # int64-cents sum (invariant 13): events.value is exact 2-decimal,
+        # so cents sums are order-independent across engines
+        df["_cents"] = np.round(df["value"].to_numpy() * 100).astype("int64")
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
-            n_events=("event_id", "size"), sum_value=("value", "sum")
+            n_events=("event_id", "size"), sum_cents=("_cents", "sum")
         )
         return from_pandas_clean(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["window_start", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_cents", alias_name="sum_cents"),
     )
 
     def shape(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = round_half_away(df["sum_value"], 2)
+        df["sum_value"] = df["sum_cents"].astype("int64") / 100.0
         return from_pandas_clean(df[["window_start", "event_type", "n_events", "sum_value"]])
 
     return final.map_batches(shape, batch_format="pyarrow")
@@ -219,32 +250,34 @@ def events_sliding_window(
             return pa.table({"window_start": pd.Series([], dtype="datetime64[us]"),
                              "event_type": pd.Series([], dtype="object"),
                              "n_events": pd.Series([], dtype="int64"),
-                             "sum_value": pd.Series([], dtype="float64")})
+                             "sum_cents": pd.Series([], dtype="int64")})
         # unit-agnostic floor to epoch seconds (inputs may be us or ns)
         epoch = df["ts"].dt.floor("s").astype("datetime64[s]").astype("int64")
         base = (epoch // slide_sec) * slide_sec
         offs = np.arange(k) * slide_sec
         starts = np.repeat(base.to_numpy(), k) - np.tile(offs, len(df))
+        # int64-cents sum (invariant 13): order-independent across engines
+        cents = np.round(df["value"].to_numpy() * 100).astype("int64")
         g = pd.DataFrame(
             {
                 "window_start": pd.to_datetime(starts, unit="s"),
                 "event_type": np.repeat(df["event_type"].to_numpy(), k),
-                "value": np.repeat(df["value"].to_numpy(), k),
+                "cents": np.repeat(cents, k),
             }
         ).groupby(["window_start", "event_type"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
         )
         return from_pandas_clean(g)
 
     partials = ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["window_start", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_cents", alias_name="sum_cents"),
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
         df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = round_half_away(df["sum_value"], 2)
+        df["sum_value"] = df["sum_cents"].astype("int64") / 100.0
         return df[["window_start", "event_type", "n_events", "sum_value"]]
 
     return final.map_batches(shape, batch_format="pandas")
@@ -361,6 +394,9 @@ def sessionize_events(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts]).reset_index(drop=True)
+        # int64-cents sum (invariant 13): per-session float sums accumulate
+        # in engine-specific order; cents sums are exact on both sides
+        g["_cents"] = np.round(g["value"].to_numpy() * 100).astype("int64")
         new_key = g[key].ne(g[key].shift())
         gap = g[ts].diff() > pd.Timedelta(minutes=gap_minutes)
         session = (new_key | gap).cumsum()
@@ -369,7 +405,7 @@ def sessionize_events(
             session_start=(ts, "min"),
             session_end=(ts, "max"),
             n_events=(ts, "size"),
-            sum_value=("value", "sum"),
+            sum_cents=("_cents", "sum"),
         )
         # whole-second boundary difference (matches SQL date_diff('second',...))
         agg["duration_sec"] = (
@@ -378,7 +414,7 @@ def sessionize_events(
             .astype("int64")
         )
         agg["n_events"] = agg["n_events"].astype("int64")
-        agg["sum_value"] = round_half_away(agg["sum_value"], 2)
+        agg["sum_value"] = agg["sum_cents"].astype("int64") / 100.0
         agg = agg.rename(columns={"user": key})
         return from_pandas_clean(agg[[key, "session_start", "n_events", "sum_value", "duration_sec"]])
 
