@@ -59,3 +59,22 @@ def from_pandas_clean(df):
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+def transient_retry_args(max_retries: int = 3) -> dict:
+    """``ray_remote_args`` enabling application-exception retry for a task
+    stage (``map_batches`` with a plain function).
+
+    On a large cluster, transient UDF failures — a flaky page decode, an
+    OOM-killed worker mid-batch, a network hiccup fetching a blob — should
+    re-execute the one failed task, not kill a multi-hour run. Ray retries
+    SYSTEM failures by default but surfaces application exceptions
+    immediately; opting a stage in via
+    ``map_batches(fn, **transient_retry_args())`` (map_batches forwards
+    extra kwargs to ``ray.remote``) bounds the
+    blast radius of a transient bug to ``max_retries`` re-runs of one
+    block. Deterministic failures still fail the run after the retries —
+    this is containment, not error swallowing. (Actor-pool stages use
+    ``max_task_retries`` on the actor instead; the checkpoint runner's
+    partition manifests give the coarser whole-partition resume layer.)
+    """
+    return {"max_retries": int(max_retries), "retry_exceptions": True}
