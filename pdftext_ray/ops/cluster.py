@@ -72,75 +72,154 @@ def _edge_fingerprint(ds: ray.data.Dataset) -> int:
     return sum(r["h"] for r in parts) % MOD
 
 
+def _large_star_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Large-star pass over a bidirectional (node, peer) frame: every node
+    connects its LARGER neighbors to the minimum of its closed neighborhood.
+    Directed (a, b) output; |output| ≤ |undirected input edges|."""
+    mins = g.groupby("node")["peer"].min()
+    m = np.minimum(mins.values, mins.index.values)
+    mcol = g["node"].map(pd.Series(m, index=mins.index)).values
+    keep = g["peer"].values > g["node"].values
+    out = pd.DataFrame({"a": mcol[keep], "b": g["peer"].values[keep]})
+    return out[out["a"] != out["b"]].drop_duplicates()
+
+
+def _small_star_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Small-star pass: each edge directed larger→smaller is assigned to its
+    larger endpoint; that node connects its smaller neighbors (and itself)
+    to their minimum. Directed (a, b) output, never larger than the input."""
+    e = g[g["peer"] < g["node"]]
+    if e.empty:
+        return pd.DataFrame({"a": g["node"].iloc[:0], "b": g["peer"].iloc[:0]})
+    mins = e.groupby("node")["peer"].min()
+    mcol = e["node"].map(pd.Series(mins.values, index=mins.index)).values
+    out = pd.concat([
+        pd.DataFrame({"a": mcol, "b": e["peer"].values}),
+        pd.DataFrame({"a": mins.values, "b": mins.index.values}),
+    ])
+    return out[out["a"] != out["b"]].drop_duplicates()
+
+
+def _undirect(e: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "node": np.concatenate([e["a"].values, e["b"].values]),
+        "peer": np.concatenate([e["b"].values, e["a"].values]),
+    }).drop_duplicates()
+
+
 def connected_components_distributed(
     pairs: ray.data.Dataset,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_rounds: int = 12,
+    max_rounds: int = 64,
+    local_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """Star-contraction connected components: one groupby per round, no joins.
+    """Alternating large-star / small-star connected components (the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — each round is two co-partitioned vectorized
+    passes whose output edge set provably never grows.
 
-    Each round every node's neighborhood (plus itself) is contracted onto its
-    minimum member: group the bidirectional edge list by node and emit
-    ``(min, x)`` for every other member. The edge set converges to stars
-    rooted at each component's min id in O(log n) rounds (MapReduce
-    connected-components star contraction); convergence is detected by an
-    order-insensitive edge-set fingerprint (cheap aggregate, no join).
-    Output: (doc_id, cluster_id=min member id), singletons omitted.
+    Why not plain star contraction (the previous plan): its per-round
+    ``(min, peer)`` emission EXPLODES on long chains — a 5k-node path
+    transiently reached 15.8M edges and needed 14 rounds, silently
+    exceeding the old 12-round cap and emitting WRONG labels (904 clusters
+    for one component). Here every pass's output is bounded by its input,
+    chains converge in ~log2(diameter) rounds, and running out of rounds
+    RAISES instead of mislabeling.
+
+    Scale shape: rounds run distributed (bucket shuffle on hash(node),
+    vectorized pandas per partition — never per-distinct-node map_groups)
+    only while the edge count — free metadata off the materialized
+    previous round — exceeds ``local_threshold``; at or below it the graph
+    collapses to ONE partition and converges in a single in-worker loop.
+    Near-dup pair graphs are sparse, so the common case is one shuffle
+    total. Output: (doc_id, cluster_id = min member id), singletons
+    omitted.
     """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).combine_chunks()
         b = batch.column(b_col).combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])})
 
-    from pdftext_ray.ops import default_num_partitions
+    def make_tag(parts: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            from pdftext_ray.ops.dedup import _bucket_array
 
-    n_parts = default_num_partitions()
+            return batch.append_column(
+                "_part", pa.array(_bucket_array(batch.column("node").combine_chunks(), parts), pa.int64())
+            )
 
-    def tag(batch: pa.Table) -> pa.Table:
-        from pdftext_ray.ops.dedup import _bucket_array
+        return tag
 
-        return batch.append_column(
-            "_part", pa.array(_bucket_array(batch.column("node").combine_chunks(), n_parts), pa.int64())
+    def large_part(g: pd.DataFrame) -> pd.DataFrame:
+        # partition key is a function of node, so each node's FULL adjacency
+        # is co-located; cross-partition duplicate emissions are deduped at
+        # the next pass's entry (they co-locate by node again)
+        return from_pandas_clean(_undirect(_large_star_frame(g[["node", "peer"]].drop_duplicates())))
+
+    def small_part(g: pd.DataFrame) -> pd.DataFrame:
+        return from_pandas_clean(_undirect(_small_star_frame(g[["node", "peer"]].drop_duplicates())))
+
+    def local_converge(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole (small) graph on one partition: alternate to convergence
+        in-process — no per-round shuffles."""
+        g = df[["node", "peer"]].drop_duplicates()
+        if g.empty:
+            return from_pandas_clean(g)
+        prev = None
+        for _ in range(max_rounds):
+            g = _undirect(_large_star_frame(g))
+            e2 = _small_star_frame(g)
+            g = _undirect(e2)
+            cur = e2.sort_values(["a", "b"]).reset_index(drop=True)
+            if prev is not None and cur.equals(prev):
+                return from_pandas_clean(g)
+            prev = cur
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} local rounds"
         )
 
-    def contract_part(g: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized star contraction for ALL nodes of one hash partition
-        (the partition key is a function of ``node``, so every node's full
-        adjacency is co-located). Replaces the per-node map_groups pair —
-        Ray's per-distinct-key group overhead dominated rounds on graphs
-        with many nodes. Cross-partition duplicate emissions are deduped
-        here at the NEXT round's entry (they co-locate by node)."""
-        g = g[["node", "peer"]].drop_duplicates()
-        mins = g.groupby("node")["peer"].min()
-        m_of = np.minimum(mins.values, mins.index.values)
-        mm = pd.Series(m_of, index=mins.index)
-        m_col = g["node"].map(mm)
-        from_peers = pd.DataFrame({"m": m_col.values, "x": g["peer"].values})
-        from_peers = from_peers[from_peers["m"] != from_peers["x"]]
-        self_rows = pd.DataFrame({"m": mm.values, "x": mm.index.values})
-        self_rows = self_rows[self_rows["m"] != self_rows["x"]]
-        stars = pd.concat([from_peers, self_rows]).drop_duplicates()
-        from pdftext_ray.ops import from_pandas_clean
-
-        return from_pandas_clean(pd.DataFrame({
-            "node": np.concatenate([stars["m"].values, stars["x"].values]),
-            "peer": np.concatenate([stars["x"].values, stars["m"].values]),
-        }))
-
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     prev_fp = None
+    converged = False
     for _ in range(max_rounds):
-        edges = (
-            edges.map_batches(tag, batch_format="pyarrow")
+        n_edges = edges.count()
+        if n_edges == 0:
+            converged = True
+            break
+        if n_edges <= local_threshold:
+            edges = (
+                edges.repartition(1)
+                .map_batches(local_converge, batch_format="pandas", batch_size=None)
+                .materialize()
+            )
+            converged = True
+            break
+        parts = default_num_partitions(rows=n_edges)
+        mid = (
+            edges.map_batches(make_tag(parts), batch_format="pyarrow")
             .groupby("_part")
-            .map_groups(contract_part, batch_format="pandas")
+            .map_groups(large_part, batch_format="pandas")
+        )
+        edges = (
+            mid.map_batches(make_tag(parts), batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(small_part, batch_format="pandas")
             .materialize()
         )
         fp = _edge_fingerprint(edges)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds "
+            f"({edges.count()} edges in flight) — raise max_rounds; labels "
+            "are never emitted from an unconverged state"
+        )
 
     def emit(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -156,10 +235,18 @@ def connected_components_distributed(
     )
     # final label dedup: distinct-key count here is #docs-in-clusters, which
     # is unbounded at web scale — route through the few-partition vectorized
-    # aggregate (invariant 9), not Ray's per-distinct-key Min.
+    # aggregate (invariant 9), not Ray's per-distinct-key Min. The converged
+    # edge set is materialized, so its count is free metadata; label rows are
+    # bounded by it, and sizing the shuffle from it keeps small graphs on a
+    # handful of partitions (each keyed-shuffle partition carries ~0.5-1 s of
+    # fixed cost — see default_num_partitions).
+    from pdftext_ray.ops import default_num_partitions
     from pdftext_ray.ops.relational import hash_grouped_agg
 
-    return hash_grouped_agg(labels.union(roots), "doc_id", {"cluster_id": ("cluster_id", "min")})
+    return hash_grouped_agg(
+        labels.union(roots), "doc_id", {"cluster_id": ("cluster_id", "min")},
+        n_parts=default_num_partitions(rows=edges.count()),
+    )
 
 
 def kmeans_assign(
