@@ -37,6 +37,48 @@ def test_connected_components_chain_converges():
     assert set(df["cluster_id"]) == {0} and len(df) == 16
 
 
+def test_connected_components_long_path_single_cluster():
+    """Regression: the pre-round-4 star-contraction plan silently emitted
+    904 clusters for a 5k-node path (edge blowup + a 12-round cap with no
+    convergence check on exit). One long path must label as ONE component."""
+    n = 3000
+    path = [(i, i + 1) for i in range(n - 1)]
+    df = cluster.connected_components_distributed(_pairs(path)).to_pandas()
+    assert set(df["cluster_id"]) == {0}
+    assert len(df) == n
+
+
+def test_connected_components_distributed_rounds_match_local_plan():
+    """Force the shuffled large-star/small-star rounds (local_threshold=1)
+    on a path long enough to need several of them; labels must equal the
+    union-find reference exactly."""
+    n = 200
+    path = [(i, i + 1) for i in range(n - 1)]
+    df = (
+        cluster.connected_components_distributed(_pairs(path), local_threshold=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        cluster.connected_components_local(_pairs(path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.equals(ref)
+
+
+def test_connected_components_unconverged_raises():
+    """Exhausting max_rounds must raise — never emit unconverged labels."""
+    n = 64
+    path = [(i, i + 1) for i in range(n - 1)]
+    with pytest.raises(RuntimeError, match="no convergence"):
+        cluster.connected_components_distributed(
+            _pairs(path), max_rounds=2, local_threshold=1
+        ).to_pandas()
+
+
 def test_kmeans_separates_blobs_and_matches_golden():
     import numpy as np
 
