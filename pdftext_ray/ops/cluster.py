@@ -54,22 +54,27 @@ def connected_components_local(pairs: ray.data.Dataset, a_col: str = "doc_a", b_
 
 def _edge_fingerprint(ds: ray.data.Dataset) -> int:
     """Order-insensitive content hash of an edge table (convergence probe) —
-    a map_batches partial + tiny Sum aggregate, no join, no collect."""
-    import hashlib
-
-    MOD = (1 << 61) - 1
+    a map_batches partial + tiny collect, no join. Per-row hashes come from
+    pandas' vectorized siphash (deterministic for a fixed key across
+    processes) and are combined by wrapping uint64 sums, which are
+    insensitive to row order AND block partitioning; the probe only runs on
+    multi-million-row edge sets (the distributed CC rounds), so a per-row
+    Python loop here would cost seconds per round."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        total = 0
-        for a, b in zip(batch.column("node").to_pylist(), batch.column("peer").to_pylist()):
-            h = hashlib.blake2b(repr((a, b)).encode(), digest_size=8).digest()
-            total = (total + int.from_bytes(h, "big")) % MOD
-        return pa.table({"h": [total]})
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({
+                "a": batch.column("node").to_pandas(),
+                "b": batch.column("peer").to_pandas(),
+            }),
+            index=False,
+        ).to_numpy()
+        with np.errstate(over="ignore"):
+            total = int(np.sum(h, dtype=np.uint64))
+        return pa.table({"h": pa.array([total], pa.uint64())})
 
-    # modular sum per batch, final mod-sum over the tiny partials table —
-    # insensitive to row order AND block partitioning
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    return sum(r["h"] for r in parts) % MOD
+    return sum(int(r["h"]) for r in parts) % (1 << 64)
 
 
 def _large_star_frame(g: pd.DataFrame) -> pd.DataFrame:
