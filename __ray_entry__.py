@@ -963,12 +963,14 @@ def _q_top_orders_q3(sf_dir: str):
         )
         return g.rename_columns(["l_orderkey", "rev_e4"])
 
-    from ray.data.aggregate import Sum
+    # l_orderkey is unbounded at web scale — few-partition vectorized
+    # aggregate (invariant 9), not a per-distinct-key Ray Sum
+    from pdftext_ray.ops.relational import hash_grouped_agg
 
-    rev = (
-        line.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    rev = hash_grouped_agg(
+        line.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey",
+        {"rev_e4": ("rev_e4", "sum")},
     )
 
     # the join-back uses the EMPTY-ROBUST co-partitioned salted plan, not
@@ -1580,10 +1582,8 @@ def _q_events_anti_join(sf_dir: str):
 
 
 def _q_top_users(sf_dir: str):
-    """Top-k: partial per-batch sums → groupby → sort desc → limit."""
+    """Top-k: partial per-batch sums → few-partition agg → sort desc → limit."""
     import pandas as pd
-
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
@@ -1593,8 +1593,14 @@ def _q_top_users(sf_dir: str):
         df = df.assign(_cents=np.round(df["value"].to_numpy() * 100).astype("int64"))
         return df.groupby("user_id", as_index=False).agg(total_cents=("_cents", "sum"))
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("total_cents", alias_name="total_cents")
+    # user_id is unbounded at web scale — few-partition vectorized aggregate
+    # (invariant 9), not a per-distinct-key Ray aggregate
+    from pdftext_ray.ops.relational import hash_grouped_agg
+
+    agg = hash_grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        {"total_cents": ("total_cents", "sum")},
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
