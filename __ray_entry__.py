@@ -1448,9 +1448,9 @@ def _q_join_orders_customer(sf_dir: str):
         # 2-decimal, so int64 cents sums are order-independent across
         # engines; a float sum can flip the 2-decimal rounding on a .xx5
         # boundary because accumulation order differs vs DuckDB.
-        df = df.assign(
-            _cents=np.round(df["o_totalprice"].to_numpy() * 100).astype("int64")
-        )
+        from pdftext_ray.ops import money_cents
+
+        df = df.assign(_cents=money_cents(df["o_totalprice"].to_numpy()))
         return df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("_cents", "size"), total_cents=("_cents", "sum")
         )
@@ -1460,6 +1460,9 @@ def _q_join_orders_customer(sf_dir: str):
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
+        from pdftext_ray.ops import assert_fixed_point_headroom
+
+        assert_fixed_point_headroom(df["n_orders"], 2**27, "join_orders_customer")
         df["n_orders"] = df["n_orders"].astype("int64")
         df["total_price"] = df["total_cents"].astype("int64") / 100.0
         return df[["c_mktsegment", "n_orders", "total_price"]]
@@ -1492,8 +1495,10 @@ def _q_join_lineitem_orders(sf_dir: str):
         # fixed-point revenue (CLAUDE.md invariant 13, the top_orders_q3
         # pattern): price_cents * (100 - discount_cents) is an exact int64
         # 4-decimal value; float products drift by accumulation order.
-        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype("int64")
-        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+        from pdftext_ray.ops import money_cents
+
+        price_c = money_cents(df["l_extendedprice"].to_numpy())
+        disc_c = money_cents(df["l_discount"].to_numpy())
         df = df.assign(rev_e4=price_c * (100 - disc_c))
         return df.groupby("o_orderpriority", as_index=False).agg(
             n_items=("rev_e4", "size"), rev_e4=("rev_e4", "sum")
@@ -1504,6 +1509,9 @@ def _q_join_lineitem_orders(sf_dir: str):
     )
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
+        from pdftext_ray.ops import assert_fixed_point_headroom
+
+        assert_fixed_point_headroom(df["n_items"], 2**31, "join_lineitem_orders")
         df["n_items"] = df["n_items"].astype("int64")
         # integer half-up e4→cents (revenue > 0 so half-up == half away
         # from zero), mirrored by the oracle's (e4 + 50) // 100
@@ -1590,7 +1598,9 @@ def _q_top_users(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # int64 cents (CLAUDE.md invariant 13): events.value is exact
         # 2-decimal, so cents sums are order-independent across engines.
-        df = df.assign(_cents=np.round(df["value"].to_numpy() * 100).astype("int64"))
+        from pdftext_ray.ops import money_cents
+
+        df = df.assign(_cents=money_cents(df["value"].to_numpy()))
         return df.groupby("user_id", as_index=False).agg(total_cents=("_cents", "sum"))
 
     # user_id is unbounded at web scale — few-partition vectorized aggregate

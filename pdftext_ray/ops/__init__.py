@@ -78,3 +78,41 @@ def transient_retry_args(max_retries: int = 3) -> dict:
     partition manifests give the coarser whole-partition resume layer.)
     """
     return {"max_retries": int(max_retries), "retry_exceptions": True}
+
+
+def money_cents(values) -> "np.ndarray":
+    """Exact int64 cents from a 2-decimal float money column.
+
+    Shared by every pandas-side fixed-point contract (invariant 13) so the
+    rounding convention is half-away-from-zero EVERYWHERE — matching both
+    DuckDB's ``round(value * 100)`` and the arrow-side
+    ``pc.round(..., round_mode="half_towards_infinity")`` call sites. For
+    genuinely 2-decimal inputs any mode agrees (value*100 is within an ulp
+    of an integer, never at .5), but a per-call-site ``np.round``
+    (half-to-even) would silently diverge from the oracle the first time a
+    3-decimal value appears.
+    """
+    return round_half_away(np.asarray(values, dtype=np.float64) * 100.0, 0).astype(np.int64)
+
+
+def assert_fixed_point_headroom(n_rows, per_row_bound: int, what: str) -> None:
+    """Raise before an int64 fixed-point group sum can silently wrap.
+
+    pandas/arrow integer sums are unchecked: a group with more than
+    2^62 / per_row_bound rows can overflow int64 and return a WRONG total
+    while the DuckDB oracle (HUGEINT) stays exact — the failure mode is
+    invisible at gate scale by construction. ``n_rows``: per-group row
+    counts (post-aggregation, free); ``per_row_bound``: documented max
+    absolute fixed-point contribution of one row (e.g. 2^31 for e4
+    revenue = prices ≤ ~$214k). Mirrors the PCA partial's overflow guard.
+    """
+    if len(n_rows) == 0:
+        return
+    worst = int(np.max(n_rows))
+    if worst > (2**62) // int(per_row_bound):
+        raise OverflowError(
+            f"{what}: a group holds {worst} rows; int64 fixed-point sums "
+            f"at per-row bound {per_row_bound} can wrap past 2^63. Split "
+            "the aggregation into sub-group partials (or use a two-level "
+            "hi/lo accumulator) before trusting these totals."
+        )

@@ -6,10 +6,12 @@ Two plans:
   sets are sparse (≪ corpus size), so this is the right default when the
   pair table provably fits driver memory (ray_guide: "union-find on the
   driver only if the candidate set is provably small").
-* ``connected_components_distributed`` — iterative min-label propagation:
-  each round, every node takes the min label among itself and its
-  neighbors (one groupby per round); converges in O(diameter) rounds.
-  Right when the pair table itself is too large to collect.
+* ``connected_components_distributed`` — alternating large-star/small-star
+  rounds (Kiveris et al., MapReduce CC): two co-partitioned vectorized
+  passes per round whose output edge set never grows; converges in
+  ~O(log diameter) rounds, finishes small graphs in one in-worker pass,
+  and RAISES on non-convergence instead of emitting wrong labels. Right
+  when the pair table itself is too large to collect.
 """
 
 from __future__ import annotations
@@ -148,15 +150,10 @@ def connected_components_distributed(
         b = batch.column(b_col).combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])})
 
+    from pdftext_ray.ops.relational import _key_part_tag
+
     def make_tag(parts: int):
-        def tag(batch: pa.Table) -> pa.Table:
-            from pdftext_ray.ops.dedup import _bucket_array
-
-            return batch.append_column(
-                "_part", pa.array(_bucket_array(batch.column("node").combine_chunks(), parts), pa.int64())
-            )
-
-        return tag
+        return _key_part_tag("node", parts)
 
     def large_part(g: pd.DataFrame) -> pd.DataFrame:
         # partition key is a function of node, so each node's FULL adjacency
@@ -245,7 +242,6 @@ def connected_components_distributed(
     # bounded by it, and sizing the shuffle from it keeps small graphs on a
     # handful of partitions (each keyed-shuffle partition carries ~0.5-1 s of
     # fixed cost — see default_num_partitions).
-    from pdftext_ray.ops import default_num_partitions
     from pdftext_ray.ops.relational import hash_grouped_agg
 
     return hash_grouped_agg(

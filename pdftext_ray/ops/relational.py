@@ -69,7 +69,11 @@ def lineitem_pricing_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def shape(batch: pa.Table) -> pa.Table:
+        from pdftext_ray.ops import assert_fixed_point_headroom
+
         df = batch.to_pandas()
+        # e4 per row ≤ 2^31 (prices ≤ ~$214k); loud long before int64 wraps
+        assert_fixed_point_headroom(df["n_rows"], 2**31, "pricing_summary")
         df["sum_qty"] = round_half_away(df["sum_qty"], 2)
         df["sum_base_price"] = df["base_cents"].astype("int64") / 100.0
         # integer half-up e4→cents (prices > 0 so half-up == half away from
@@ -133,6 +137,10 @@ def lineitem_pricing_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
+        from pdftext_ray.ops import assert_fixed_point_headroom
+
+        # cents per row ≤ 2^27 (~$1.3M); the grand-total row is the worst case
+        assert_fixed_point_headroom([df["n_rows"].sum()], 2**27, "pricing_rollup")
         metrics = ["sum_qty", "price_cents", "n_rows"]
         lvl1 = df.groupby("l_returnflag", as_index=False)[metrics].sum()
         lvl1["l_linestatus"] = "ALL"
@@ -173,6 +181,9 @@ def lineitem_pricing_cube(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
+        from pdftext_ray.ops import assert_fixed_point_headroom
+
+        assert_fixed_point_headroom([df["n_rows"].sum()], 2**27, "pricing_cube")
         metrics = ["sum_qty", "price_cents", "n_rows"]
         by_rf = df.groupby("l_returnflag", as_index=False)[metrics].sum()
         by_rf["l_linestatus"] = "ALL"
@@ -207,7 +218,9 @@ def events_hourly_window(ds: ray.data.Dataset) -> ray.data.Dataset:
         df["window_start"] = df["ts"].dt.floor("h")
         # int64-cents sum (invariant 13): events.value is exact 2-decimal,
         # so cents sums are order-independent across engines
-        df["_cents"] = np.round(df["value"].to_numpy() * 100).astype("int64")
+        from pdftext_ray.ops import money_cents
+
+        df["_cents"] = money_cents(df["value"].to_numpy())
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             n_events=("event_id", "size"), sum_cents=("_cents", "sum")
         )
@@ -247,7 +260,11 @@ def events_sliding_window(
     def expand(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if df.empty:
-            return pa.table({"window_start": pd.Series([], dtype="datetime64[us]"),
+            # dtype must MATCH the non-empty branch (invariant 12):
+            # pd.to_datetime(..., unit="s") yields datetime64[ns], so an
+            # empty [us] here would ship a mixed timestamp[us]/[ns] schema
+            # into the keyed shuffle
+            return pa.table({"window_start": pd.Series([], dtype="datetime64[ns]"),
                              "event_type": pd.Series([], dtype="object"),
                              "n_events": pd.Series([], dtype="int64"),
                              "sum_cents": pd.Series([], dtype="int64")})
@@ -257,7 +274,9 @@ def events_sliding_window(
         offs = np.arange(k) * slide_sec
         starts = np.repeat(base.to_numpy(), k) - np.tile(offs, len(df))
         # int64-cents sum (invariant 13): order-independent across engines
-        cents = np.round(df["value"].to_numpy() * 100).astype("int64")
+        from pdftext_ray.ops import money_cents
+
+        cents = money_cents(df["value"].to_numpy())
         g = pd.DataFrame(
             {
                 "window_start": pd.to_datetime(starts, unit="s"),
@@ -396,7 +415,9 @@ def sessionize_events(
         g = g.sort_values([key, ts]).reset_index(drop=True)
         # int64-cents sum (invariant 13): per-session float sums accumulate
         # in engine-specific order; cents sums are exact on both sides
-        g["_cents"] = np.round(g["value"].to_numpy() * 100).astype("int64")
+        from pdftext_ray.ops import money_cents
+
+        g["_cents"] = money_cents(g["value"].to_numpy())
         new_key = g[key].ne(g[key].shift())
         gap = g[ts].diff() > pd.Timedelta(minutes=gap_minutes)
         session = (new_key | gap).cumsum()
