@@ -905,6 +905,33 @@ def _q_domain_cap(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental dedup — the daily-crawl shape: even-id docs stand in for
+    yesterday's corpus, represented ONLY by their content-hash table;
+    odd-id docs are the new increment. Survivors = novel hashes, keep-min
+    within the increment (`ops/dedup.incremental_exact_dedup`)."""
+    from pdftext_ray.ops import dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def fn(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())), parity)
+            return t.filter(keep)
+
+        return fn
+
+    baseline = docs.map_batches(half(0), batch_format="pyarrow").map_batches(
+        lambda b: dedup._text_hash_batch(b, "text").select(["text_hash"]),
+        batch_format="pyarrow",
+    )
+    new_docs = docs.map_batches(half(1), batch_format="pyarrow")
+    return dedup.incremental_exact_dedup(new_docs, baseline)
+
+
 def _q_top_orders_q3(sf_dir: str):
     """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
     semi-filter orders by the BUILDING customer keys (bounded dimension
@@ -2332,6 +2359,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "substring_dedup": _q_substring_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "main_content": _q_main_content,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
@@ -3200,6 +3228,13 @@ def _full_oracle_sql() -> dict[str, str]:
         "FROM (" + d["length_percentiles_by_lang"] + ") bl_sub "
         "UNION ALL SELECT 'kmv' AS method, '*' AS grp, CAST(pct AS DOUBLE), value, sample_n "
         "FROM (" + d["sample_quantiles"] + ") kmv_sub"
+    )
+    d["incremental_dedup"] = (
+        "WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 0), "
+        "novel AS (SELECT doc_id, md5(text) AS text_hash FROM documents "
+        "WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT text_hash FROM base)) "
+        "SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count "
+        "FROM novel GROUP BY text_hash"
     )
     d["dedup_exact_prefix"] = (
         "SELECT 'exact' AS method, text_hash AS key_hash, keep_doc_id, dup_count "

@@ -62,6 +62,92 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def incremental_exact_dedup(
+    new_ds: ray.data.Dataset,
+    baseline_hashes: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> ray.data.Dataset:
+    """Dedup a NEW increment against a persisted baseline fingerprint table
+    — the daily-crawl shape at 100 TB: yesterday's corpus is represented
+    only by its content-hash table (e.g. a prior :func:`exact_dedup` sink
+    read back with ``read_parquet(..., columns=["text_hash"])``), never
+    re-read or re-hashed.
+
+    Output, mirroring :func:`exact_dedup` but restricted to NOVEL content:
+    (text_hash, keep_doc_id, dup_count) for hashes absent from the
+    baseline, keeping the smallest new id per hash; dup_count counts
+    within-increment copies only.
+
+    Scale shape: both sides are projected to (hash, id, is_new) rows and
+    co-partitioned by hash bucket (the `_attach_blobs` union-merge
+    pattern — Acero ``Dataset.join`` is banned for sides that can be
+    empty, CLAUDE.md invariant 7); each partition resolves membership and
+    the keep-min vectorized. The shuffle carries hashes + ids, not text.
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    n_parts = default_num_partitions()
+
+    new_hashed = new_ds.map_batches(
+        lambda b: _text_hash_batch(b, text_col)
+        .select([id_col, "text_hash"])
+        .append_column("is_new", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    # baseline contributes hash membership only; a sentinel id VALUE (not
+    # null — a null would coerce the pandas id column to float64, losing
+    # precision past 2^53) of the NEW side's type keeps the union schema
+    # aligned; the sentinel is never read (resolve only aggregates is_new
+    # rows)
+    import pyarrow.types as pt
+
+    id_type = new_ds.schema().base_schema.field(id_col).type
+    if pt.is_integer(id_type):
+        _sentinel = pa.scalar(0, id_type)
+    elif pt.is_string(id_type) or pt.is_large_string(id_type):
+        _sentinel = pa.scalar("", id_type)
+    else:
+        raise TypeError(f"incremental_exact_dedup: unsupported id type {id_type}")
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        col = b.column(hash_col)
+        return pa.table({
+            id_col: pa.array([_sentinel.as_py()] * len(col), id_type),
+            "text_hash": col,
+            "is_new": pa.array([0] * len(col), pa.int8()),
+        })
+
+    base = baseline_hashes.map_batches(base_rows, batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        seen = g.loc[g["is_new"] == 0, "text_hash"]
+        new = g[g["is_new"] == 1]
+        novel = new[~new["text_hash"].isin(set(seen))]
+        if novel.empty:
+            # explicit types — an empty pandas object column would infer
+            # arrow null and break the keyed shuffle (invariant 12)
+            return pa.table({
+                "text_hash": pa.array([], pa.string()),
+                "keep_doc_id": pa.array([], id_type),
+                "dup_count": pa.array([], pa.int64()),
+            })
+        agg = novel.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=(id_col, "min"), dup_count=(id_col, "size")
+        )
+        agg["dup_count"] = agg["dup_count"].astype("int64")
+        return from_pandas_clean(agg[["text_hash", "keep_doc_id", "dup_count"]])
+
+    return (
+        new_hashed.union(base)
+        .map_batches(_key_part_tag("text_hash", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def prefix_dedup(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 50
 ) -> ray.data.Dataset:

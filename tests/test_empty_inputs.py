@@ -45,6 +45,8 @@ EMPTY_OK = [
     ("shuffle_rank", lambda: sampling.shuffle_rank(_mk(DOCS))),
     ("pack_sequences", lambda: pack.pack_sequences(_mk(DOCS), budget=128)),
     ("connected_components", lambda: cluster.connected_components_distributed(_mk(PAIRS))),
+    ("incremental_exact_dedup", lambda: dedup.incremental_exact_dedup(
+        _mk(DOCS), _mk(pa.table({"text_hash": pa.array([], pa.string())})))),
     ("streaming_dedup", lambda: streaming.streaming_dedup(_mk(DOCS), n_shards=2)),
     ("ngram_repetition", lambda: textstats.ngram_repetition(_mk(DOCS))),
     ("chunk_documents", lambda: textstats.chunk_documents(_mk(DOCS))),

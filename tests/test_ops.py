@@ -31,6 +31,37 @@ def test_exact_dedup_groups_identical_texts():
     assert grp["dup_count"] == 2
 
 
+def test_incremental_dedup_suppresses_baseline_and_keeps_min():
+    import hashlib
+
+    known = BASE
+    fresh = "a brand new document about arrow shuffles"
+    # increment: one doc already in the baseline, one fresh doc duplicated
+    ds = _doc_table([known, fresh, fresh])
+    baseline = ray.data.from_arrow(pa.table({
+        "text_hash": [hashlib.md5(known.encode()).hexdigest()]
+    }))
+    out = dedup.incremental_exact_dedup(ds, baseline).to_pandas()
+    assert len(out) == 1  # the known doc is suppressed entirely
+    assert out.iloc[0]["keep_doc_id"] == 1 and out.iloc[0]["dup_count"] == 2
+
+
+def test_incremental_dedup_empty_baseline_equals_exact_dedup():
+    ds = _doc_table([BASE, BASE, BASE + " extra"])
+    baseline = ray.data.from_arrow(pa.table({"text_hash": pa.array([], pa.string())}))
+    inc = (
+        dedup.incremental_exact_dedup(ds, baseline)
+        .to_pandas().sort_values("text_hash").reset_index(drop=True)
+    )
+    ref = (
+        dedup.exact_dedup(ds)
+        .to_pandas().sort_values("text_hash").reset_index(drop=True)
+    )
+    assert inc[["text_hash", "keep_doc_id", "dup_count"]].equals(
+        ref[["text_hash", "keep_doc_id", "dup_count"]]
+    )
+
+
 def test_minhash_finds_planted_near_dups():
     near = BASE.replace("morning", "evening")  # one token changed
     ds = _doc_table([BASE, near, "completely unrelated text about ray data pipelines and arrow"])
