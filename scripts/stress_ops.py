@@ -66,6 +66,38 @@ def build_replicas(mult: int) -> str:
     return out
 
 
+def _parity_rows(parity):
+    """Batch filter keeping rows whose doc_id has the given parity; imports
+    resolve on the worker (lambda closures over driver-local module names
+    do not survive serialization here)."""
+    def fn(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(
+            pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())),
+            pa.scalar(parity, pa.int64())))
+
+    return fn
+
+
+def _parity_hashes(parity):
+    """Hash-only projection of the given parity's docs (the persisted-
+    baseline stand-in for the incremental-dedup stress)."""
+    rows = _parity_rows(parity)
+
+    def fn(t):
+        import pyarrow as pa
+
+        from pdftext_ray.ops.dedup import _md5_hex
+
+        kept = rows(t)
+        return pa.table({"text_hash": pa.array(
+            _md5_hex(kept.column("text").to_pylist()), pa.string())})
+
+    return fn
+
+
 def main():
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -122,6 +154,13 @@ def main():
                     batch_format="pyarrow")).count(),
             "dedup_clusters": lambda: cluster.connected_components_distributed(
                 dedup.minhash_lsh_pairs(docs(), threshold=0.4)).count(),
+            # incremental shape: even-id docs are the persisted baseline
+            # (hash table only), odd-id docs the increment — on the
+            # replicated corpus every increment doc collides with baseline
+            "incremental_dedup": lambda: dedup.incremental_exact_dedup(
+                docs().map_batches(_parity_rows(1), batch_format="pyarrow"),
+                docs().map_batches(_parity_hashes(0), batch_format="pyarrow"),
+            ).count(),
             "embedding_pairs_lsh": lambda: dedup.embedding_dup_pairs(
                 rd("embeddings", ["vec_id", "embedding"]),
                 threshold=0.4, n_planes=8, probe_radius=1).count(),
