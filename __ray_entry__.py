@@ -62,6 +62,7 @@ def _corpus_paths(n_docs: int) -> dict:
         "expected_hll": os.path.join(base, "expected_hll.parquet"),
         "expected_cms": os.path.join(base, "expected_cms.parquet"),
         "expected_main_content": os.path.join(base, "expected_main_content.parquet"),
+        "expected_incminhash": os.path.join(base, "expected_incminhash.parquet"),
     }
 
 
@@ -105,6 +106,13 @@ def _ensure_op_goldens(sf_dir: str) -> dict:
         )
         goldens.materialize_golden(
             paths["expected_winnow"], lambda: goldens.expected_winnow_table(ids, texts)
+        )
+    if not os.path.exists(paths["expected_incminhash"]):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        goldens.materialize_golden(
+            paths["expected_incminhash"],
+            lambda: goldens.expected_incremental_minhash_table(ids, texts, threshold=0.5),
         )
     goldens.materialize_golden(
         paths["expected_media"],
@@ -930,6 +938,34 @@ def _q_incremental_dedup(sf_dir: str):
     )
     new_docs = docs.map_batches(half(1), batch_format="pyarrow")
     return dedup.incremental_exact_dedup(new_docs, baseline)
+
+
+def _q_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup verdicts (the scale path of incremental_dedup):
+    even-id docs are the persisted baseline — present only as a minhash
+    signature table — odd-id docs the increment. Oracle: independent scalar
+    golden (signatures, collapse, banding and argmax re-derived with plain
+    Python loops — pipelines/goldens.expected_incremental_minhash_table)."""
+    from pdftext_ray.ops import dedup
+
+    _require_gate_corpus(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def fn(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())), parity)
+            return t.filter(keep)
+
+        return fn
+
+    baseline_sigs = dedup.minhash_signatures(
+        docs.map_batches(half(0), batch_format="pyarrow")
+    )
+    new_docs = docs.map_batches(half(1), batch_format="pyarrow")
+    return dedup.incremental_minhash_dedup(new_docs, baseline_sigs, threshold=0.5)
 
 
 def _q_top_orders_q3(sf_dir: str):
@@ -2360,6 +2396,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": _q_dedup_prefix,
         "substring_dedup": _q_substring_dedup,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_minhash": _q_incremental_minhash,
         "main_content": _q_main_content,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
@@ -2465,6 +2502,7 @@ def _full_oracle_sql() -> dict[str, str]:
         "extract_dictionary": f"SELECT * FROM read_parquet('{p['expected_dict']}')",
         "winnow_fingerprints": f"SELECT doc_id, fingerprint FROM read_parquet('{p['expected_winnow']}')",
         "dedup_simhash": f"SELECT doc_a, doc_b, hamming FROM read_parquet('{p['expected_simhash']}')",
+        "incremental_minhash": f"SELECT doc_id, dup_of, est_jaccard FROM read_parquet('{p['expected_incminhash']}')",
         "kmeans_clusters": f"SELECT vec_id, cluster, dist FROM read_parquet('{p['expected_kmeans']}')",
         "similarity_pq": f"SELECT vec_id, adc_dist FROM read_parquet('{p['expected_pq']}')",
         "similarity_sq8": f"SELECT vec_id, sq8_score FROM read_parquet('{p['expected_sq8']}')",

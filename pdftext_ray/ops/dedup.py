@@ -148,6 +148,251 @@ def incremental_exact_dedup(
     )
 
 
+def minhash_signatures(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    ngram: int = 3,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Persistable (id, minhash) signature table — the baseline artifact
+    :func:`incremental_minhash_dedup` consumes. Write it with
+    ``storage.write_table``; the next increment never re-reads baseline
+    text, only this table."""
+    return ds.map_batches(
+        MinHasher(num_perm, ngram, seed, id_col, text_col),
+        batch_format="pyarrow", batch_size=1024,
+    ).select_columns([id_col, "minhash"])
+
+
+def incremental_minhash_dedup(
+    new_ds: ray.data.Dataset,
+    baseline_sigs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Near-dup verdicts for a crawl increment against a persisted MinHash
+    signature baseline — the scale path of :func:`incremental_exact_dedup`.
+
+    Output: one row per FLAGGED new doc — (doc_id, dup_of, est_jaccard)
+    where ``dup_of`` is the best-matching EARLIER doc (any baseline doc, or
+    a new doc with a smaller id) and ``est_jaccard`` is the signature
+    agreement fraction (matching positions / num_perm — the standard
+    unbiased MinHash estimator; exact verification is impossible without
+    re-reading baseline text, which is the point). Unflagged docs are the
+    increment's novel set. Ids must be disjoint across baseline and
+    increment (monotone id assignment gives this for free).
+
+    Plan (every exchange few-partition, invariant 9; identical signatures
+    collapsed FIRST, invariant 14, so dup-saturated increments emit one
+    flag per copy instead of quadratic bucket pairs):
+
+    1. signatures for the increment (MinHasher actor pool) ∪ baseline sigs,
+       marked is_new.
+    2. collapse identical signature byte-strings: every new member behind
+       its group head (baseline-first, then id order) is flagged at est
+       1.0; group heads proceed as reps.
+    3. band reps (same bucket formula as minhash_lsh_pairs), candidate
+       pairs new-rep × earlier-rep within a bucket.
+    4. attach packed sigs to both pair sides (co-partitioned bucket merge,
+       no Acero join), estimate, threshold.
+    5. per-new-doc argmax (max est, then min dup_of) over collapse flags ∪
+       banded estimates.
+
+    Ties cannot straddle kinds: collapse flags are exactly 1.0 and rep
+    pairs have non-identical signatures (est < 1.0). Empty docs share the
+    sentinel signature and collapse together — an empty increment doc is
+    flagged against an earlier empty doc at 1.0 (for incremental-dedup
+    semantics two empty texts ARE identical; contrast invariant 10's
+    set-Jaccard convention for the pair ops).
+    """
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean, round_half_away
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    rows = num_perm // bands
+    id_type = _schema_field_type(new_ds, id_col) or pa.int64()
+    n_parts = default_num_partitions()
+
+    def mark(is_new: int):
+        def fn(t: pa.Table) -> pa.Table:
+            packed = pa.array(
+                [np.asarray(s, dtype="<i8").tobytes() for s in t.column("minhash").to_pylist()],
+                pa.binary(),
+            )
+            return pa.table({
+                id_col: pc.cast(t.column(id_col).combine_chunks(), id_type),
+                "_sigb": packed,
+                "is_new": pa.array(np.full(len(t), is_new, dtype=np.int8), pa.int8()),
+            })
+
+        return fn
+
+    allsigs = (
+        minhash_signatures(new_ds, num_perm, ngram, seed, id_col, text_col)
+        .map_batches(mark(1), batch_format="pyarrow")
+        .union(baseline_sigs.map_batches(mark(0), batch_format="pyarrow"))
+    )
+
+    def sig_part(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big") >> 1
+                for b in t.column("_sigb").to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return t.append_column("_part", pa.array(h % n_parts, pa.int64()))
+
+    def collapse(g: pd.DataFrame) -> pa.Table:
+        # group by the exact signature BYTES (not a hash of them); head =
+        # baseline-first, then smallest id
+        g = g.sort_values(["_sigb", "is_new", id_col], kind="mergesort")
+        first = ~g["_sigb"].duplicated()
+        heads = g.loc[first, ["_sigb", id_col]].rename(columns={id_col: "_head"})
+        g = g.merge(heads, on="_sigb", how="left")
+        flags = g[(g["is_new"] == 1) & (g[id_col] != g["_head"])]
+        reps = g[~g["_sigb"].duplicated()]
+        return pa.table({
+            "kind": pa.array(
+                np.concatenate([np.ones(len(flags), np.int8), np.zeros(len(reps), np.int8)]),
+                pa.int8(),
+            ),
+            "doc_id": pa.array(
+                list(flags[id_col]) + list(reps[id_col]), id_type
+            ),
+            "dup_of": pa.array(
+                list(flags["_head"]) + list(reps[id_col]), id_type
+            ),
+            "_sigb": pa.array(
+                [b""] * len(flags) + list(reps["_sigb"]), pa.binary()
+            ),
+            "is_new": pa.array(
+                np.concatenate([
+                    np.zeros(len(flags), np.int8),
+                    reps["is_new"].to_numpy().astype(np.int8),
+                ]),
+                pa.int8(),
+            ),
+        })
+
+    combined = (
+        allsigs.map_batches(sig_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(collapse, batch_format="pandas")
+        .materialize()
+    )
+    reps = combined.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())))
+        .select(["doc_id", "_sigb", "is_new"]),
+        batch_format="pyarrow",
+    )
+
+    def band_keys(t: pa.Table) -> pa.Table:
+        o_bucket, o_id, o_new = [], [], []
+        for did, sb, isn in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("_sigb").to_pylist(),
+            t.column("is_new").to_pylist(),
+        ):
+            sig = np.frombuffer(sb, dtype="<i8")
+            for b in range(bands):
+                chunk = tuple(int(x) for x in sig[b * rows:(b + 1) * rows])
+                d = hashlib.blake2b(repr((b, chunk)).encode(), digest_size=8).digest()
+                o_bucket.append(int.from_bytes(d, "big") >> 1)
+                o_id.append(did)
+                o_new.append(isn)
+        return pa.table({
+            "bucket": pa.array(o_bucket, pa.int64()),
+            "doc_id": pa.array(o_id, id_type),
+            "is_new": pa.array(o_new, pa.int8()),
+        })
+
+    def pairs_part(g: pd.DataFrame) -> pa.Table:
+        out_n, out_m = [], []
+        for _, grp in g.groupby("bucket"):
+            ids = grp["doc_id"].to_numpy()
+            news = grp["is_new"].to_numpy()
+            for i in np.flatnonzero(news == 1):
+                n_id = ids[i]
+                mask = (news == 0) | ((news == 1) & (ids < n_id))
+                for m_id in ids[mask]:
+                    out_n.append(n_id)
+                    out_m.append(m_id)
+        # duplicates across bands are allowed (bounded by `bands`×) — the
+        # final per-doc argmax absorbs them
+        return pa.table({
+            "doc_id": pa.array(out_n, id_type),
+            "cand": pa.array(out_m, id_type),
+        })
+
+    cands = (
+        reps.map_batches(band_keys, batch_format="pyarrow")
+        .map_batches(_key_part_tag("bucket", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+    cands = _attach_blobs(
+        cands, [("doc_id", id_type), ("cand", id_type)], "doc_id",
+        reps, "doc_id", "_sb_n", n_parts, src_col="_sigb", src_packed=True,
+    )
+    cands = _attach_blobs(
+        cands,
+        [("doc_id", id_type), ("cand", id_type), ("_sb_n", pa.binary())],
+        "cand", reps, "doc_id", "_sb_m", n_parts,
+        src_col="_sigb", src_packed=True,
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        o_id, o_of, o_e = [], [], []
+        for n_id, m_id, sn, sm in zip(
+            t.column("doc_id").to_pylist(), t.column("cand").to_pylist(),
+            t.column("_sb_n").to_pylist(), t.column("_sb_m").to_pylist(),
+        ):
+            a = np.frombuffer(sn, dtype="<i8")
+            b = np.frombuffer(sm, dtype="<i8")
+            est = float((a == b).sum()) / num_perm
+            if est >= threshold:
+                o_id.append(n_id)
+                o_of.append(m_id)
+                o_e.append(float(round_half_away(est, 6)))
+        return pa.table({
+            "doc_id": pa.array(o_id, id_type),
+            "dup_of": pa.array(o_of, id_type),
+            "est_jaccard": pa.array(o_e, pa.float64()),
+        })
+
+    flags = combined.map_batches(
+        lambda t: (lambda k: pa.table({
+            "doc_id": k.column("doc_id"),
+            "dup_of": k.column("dup_of"),
+            "est_jaccard": pa.array([1.0] * len(k), pa.float64()),
+        }))(t.filter(pc.equal(t.column("kind"), pa.scalar(1, pa.int8())))),
+        batch_format="pyarrow",
+    )
+
+    def best(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["doc_id", "est_jaccard", "dup_of"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g[~g["doc_id"].duplicated()]
+        return from_pandas_clean(out[["doc_id", "dup_of", "est_jaccard"]])
+
+    return (
+        flags.union(cands.map_batches(estimate, batch_format="pyarrow"))
+        .map_batches(_key_part_tag("doc_id", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
 def prefix_dedup(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 50
 ) -> ray.data.Dataset:
@@ -679,8 +924,11 @@ def _attach_blobs(
     id_col: str,
     blob_col: str,
     num_buckets: int,
+    src_col: str = "shingles",
+    src_packed: bool = False,
 ) -> ray.data.Dataset:
-    """Attach each signature blob to the pair rows referencing it via a
+    """Attach each signature blob (the packed ``src_col`` list column of
+    ``sigs``) to the pair rows referencing it via a
     co-partitioned bucket merge: tag both sides with ``bucket = hash(key) %
     B`` over a COMMON schema, union, and merge per bucket with one vectorized
     ``pd.merge`` (the portable hash-join plan from ops/joins.py). Chosen over
@@ -717,10 +965,13 @@ def _attach_blobs(
                 cols[name] = pa.array([b""] * n, typ)
             else:
                 cols[name] = pc.cast(key_arr, typ)
-        cols[blob_col] = pa.array(
-            [np.asarray(sh, dtype="<i8").tobytes() for sh in t.column("shingles").to_pylist()],
-            pa.binary(),
-        )
+        if src_packed:
+            cols[blob_col] = pc.cast(t.column(src_col).combine_chunks(), pa.binary())
+        else:
+            cols[blob_col] = pa.array(
+                [np.asarray(sh, dtype="<i8").tobytes() for sh in t.column(src_col).to_pylist()],
+                pa.binary(),
+            )
         cols["_is_sig"] = pa.array(np.ones(n, dtype=np.int8), pa.int8())
         cols["_bucket"] = pa.array(_bucket_array(key_arr, num_buckets), pa.int64())
         return pa.table(cols)
@@ -731,7 +982,7 @@ def _attach_blobs(
         return from_pandas_clean(prs.merge(sig, on=key_col, how="inner"))
 
     tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        sigs.select_columns([id_col, "shingles"]).map_batches(tag_sigs, batch_format="pyarrow")
+        sigs.select_columns([id_col, src_col]).map_batches(tag_sigs, batch_format="pyarrow")
     )
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
 

@@ -1054,3 +1054,99 @@ def expected_video_table(n: int, seed: int = 17, stride: int = 2) -> pa.Table:
         "mean_g": pa.array(chans[1], pa.float64()),
         "mean_b": pa.array(chans[2], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash (independent scalar path for
+# ops/dedup.incremental_minhash_dedup over the even/odd gate split)
+# ---------------------------------------------------------------------------
+
+def expected_incremental_minhash_table(
+    doc_ids: List[int],
+    texts: List[str],
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> pa.Table:
+    """Scalar reference for the incremental near-dup verdicts: even ids are
+    the persisted baseline, odd ids the increment. Signature formula,
+    identical-signature collapse, band buckets, the signature-agreement
+    estimator and the per-doc argmax are all re-derived with plain Python
+    loops and dicts (the pipeline uses numpy + keyed shuffles). The seeded
+    RandomState permutation draw is shared — it IS the deterministic
+    parameter set, like the media codec boundary."""
+    M = (1 << 31) - 1
+    rng = np.random.RandomState(seed)
+    A = [int(x) for x in rng.randint(1, M, size=num_perm, dtype=np.uint64)]
+    B = [int(x) for x in rng.randint(0, M, size=num_perm, dtype=np.uint64)]
+    rows = num_perm // bands
+
+    def sig_of(text: str):
+        toks = text.split()
+        if len(toks) < ngram:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i:i + ngram]) for i in range(len(toks) - ngram + 1)]
+        if not grams:
+            return tuple([M] * num_perm)
+        hs = [
+            int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big") % M
+            for g in grams
+        ]
+        return tuple(min((a * x + b) % M for x in hs) for a, b in zip(A, B))
+
+    base = [(i, sig_of(t)) for i, t in zip(doc_ids, texts) if i % 2 == 0]
+    newd = [(i, sig_of(t)) for i, t in zip(doc_ids, texts) if i % 2 == 1]
+
+    groups: dict = {}
+    for i, s in base:
+        groups.setdefault(s, []).append((0, i))
+    for i, s in newd:
+        groups.setdefault(s, []).append((1, i))
+
+    best: dict = {}
+    reps = []
+    for s, members in groups.items():
+        members.sort()
+        _, head = members[0]
+        for isn, i in members:
+            if isn == 1 and i != head:
+                best[i] = (1.0, head)
+        reps.append((head, s, members[0][0]))
+
+    buckets: dict = {}
+    for rid, s, isn in reps:
+        for b in range(bands):
+            chunk = tuple(int(x) for x in s[b * rows:(b + 1) * rows])
+            d = hashlib.blake2b(repr((b, chunk)).encode(), digest_size=8).digest()
+            buckets.setdefault(int.from_bytes(d, "big") >> 1, []).append((rid, s, isn))
+
+    seen = set()
+    for members in buckets.values():
+        for nid, ns, nisn in members:
+            if nisn != 1:
+                continue
+            for mid, ms, misn in members:
+                if not (misn == 0 or (misn == 1 and mid < nid)):
+                    continue
+                if (nid, mid) in seen:
+                    continue
+                seen.add((nid, mid))
+                est = sum(1 for x, y in zip(ns, ms) if x == y) / num_perm
+                if est >= threshold:
+                    cur = best.get(nid)
+                    if cur is None or est > cur[0] or (est == cur[0] and mid < cur[1]):
+                        best[nid] = (est, mid)
+
+    import math
+
+    out_ids = sorted(best)
+    return pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "dup_of": pa.array([best[i][1] for i in out_ids], pa.int64()),
+        "est_jaccard": pa.array(
+            [math.floor(best[i][0] * 1e6 + 0.5) / 1e6 for i in out_ids], pa.float64()
+        ),
+    })

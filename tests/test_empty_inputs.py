@@ -47,6 +47,11 @@ EMPTY_OK = [
     ("connected_components", lambda: cluster.connected_components_distributed(_mk(PAIRS))),
     ("incremental_exact_dedup", lambda: dedup.incremental_exact_dedup(
         _mk(DOCS), _mk(pa.table({"text_hash": pa.array([], pa.string())})))),
+    ("incremental_minhash_dedup", lambda: dedup.incremental_minhash_dedup(
+        _mk(DOCS), _mk(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "minhash": pa.array([], pa.list_(pa.int64())),
+        })))),
     ("streaming_dedup", lambda: streaming.streaming_dedup(_mk(DOCS), n_shards=2)),
     ("ngram_repetition", lambda: textstats.ngram_repetition(_mk(DOCS))),
     ("chunk_documents", lambda: textstats.chunk_documents(_mk(DOCS))),

@@ -62,6 +62,45 @@ def test_incremental_dedup_empty_baseline_equals_exact_dedup():
     )
 
 
+def test_incremental_minhash_verdicts():
+    near = BASE.replace("morning", "evening")
+    base_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 2],
+        "text": [BASE, "completely unrelated text about ray data pipelines and arrow"],
+    }))
+    sigs = dedup.minhash_signatures(base_docs)
+    new_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [11, 13, 15, 17],
+        "text": [BASE, near, "a totally novel doc about something else entirely", BASE],
+    }))
+    out = (
+        dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # exact copies collapse to est 1.0 vs the baseline doc; the near-dup is
+    # flagged below 1.0; the novel doc is absent
+    assert list(out["doc_id"]) == [11, 13, 17]
+    assert list(out["dup_of"]) == [0, 0, 0]
+    assert out.loc[0, "est_jaccard"] == 1.0 and out.loc[2, "est_jaccard"] == 1.0
+    assert 0.4 <= out.loc[1, "est_jaccard"] < 1.0
+
+
+def test_incremental_minhash_within_increment_keep_first():
+    # no baseline at all: two identical new docs — the larger id is flagged
+    # against the smaller, the smaller is unflagged
+    sigs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "minhash": pa.array([], pa.list_(pa.int64())),
+    }))
+    new_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [5, 9], "text": [BASE, BASE],
+    }))
+    out = dedup.incremental_minhash_dedup(new_docs, sigs).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["doc_id"] == 9 and out.iloc[0]["dup_of"] == 5
+    assert out.iloc[0]["est_jaccard"] == 1.0
+
+
 def test_minhash_finds_planted_near_dups():
     near = BASE.replace("morning", "evening")  # one token changed
     ds = _doc_table([BASE, near, "completely unrelated text about ray data pipelines and arrow"])
