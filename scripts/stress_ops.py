@@ -161,6 +161,12 @@ def main():
                 docs().map_batches(_parity_rows(1), batch_format="pyarrow"),
                 docs().map_batches(_parity_hashes(0), batch_format="pyarrow"),
             ).count(),
+            "incremental_minhash": lambda: dedup.incremental_minhash_dedup(
+                docs().map_batches(_parity_rows(1), batch_format="pyarrow"),
+                dedup.minhash_signatures(
+                    docs().map_batches(_parity_rows(0), batch_format="pyarrow")),
+                threshold=0.5,
+            ).count(),
             "embedding_pairs_lsh": lambda: dedup.embedding_dup_pairs(
                 rd("embeddings", ["vec_id", "embedding"]),
                 threshold=0.4, n_planes=8, probe_radius=1).count(),
