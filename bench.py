@@ -209,6 +209,30 @@ def run_bench() -> dict:
           .write_parquet(os.path.join(out_dir, "plain")))
     timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs_ds(), threshold=0.5).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs_ds()).count())
+
+    def _doc_parity(parity):
+        def fn(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64())))
+
+        return fn
+
+    # incremental family: even-id docs stand in for the persisted baseline
+    timed("incremental_dedup", lambda: dedup.incremental_exact_dedup(
+        docs_ds().map_batches(_doc_parity(1), batch_format="pyarrow"),
+        docs_ds().map_batches(_doc_parity(0), batch_format="pyarrow").map_batches(
+            lambda b: __import__("pyarrow").table({"text_hash": __import__("pyarrow").array(
+                dedup._md5_hex(b.column("text").to_pylist()))}),
+            batch_format="pyarrow")).count())
+    timed("incremental_minhash", lambda: dedup.incremental_minhash_dedup(
+        docs_ds().map_batches(_doc_parity(1), batch_format="pyarrow"),
+        dedup.minhash_signatures(
+            docs_ds().map_batches(_doc_parity(0), batch_format="pyarrow")),
+        threshold=0.5).count())
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
     timed("dedup_simhash", lambda: dedup.simhash_pairs(docs_ds(), max_hamming=3).count())
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs_ds(), threshold=0.5).count())
