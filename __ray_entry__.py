@@ -968,6 +968,32 @@ def _q_incremental_minhash(sf_dir: str):
     return dedup.incremental_minhash_dedup(new_docs, baseline_sigs, threshold=0.5)
 
 
+def _q_incremental_embedding(sf_dir: str):
+    """Embedding-modality incremental dedup in exact-verification
+    configuration (probe_radius == n_planes — every pair co-bucketed, so
+    the bucketize → probe → cosine-verify → per-vector argmax machinery
+    yields exactly the SQL argmax over the even/odd split)."""
+    from pdftext_ray.ops import dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(parity: int):
+        def fn(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            keep = pc.equal(pc.bit_wise_and(t.column("vec_id"), pa.scalar(1, pa.int64())), parity)
+            return t.filter(keep)
+
+        return fn
+
+    return dedup.incremental_embedding_dedup(
+        emb.map_batches(half(1), batch_format="pyarrow"),
+        emb.map_batches(half(0), batch_format="pyarrow"),
+        threshold=0.5, n_planes=4, probe_radius=4,
+    )
+
+
 def _q_top_orders_q3(sf_dir: str):
     """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
     semi-filter orders by the BUILDING customer keys (bounded dimension
@@ -2397,6 +2423,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_minhash": _q_incremental_minhash,
+        "incremental_embedding": _q_incremental_embedding,
         "main_content": _q_main_content,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
@@ -2570,6 +2597,20 @@ def _full_oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.v, b.v), 6) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.5"
+        ),
+        "incremental_embedding": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), "
+            "b AS (SELECT * FROM e WHERE vec_id % 2 = 0), "
+            "n AS (SELECT * FROM e WHERE vec_id % 2 = 1), "
+            "c AS (SELECT n.vec_id, b.vec_id AS dup_of, "
+            "round(list_cosine_similarity(n.v, b.v), 6) AS cosine FROM n, b "
+            "WHERE list_cosine_similarity(n.v, b.v) >= 0.5 "
+            "UNION ALL SELECT n1.vec_id, n2.vec_id, "
+            "round(list_cosine_similarity(n1.v, n2.v), 6) FROM n n1, n n2 "
+            "WHERE n2.vec_id < n1.vec_id AND list_cosine_similarity(n1.v, n2.v) >= 0.5), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cosine DESC, dup_of ASC) AS rn FROM c) "
+            "SELECT vec_id, dup_of, cosine FROM r WHERE rn = 1"
         ),
         # deterministic hash sampling/splitting: the SQL reproduces the
         # uint64 Fibonacci-hash gate bit-for-bit (wraparound via % 2^64)

@@ -393,6 +393,127 @@ def incremental_minhash_dedup(
     )
 
 
+def incremental_embedding_dedup(
+    new_emb: ray.data.Dataset,
+    baseline_emb: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_radius: int = 1,
+) -> ray.data.Dataset:
+    """Embedding near-dup verdicts for an increment against a persisted
+    baseline vector table — the third modality of the incremental family
+    (exact hashes / MinHash signatures / embeddings; here the vector IS the
+    persisted fingerprint).
+
+    Output: one row per FLAGGED new vector — (vec_id, dup_of, cosine) for
+    the best earlier match (any baseline vector, or a new vector with a
+    smaller id) at cosine ≥ threshold. Ids must be disjoint across the
+    sides. Same hyperplane-LSH machinery as :func:`embedding_dup_pairs`
+    (seeded planes, multi-probe on the NEW side only — the baseline is the
+    index and emits its base code once); ``probe_radius == n_planes`` is
+    the exact, SQL-oracle-comparable configuration, the small-radius
+    default the approximate scale path.
+    """
+    from itertools import combinations
+
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    if not 0 <= probe_radius <= n_planes:
+        raise ValueError(f"probe_radius must be in [0, {n_planes}], got {probe_radius}")
+    masks = [0] + [
+        sum(1 << p for p in combo)
+        for r in range(1, probe_radius + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+
+    def bucketize(is_new: int):
+        use_masks = masks if is_new else [0]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            rng = np.random.RandomState(seed)
+            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            planes = rng.standard_normal((vecs.shape[1] if vecs.size else 0, n_planes))
+            ids = batch.column(id_col).to_pylist()
+            if not ids:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.float64())), pa.array([], pa.int8())],
+                    names=["bucket", id_col, vec_col, "is_new"],
+                )
+            unit = _unit_rows(vecs)
+            codes = (unit @ planes > 0).astype(np.uint32)
+            base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+            o_bucket, o_id, o_vec, o_new = [], [], [], []
+            for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
+                for m in use_masks:
+                    o_bucket.append(bkt ^ m)
+                    o_id.append(did)
+                    o_vec.append(unit[i].tolist())
+                    o_new.append(is_new)
+            return pa.Table.from_arrays(
+                [pa.array(o_bucket, pa.int64()), pa.array(o_id),
+                 pa.array(o_vec, pa.list_(pa.float64())), pa.array(o_new, pa.int8())],
+                names=["bucket", id_col, vec_col, "is_new"],
+            )
+
+        return fn
+
+    def bucket_verdicts(group: pd.DataFrame):
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        })
+        g = group.sort_values([id_col, "is_new"]).drop_duplicates(id_col).reset_index(drop=True)
+        new = g[g["is_new"] == 1]
+        if new.empty or len(g) < 2:
+            return from_pandas_clean(empty)
+        mat_all = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        sims = np.asarray(new[vec_col].tolist(), dtype=np.float64) @ mat_all.T
+        gids = g[id_col].to_numpy()
+        gnew = g["is_new"].to_numpy()
+        o_id, o_of, o_c = [], [], []
+        for row, ni in enumerate(new[id_col].to_numpy()):
+            elig = (gnew == 0) | ((gnew == 1) & (gids < ni))
+            s = sims[row][elig]
+            keep = s >= threshold
+            if keep.any():
+                o_id.extend([int(ni)] * int(keep.sum()))
+                o_of.extend(gids[elig][keep].astype(np.int64).tolist())
+                o_c.extend(round_half_away(s[keep], 6).tolist())
+        return from_pandas_clean(pd.DataFrame({
+            "vec_id": pd.Series(o_id, dtype="int64"),
+            "dup_of": pd.Series(o_of, dtype="int64"),
+            "cosine": pd.Series(o_c, dtype="float64"),
+        }))
+
+    hits = (
+        new_emb.map_batches(bucketize(1), batch_format="pyarrow")
+        .union(baseline_emb.map_batches(bucketize(0), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(bucket_verdicts, batch_format="pandas")
+    )
+
+    def best(g: pd.DataFrame):
+        g = g.sort_values(
+            ["vec_id", "cosine", "dup_of"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g[~g["vec_id"].duplicated()]
+        return from_pandas_clean(out[["vec_id", "dup_of", "cosine"]])
+
+    n_parts = default_num_partitions()
+    return (
+        hits.map_batches(_key_part_tag("vec_id", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
 def prefix_dedup(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 50
 ) -> ray.data.Dataset:

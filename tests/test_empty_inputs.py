@@ -52,6 +52,8 @@ EMPTY_OK = [
             "doc_id": pa.array([], pa.int64()),
             "minhash": pa.array([], pa.list_(pa.int64())),
         })))),
+    ("incremental_embedding_dedup", lambda: dedup.incremental_embedding_dedup(
+        _mk(EMB), _mk(EMB))),
     ("streaming_dedup", lambda: streaming.streaming_dedup(_mk(DOCS), n_shards=2)),
     ("ngram_repetition", lambda: textstats.ngram_repetition(_mk(DOCS))),
     ("chunk_documents", lambda: textstats.chunk_documents(_mk(DOCS))),

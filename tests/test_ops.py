@@ -101,6 +101,49 @@ def test_incremental_minhash_within_increment_keep_first():
     assert out.iloc[0]["est_jaccard"] == 1.0
 
 
+def test_incremental_embedding_verdicts():
+    rng = np.random.RandomState(3)
+    base_vecs = rng.standard_normal((4, 16))
+    base = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 2, 4, 6], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in base_vecs], pa.list_(pa.float64())),
+    }))
+    # new: a tiny perturbation of base vec 2 (id 4), an exact copy of base
+    # vec 0 (id 0), and an orthogonal novel direction
+    novel = np.zeros(16); novel[7] = 1.0
+    new = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([11, 13, 15], pa.int64()),
+        "embedding": pa.array([
+            (base_vecs[2] + 0.01 * rng.standard_normal(16)).tolist(),
+            base_vecs[0].tolist(),
+            novel.tolist(),
+        ], pa.list_(pa.float64())),
+    }))
+    out = (
+        dedup.incremental_embedding_dedup(new, base, threshold=0.9, n_planes=4, probe_radius=4)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert list(out["vec_id"]) == [11, 13]
+    assert out.loc[0, "dup_of"] == 4 and out.loc[0, "cosine"] > 0.99
+    assert out.loc[1, "dup_of"] == 0 and out.loc[1, "cosine"] == 1.0
+
+
+def test_incremental_embedding_within_increment_keep_first():
+    v = np.ones(8)
+    base = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([5, 9], pa.int64()),
+        "embedding": pa.array([v.tolist(), v.tolist()], pa.list_(pa.float64())),
+    }))
+    out = dedup.incremental_embedding_dedup(new, base, threshold=0.9, n_planes=4, probe_radius=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["vec_id"] == 9 and out.iloc[0]["dup_of"] == 5
+    assert out.iloc[0]["cosine"] == 1.0
+
+
 def test_minhash_finds_planted_near_dups():
     near = BASE.replace("morning", "evening")  # one token changed
     ds = _doc_table([BASE, near, "completely unrelated text about ray data pipelines and arrow"])
