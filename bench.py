@@ -233,6 +233,24 @@ def run_bench() -> dict:
         dedup.minhash_signatures(
             docs_ds().map_batches(_doc_parity(0), batch_format="pyarrow")),
         threshold=0.5).count())
+
+    def _vec_parity(parity):
+        def fn(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(
+                pc.bit_wise_and(t.column("vec_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64())))
+
+        return fn
+
+    timed("incremental_embedding", lambda: dedup.incremental_embedding_dedup(
+        sf_read("embeddings", ["vec_id", "embedding"]).map_batches(
+            _vec_parity(1), batch_format="pyarrow"),
+        sf_read("embeddings", ["vec_id", "embedding"]).map_batches(
+            _vec_parity(0), batch_format="pyarrow"),
+        threshold=0.9, n_planes=12, probe_radius=1).count())
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
     timed("dedup_simhash", lambda: dedup.simhash_pairs(docs_ds(), max_hamming=3).count())
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs_ds(), threshold=0.5).count())
