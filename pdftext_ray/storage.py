@@ -214,3 +214,49 @@ def _write_orc(ds: ray.data.Dataset, uri: str) -> None:
             {name: pa.array([], typ) for name, typ in zip(sch.names, sch.base_schema.types)}
         ) if sch is not None else pa.table({})
         pa_orc.write_table(empty, os.path.join(uri, "part-empty.orc"))
+
+
+def compact_parquet(
+    src_uri: str,
+    dst_uri: str,
+    target_mb: int = 256,
+    columns: list = None,
+) -> dict:
+    """Compact a many-small-files parquet directory into ~``target_mb``
+    output files — routine maintenance at scale: resumable/partitioned
+    writes (one file per partition or per failed-and-retried shard) leave
+    thousands of KB-sized files whose open/footer costs dominate later
+    reads.
+
+    The size estimate comes from the parquet metadata (no data read); the
+    coalesce is ``repartition(n)`` WITHOUT ``shuffle=True`` — a block
+    split/merge, not an all-to-all exchange — so compaction streams: read →
+    coalesce → write, never materializing the dataset. Returns
+    {files_before, files_after, rows, bytes} for the caller's log.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    ds = read_table(src_uri, columns=columns)
+    est_bytes = ds.size_bytes() or 0
+    n_files = max(1, math.ceil(est_bytes / (target_mb << 20)))
+    files_before = len(
+        _glob.glob(_os.path.join(src_uri, "**", "*.parquet"), recursive=True)
+    ) if _os.path.isdir(src_uri) else 1
+    ds.repartition(n_files).write_parquet(dst_uri)
+    files_after = len(
+        _glob.glob(_os.path.join(dst_uri, "**", "*.parquet"), recursive=True)
+    )
+    rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(_os.path.join(dst_uri, "**", "*.parquet"), recursive=True)
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+        "bytes": est_bytes,
+    }

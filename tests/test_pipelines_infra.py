@@ -686,3 +686,26 @@ def test_user_journey_paths_order_and_layouts():
     # ts ties (events 0 and 1 at t0) break by event_id: view(0) then click(1)
     assert out.loc[1, "path"] == "view>click>purchase" and out.loc[1, "n_steps"] == 3
     assert out.loc[2, "path"] == "signup"
+
+
+def test_compact_parquet_reduces_files_preserves_rows(tmp_path):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from pdftext_ray import storage
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    t = pa.table({"doc_id": pa.array(range(4096), pa.int64()),
+                  "text": [f"doc {i} body" for i in range(4096)]})
+    # 64 tiny files — the post-checkpoint small-files shape
+    ray.data.from_arrow(t).repartition(64).write_parquet(src)
+    stats = storage.compact_parquet(src, dst, target_mb=256)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 4096
+    out = ray.data.read_parquet(dst)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 4096
+    assert pc.sum(got.column("doc_id")).as_py() == sum(range(4096))
