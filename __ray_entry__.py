@@ -913,6 +913,21 @@ def _q_domain_cap(sf_dir: str):
     )
 
 
+def _parity_filter(col: str, parity: int):
+    """map_batches fn keeping rows whose int ``col`` has the given parity —
+    the even/odd baseline-vs-increment split the incremental-dedup gate
+    queries share (one definition; the worker imports resolve at call
+    time)."""
+    def fn(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.bit_wise_and(t.column(col), pa.scalar(1, pa.int64())), parity)
+        return t.filter(keep)
+
+    return fn
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental dedup — the daily-crawl shape: even-id docs stand in for
     yesterday's corpus, represented ONLY by their content-hash table;
@@ -921,22 +936,11 @@ def _q_incremental_dedup(sf_dir: str):
     from pdftext_ray.ops import dedup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def half(parity: int):
-        def fn(t):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())), parity)
-            return t.filter(keep)
-
-        return fn
-
-    baseline = docs.map_batches(half(0), batch_format="pyarrow").map_batches(
+    baseline = docs.map_batches(_parity_filter("doc_id", 0), batch_format="pyarrow").map_batches(
         lambda b: dedup._text_hash_batch(b, "text").select(["text_hash"]),
         batch_format="pyarrow",
     )
-    new_docs = docs.map_batches(half(1), batch_format="pyarrow")
+    new_docs = docs.map_batches(_parity_filter("doc_id", 1), batch_format="pyarrow")
     return dedup.incremental_exact_dedup(new_docs, baseline)
 
 
@@ -948,23 +952,14 @@ def _q_incremental_minhash(sf_dir: str):
     Python loops — pipelines/goldens.expected_incremental_minhash_table)."""
     from pdftext_ray.ops import dedup
 
-    _require_gate_corpus(sf_dir)
+    # golden derives from the gate documents' TEXT → content guard
+    # (invariant 12, the simhash/winnow pattern)
+    _require_gate_corpus(sf_dir, check_content=True)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def half(parity: int):
-        def fn(t):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())), parity)
-            return t.filter(keep)
-
-        return fn
-
     baseline_sigs = dedup.minhash_signatures(
-        docs.map_batches(half(0), batch_format="pyarrow")
+        docs.map_batches(_parity_filter("doc_id", 0), batch_format="pyarrow")
     )
-    new_docs = docs.map_batches(half(1), batch_format="pyarrow")
+    new_docs = docs.map_batches(_parity_filter("doc_id", 1), batch_format="pyarrow")
     return dedup.incremental_minhash_dedup(new_docs, baseline_sigs, threshold=0.5)
 
 
@@ -976,20 +971,9 @@ def _q_incremental_embedding(sf_dir: str):
     from pdftext_ray.ops import dedup
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def half(parity: int):
-        def fn(t):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            keep = pc.equal(pc.bit_wise_and(t.column("vec_id"), pa.scalar(1, pa.int64())), parity)
-            return t.filter(keep)
-
-        return fn
-
     return dedup.incremental_embedding_dedup(
-        emb.map_batches(half(1), batch_format="pyarrow"),
-        emb.map_batches(half(0), batch_format="pyarrow"),
+        emb.map_batches(_parity_filter("vec_id", 1), batch_format="pyarrow"),
+        emb.map_batches(_parity_filter("vec_id", 0), batch_format="pyarrow"),
         threshold=0.5, n_planes=4, probe_radius=4,
     )
 

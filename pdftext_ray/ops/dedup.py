@@ -161,9 +161,9 @@ def minhash_signatures(
     ``storage.write_table``; the next increment never re-reads baseline
     text, only this table."""
     return ds.map_batches(
-        MinHasher(num_perm, ngram, seed, id_col, text_col),
+        MinHasher(num_perm, ngram, seed, id_col, text_col, emit_shingles=False),
         batch_format="pyarrow", batch_size=1024,
-    ).select_columns([id_col, "minhash"])
+    )
 
 
 def incremental_minhash_dedup(
@@ -202,11 +202,15 @@ def incremental_minhash_dedup(
        pairs new-rep × earlier-rep within a bucket.
     4. attach packed sigs to both pair sides (co-partitioned bucket merge,
        no Acero join), estimate, threshold.
-    5. per-new-doc argmax (max est, then min dup_of) over collapse flags ∪
-       banded estimates.
+    5. per-new-doc argmax over collapse flags ∪ banded estimates: max est,
+       ties by min dup_of — EXCEPT that a doc flagged at collapse reports
+       its GROUP HEAD (baseline-first, then smallest id) as dup_of, not the
+       globally smallest est-1.0 peer: identical-signature members are
+       interchangeable, and pointing every copy at the one head is what
+       keeps the emission linear (no within-group pair expansion).
 
-    Ties cannot straddle kinds: collapse flags are exactly 1.0 and rep
-    pairs have non-identical signatures (est < 1.0). Empty docs share the
+    Ties cannot otherwise straddle kinds: collapse flags are exactly 1.0
+    and rep pairs have non-identical signatures (est < 1.0). Empty docs share the
     sentinel signature and collapse together — an empty increment doc is
     flagged against an earlier empty doc at 1.0 (for incremental-dedup
     semantics two empty texts ARE identical; contrast invariant 10's
@@ -393,6 +397,54 @@ def incremental_minhash_dedup(
     )
 
 
+def _lsh_bucket_table(
+    batch: pa.Table,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+    masks,
+    id_type=None,
+    const_cols=(),
+) -> pa.Table:
+    """Shared hyperplane-LSH bucketizer (embedding_dup_pairs and
+    incremental_embedding_dedup MUST draw identical planes/codes — this is
+    the single source of that formula): seeded plane draw, unit-normalized
+    rows, packed sign codes, one output row per (vector, probe mask).
+    ``const_cols``: [(name, (value, pa_type))] constant columns appended
+    (e.g. an is_new marker)."""
+    rng = np.random.RandomState(seed)
+    vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    planes = rng.standard_normal((vecs.shape[1] if vecs.size else 0, n_planes))
+    ids = batch.column(id_col).to_pylist()
+    if not ids:
+        arrays = [pa.array([], pa.int64()),
+                  pa.array([], id_type if id_type is not None else pa.int64()),
+                  pa.array([], pa.list_(pa.float64()))]
+        names = ["bucket", id_col, vec_col]
+        for name, (_val, typ) in const_cols:
+            arrays.append(pa.array([], typ))
+            names.append(name)
+        return pa.Table.from_arrays(arrays, names=names)
+    unit = _unit_rows(vecs)
+    codes = (unit @ planes > 0).astype(np.uint32)
+    base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+    o_bucket, o_id, o_vec = [], [], []
+    for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
+        for m in masks:
+            o_bucket.append(bkt ^ m)
+            o_id.append(did)
+            o_vec.append(unit[i].tolist())
+    arrays = [pa.array(o_bucket, pa.int64()),
+              pa.array(o_id) if id_type is None else pa.array(o_id, id_type),
+              pa.array(o_vec, pa.list_(pa.float64()))]
+    names = ["bucket", id_col, vec_col]
+    for name, (val, typ) in const_cols:
+        arrays.append(pa.array([val] * len(o_id), typ))
+        names.append(name)
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def incremental_embedding_dedup(
     new_emb: ray.data.Dataset,
     baseline_emb: ray.data.Dataset,
@@ -424,6 +476,7 @@ def incremental_embedding_dedup(
 
     if not 0 <= probe_radius <= n_planes:
         raise ValueError(f"probe_radius must be in [0, {n_planes}], got {probe_radius}")
+    id_type = _schema_field_type(new_emb, id_col) or pa.int64()
     masks = [0] + [
         sum(1 << p for p in combo)
         for r in range(1, probe_radius + 1)
@@ -434,44 +487,25 @@ def incremental_embedding_dedup(
         use_masks = masks if is_new else [0]
 
         def fn(batch: pa.Table) -> pa.Table:
-            rng = np.random.RandomState(seed)
-            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            planes = rng.standard_normal((vecs.shape[1] if vecs.size else 0, n_planes))
-            ids = batch.column(id_col).to_pylist()
-            if not ids:
-                return pa.Table.from_arrays(
-                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                     pa.array([], pa.list_(pa.float64())), pa.array([], pa.int8())],
-                    names=["bucket", id_col, vec_col, "is_new"],
-                )
-            unit = _unit_rows(vecs)
-            codes = (unit @ planes > 0).astype(np.uint32)
-            base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-            o_bucket, o_id, o_vec, o_new = [], [], [], []
-            for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
-                for m in use_masks:
-                    o_bucket.append(bkt ^ m)
-                    o_id.append(did)
-                    o_vec.append(unit[i].tolist())
-                    o_new.append(is_new)
-            return pa.Table.from_arrays(
-                [pa.array(o_bucket, pa.int64()), pa.array(o_id),
-                 pa.array(o_vec, pa.list_(pa.float64())), pa.array(o_new, pa.int8())],
-                names=["bucket", id_col, vec_col, "is_new"],
+            return _lsh_bucket_table(
+                batch, id_col, vec_col, n_planes, seed, use_masks,
+                id_type=id_type, const_cols=[("is_new", (is_new, pa.int8()))],
             )
 
         return fn
 
     def bucket_verdicts(group: pd.DataFrame):
-        empty = pd.DataFrame({
-            "vec_id": pd.Series([], dtype="int64"),
-            "dup_of": pd.Series([], dtype="int64"),
-            "cosine": pd.Series([], dtype="float64"),
-        })
+        def empty():
+            return pa.table({
+                "vec_id": pa.array([], id_type),
+                "dup_of": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64()),
+            })
+
         g = group.sort_values([id_col, "is_new"]).drop_duplicates(id_col).reset_index(drop=True)
         new = g[g["is_new"] == 1]
         if new.empty or len(g) < 2:
-            return from_pandas_clean(empty)
+            return empty()
         mat_all = np.asarray(g[vec_col].tolist(), dtype=np.float64)
         sims = np.asarray(new[vec_col].tolist(), dtype=np.float64) @ mat_all.T
         gids = g[id_col].to_numpy()
@@ -482,14 +516,14 @@ def incremental_embedding_dedup(
             s = sims[row][elig]
             keep = s >= threshold
             if keep.any():
-                o_id.extend([int(ni)] * int(keep.sum()))
-                o_of.extend(gids[elig][keep].astype(np.int64).tolist())
+                o_id.extend([ni] * int(keep.sum()))
+                o_of.extend(gids[elig][keep].tolist())
                 o_c.extend(round_half_away(s[keep], 6).tolist())
-        return from_pandas_clean(pd.DataFrame({
-            "vec_id": pd.Series(o_id, dtype="int64"),
-            "dup_of": pd.Series(o_of, dtype="int64"),
-            "cosine": pd.Series(o_c, dtype="float64"),
-        }))
+        return pa.table({
+            "vec_id": pa.array(o_id, id_type),
+            "dup_of": pa.array(o_of, id_type),
+            "cosine": pa.array(o_c, pa.float64()),
+        })
 
     hits = (
         new_emb.map_batches(bucketize(1), batch_format="pyarrow")
@@ -816,7 +850,8 @@ class MinHasher:
     (ST-style warm state), signatures vectorized per doc via numpy."""
 
     def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 7,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 emit_shingles: bool = True):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -824,6 +859,9 @@ class MinHasher:
         self.ngram = ngram
         self.id_col = id_col
         self.text_col = text_col
+        # signature-only consumers (incremental baselines) skip the per-doc
+        # unique-sort + list materialization of the exact-verify shingles
+        self.emit_shingles = emit_shingles
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.ngram)
@@ -844,15 +882,14 @@ class MinHasher:
             else:
                 prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
                 sigs.append(np.min(prod, axis=1).astype(np.int64).tolist())
-            shingles.append(np.unique(sh).astype(np.int64).tolist())
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids),
-                pa.array(sigs, pa.list_(pa.int64())),
-                pa.array(shingles, pa.list_(pa.int64())),
-            ],
-            names=[self.id_col, "minhash", "shingles"],
-        )
+            if self.emit_shingles:
+                shingles.append(np.unique(sh).astype(np.int64).tolist())
+        arrays = [pa.array(ids), pa.array(sigs, pa.list_(pa.int64()))]
+        names = [self.id_col, "minhash"]
+        if self.emit_shingles:
+            arrays.append(pa.array(shingles, pa.list_(pa.int64())))
+            names.append("shingles")
+        return pa.Table.from_arrays(arrays, names=names)
 
 
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
@@ -2211,28 +2248,7 @@ def embedding_dup_pairs(
     ]
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        rng = np.random.RandomState(seed)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        planes = rng.standard_normal((vecs.shape[1] if vecs.size else 0, n_planes))
-        ids = batch.column(id_col).to_pylist()
-        if not ids:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.list_(pa.float64()))],
-                names=["bucket", id_col, vec_col],
-            )
-        unit = _unit_rows(vecs)
-        codes = (unit @ planes > 0).astype(np.uint32)
-        base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-        o_bucket, o_id, o_vec = [], [], []
-        for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
-            for m in masks:
-                o_bucket.append(bkt ^ m)
-                o_id.append(did)
-                o_vec.append(unit[i].tolist())
-        return pa.Table.from_arrays(
-            [pa.array(o_bucket, pa.int64()), pa.array(o_id), pa.array(o_vec, pa.list_(pa.float64()))],
-            names=["bucket", id_col, vec_col],
-        )
+        return _lsh_bucket_table(batch, id_col, vec_col, n_planes, seed, masks)
 
     def bucket_pairs(group: pd.DataFrame):
         empty = pd.DataFrame({

@@ -228,10 +228,16 @@ def compact_parquet(
     thousands of KB-sized files whose open/footer costs dominate later
     reads.
 
-    The size estimate comes from the parquet metadata (no data read); the
-    coalesce is ``repartition(n)`` WITHOUT ``shuffle=True`` — a block
-    split/merge, not an all-to-all exchange — so compaction streams: read →
-    coalesce → write, never materializing the dataset. Returns
+    Output files are sized from the source's ON-DISK byte total (file
+    sizes only, no data read) — disk-to-disk the encoding ratio carries
+    over, so ``ceil(disk_bytes / target_mb)`` output files land near the
+    target (Ray's ``size_bytes()`` estimates the DECODED Arrow size, which
+    overshoots by the compression ratio). The coalesce is
+    ``repartition(n)`` WITHOUT ``shuffle=True`` — a block split/merge, not
+    an all-to-all exchange — so compaction streams: read → coalesce →
+    write, never materializing the dataset. ``dst_uri`` must be empty or
+    absent: Ray's ``write_parquet`` appends uniquely-named files, so a
+    reused directory would silently double the data. Returns
     {files_before, files_after, rows, bytes} for the caller's log.
     """
     import glob as _glob
@@ -240,12 +246,22 @@ def compact_parquet(
 
     import pyarrow.parquet as pq
 
-    ds = read_table(src_uri, columns=columns)
-    est_bytes = ds.size_bytes() or 0
-    n_files = max(1, math.ceil(est_bytes / (target_mb << 20)))
-    files_before = len(
+    pre_existing = _glob.glob(_os.path.join(dst_uri, "**", "*.parquet"), recursive=True)
+    if pre_existing:
+        raise FileExistsError(
+            f"compact_parquet: {dst_uri} already holds {len(pre_existing)} "
+            "parquet file(s); write_parquet APPENDS, so reusing the "
+            "directory would silently duplicate rows — compact into a "
+            "fresh directory and swap it in"
+        )
+    src_files = (
         _glob.glob(_os.path.join(src_uri, "**", "*.parquet"), recursive=True)
-    ) if _os.path.isdir(src_uri) else 1
+        if _os.path.isdir(src_uri) else [src_uri]
+    )
+    disk_bytes = sum(_os.path.getsize(f) for f in src_files)
+    n_files = max(1, math.ceil(disk_bytes / (target_mb << 20)))
+    files_before = len(src_files)
+    ds = read_table(src_uri, columns=columns)
     ds.repartition(n_files).write_parquet(dst_uri)
     files_after = len(
         _glob.glob(_os.path.join(dst_uri, "**", "*.parquet"), recursive=True)
@@ -258,5 +274,5 @@ def compact_parquet(
         "files_before": files_before,
         "files_after": files_after,
         "rows": rows,
-        "bytes": est_bytes,
+        "bytes": disk_bytes,
     }

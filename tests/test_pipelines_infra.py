@@ -709,3 +709,20 @@ def test_compact_parquet_reduces_files_preserves_rows(tmp_path):
     got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     assert got.num_rows == 4096
     assert pc.sum(got.column("doc_id")).as_py() == sum(range(4096))
+
+
+def test_compact_parquet_refuses_nonempty_dst(tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from pdftext_ray import storage
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+    ray.data.from_arrow(t).repartition(4).write_parquet(src)
+    storage.compact_parquet(src, dst)
+    # a second run into the same dst would APPEND and double the rows
+    with pytest.raises(FileExistsError, match="duplicate rows"):
+        storage.compact_parquet(src, dst)
