@@ -55,13 +55,17 @@ def connected_components_local(pairs: ray.data.Dataset, a_col: str = "doc_a", b_
 
 
 def _edge_fingerprint(ds: ray.data.Dataset) -> int:
-    """Order-insensitive content hash of an edge table (convergence probe) —
-    a map_batches partial + tiny collect, no join. Per-row hashes come from
-    pandas' vectorized siphash (deterministic for a fixed key across
-    processes) and are combined by wrapping uint64 sums, which are
-    insensitive to row order AND block partitioning; the probe only runs on
-    multi-million-row edge sets (the distributed CC rounds), so a per-row
-    Python loop here would cost seconds per round."""
+    """Order-insensitive content hash of an edge table (convergence
+    PRE-FILTER — a fingerprint match is confirmed by the exact
+    :func:`_edge_sets_equal` pass before the loop declares convergence, so
+    a hash-sum collision can at worst cost one extra comparison, never an
+    early stop; round-4 ADVICE) — a map_batches partial + tiny collect, no
+    join. Per-row hashes come from pandas' vectorized siphash
+    (deterministic for a fixed key across processes) and are combined by
+    wrapping uint64 sums, which are insensitive to row order AND block
+    partitioning; the probe only runs on multi-million-row edge sets (the
+    distributed CC rounds), so a per-row Python loop here would cost
+    seconds per round."""
 
     def partial(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
@@ -77,6 +81,43 @@ def _edge_fingerprint(ds: ray.data.Dataset) -> int:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     return sum(int(r["h"]) for r in parts) % (1 << 64)
+
+
+def _edge_sets_equal(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, parts: int) -> bool:
+    """EXACT distributed set equality of two (node, peer) edge tables: both
+    sides hash-partition on node (copies of an edge co-locate), then each
+    partition compares its two sorted deduped frames. One co-partitioned
+    shuffle + a per-partition boolean collect — run once per CC run, only
+    after the cheap fingerprint already matched."""
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    def side(tag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), tag, dtype=np.int8), pa.int8())
+            )
+
+        return fn
+
+    both = (
+        ds_a.map_batches(side(0), batch_format="pyarrow")
+        .union(ds_b.map_batches(side(1), batch_format="pyarrow"))
+        .map_batches(_key_part_tag("node", parts), batch_format="pyarrow")
+    )
+
+    def cmp(g: pd.DataFrame) -> pa.Table:
+        def canon(side_tag: int) -> pd.DataFrame:
+            return (
+                g.loc[g["_side"] == side_tag, ["node", "peer"]]
+                .drop_duplicates()
+                .sort_values(["node", "peer"])
+                .reset_index(drop=True)
+            )
+
+        return pa.table({"eq": pa.array([bool(canon(0).equals(canon(1)))], pa.bool_())})
+
+    rows = both.groupby("_part").map_groups(cmp, batch_format="pandas").take_all()
+    return all(r["eq"] for r in rows)
 
 
 def _large_star_frame(g: pd.DataFrame) -> pd.DataFrame:
@@ -185,6 +226,7 @@ def connected_components_distributed(
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     prev_fp = None
+    prev_edges = None
     converged = False
     for _ in range(max_rounds):
         n_edges = edges.count()
@@ -211,11 +253,16 @@ def connected_components_distributed(
             .map_groups(small_part, batch_format="pandas")
             .materialize()
         )
+        # fingerprint match is only a pre-filter: convergence is declared on
+        # EXACT edge-set equality, so a 2^-64 hash-sum collision costs one
+        # wasted comparison, never a wrong early stop (round-4 ADVICE —
+        # invariant 15 demands labels are never emitted unconverged)
         fp = _edge_fingerprint(edges)
-        if fp == prev_fp:
+        if fp == prev_fp and _edge_sets_equal(prev_edges, edges, parts):
             converged = True
             break
         prev_fp = fp
+        prev_edges = edges
     if not converged:
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds "

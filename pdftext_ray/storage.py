@@ -232,12 +232,19 @@ def compact_parquet(
     sizes only, no data read) — disk-to-disk the encoding ratio carries
     over, so ``ceil(disk_bytes / target_mb)`` output files land near the
     target (Ray's ``size_bytes()`` estimates the DECODED Arrow size, which
-    overshoots by the compression ratio). The coalesce is
+    overshoots by the compression ratio). Under a ``columns`` projection
+    the total is scaled by the projected columns' share of the compressed
+    column-chunk bytes (parquet footers only, sampled up to 64 files) —
+    otherwise a 2-of-20-columns compaction would emit files ~10% of
+    ``target_mb`` (round-4 ADVICE). The coalesce is
     ``repartition(n)`` WITHOUT ``shuffle=True`` — a block split/merge, not
     an all-to-all exchange — so compaction streams: read → coalesce →
     write, never materializing the dataset. ``dst_uri`` must be empty or
     absent: Ray's ``write_parquet`` appends uniquely-named files, so a
-    reused directory would silently double the data. Returns
+    reused directory would silently double the data. That guard is a
+    check-then-write against ACCIDENTAL reuse, not a lock — a concurrent
+    writer racing the check can still interleave files (single-maintainer
+    assumption; run compactions under external coordination). Returns
     {files_before, files_after, rows, bytes} for the caller's log.
     """
     import glob as _glob
@@ -259,6 +266,23 @@ def compact_parquet(
         if _os.path.isdir(src_uri) else [src_uri]
     )
     disk_bytes = sum(_os.path.getsize(f) for f in src_files)
+    if columns:
+        # projected share of compressed column-chunk bytes, footers only —
+        # nested columns match on the ROOT field name (path_in_schema is the
+        # leaf path, e.g. "spans.list.element.text")
+        colset = set(columns)
+        tot = proj = 0
+        for f in sorted(src_files)[:64]:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    tot += col.total_compressed_size
+                    if col.path_in_schema.split(".")[0] in colset:
+                        proj += col.total_compressed_size
+        if tot > 0:
+            disk_bytes = max(1, int(disk_bytes * (proj / tot)))
     n_files = max(1, math.ceil(disk_bytes / (target_mb << 20)))
     files_before = len(src_files)
     ds = read_table(src_uri, columns=columns)

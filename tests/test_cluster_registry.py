@@ -69,6 +69,26 @@ def test_connected_components_distributed_rounds_match_local_plan():
     assert df.equals(ref)
 
 
+def test_edge_sets_equal_exact_confirmation():
+    """The convergence fingerprint is only a pre-filter: _edge_sets_equal is
+    the exact criterion (round-4 ADVICE — a hash-sum collision must never
+    declare convergence early)."""
+
+    def _e(rows):
+        return ray.data.from_arrow(
+            pa.table({"node": [a for a, _ in rows], "peer": [b for _, b in rows]})
+        )
+
+    a = [(1, 2), (2, 1), (3, 4), (4, 3)]
+    assert cluster._edge_sets_equal(_e(a), _e(a), parts=4)
+    # same multiset modulo duplicates → still equal as SETS
+    assert cluster._edge_sets_equal(_e(a), _e(a + [(1, 2)]), parts=4)
+    # one differing edge → unequal
+    assert not cluster._edge_sets_equal(_e(a), _e(a[:2] + [(3, 5), (5, 3)]), parts=4)
+    # subset → unequal
+    assert not cluster._edge_sets_equal(_e(a), _e(a[:2]), parts=4)
+
+
 def test_connected_components_unconverged_raises():
     """Exhausting max_rounds must raise — never emit unconverged labels."""
     n = 64

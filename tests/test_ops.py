@@ -144,6 +144,33 @@ def test_incremental_embedding_within_increment_keep_first():
     assert out.iloc[0]["cosine"] == 1.0
 
 
+def test_incremental_ops_honor_custom_id_col():
+    # round-4 ADVICE: a custom id_col used to come back renamed doc_id/vec_id
+    sigs = dedup.minhash_signatures(
+        ray.data.from_arrow(pa.table({"page_id": [0], "text": [BASE]})),
+        id_col="page_id",
+    )
+    new_docs = ray.data.from_arrow(pa.table({"page_id": [7], "text": [BASE]}))
+    out = dedup.incremental_minhash_dedup(new_docs, sigs, id_col="page_id").to_pandas()
+    assert list(out.columns) == ["page_id", "dup_of", "est_jaccard"]
+    assert out.iloc[0]["page_id"] == 7 and out.iloc[0]["dup_of"] == 0
+
+    v = np.ones(8)
+    base = ray.data.from_arrow(pa.table({
+        "img_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([v.tolist()], pa.list_(pa.float64())),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "img_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([v.tolist()], pa.list_(pa.float64())),
+    }))
+    out = dedup.incremental_embedding_dedup(
+        new, base, threshold=0.9, n_planes=4, probe_radius=4, id_col="img_id"
+    ).to_pandas()
+    assert list(out.columns) == ["img_id", "dup_of", "cosine"]
+    assert out.iloc[0]["img_id"] == 7 and out.iloc[0]["dup_of"] == 0
+
+
 def test_minhash_finds_planted_near_dups():
     near = BASE.replace("morning", "evening")  # one token changed
     ds = _doc_table([BASE, near, "completely unrelated text about ray data pipelines and arrow"])
@@ -639,6 +666,14 @@ def test_semantic_dedup_prunes_within_cluster():
     # the duplicate copies (ids 40, 41) are dropped; originals survive
     assert 40 not in kept_ids and 41 not in kept_ids
     assert {0, 1} <= kept_ids and len(kept_ids) == 40
+    # force the multi-block scan path (block of ~3 rows): identical result
+    kept2 = dedup.semantic_dedup(
+        ds, k=2, iters=4, threshold=0.9995, scan_block_bytes=512
+    ).to_pandas()
+    assert set(kept2["vec_id"]) == kept_ids
+    # the loud OOM guard: a too-small k for the corpus raises, never OOMs
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        dedup.semantic_dedup(ds, k=1, iters=2, max_cluster_rows=10).to_pandas()
 
 
 def test_cms_heavy_hitters_one_sided_and_layout_invariant():

@@ -711,6 +711,37 @@ def test_compact_parquet_reduces_files_preserves_rows(tmp_path):
     assert pc.sum(got.column("doc_id")).as_py() == sum(range(4096))
 
 
+def test_compact_parquet_projection_scales_target(tmp_path):
+    """A `columns` projection must size output files from the PROJECTED
+    bytes, not the full source bytes (round-4 ADVICE): dropping the fat
+    column here shrinks the plan to one output file, and `bytes` reports
+    the projected estimate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pdftext_ray import storage
+
+    src = str(tmp_path / "wide")
+    rng = np.random.RandomState(0)
+    n = 2048
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        # incompressible fat column dominating the on-disk bytes
+        "blob": pa.array([rng.bytes(4096) for _ in range(n)], pa.binary()),
+    })
+    ray.data.from_arrow(t).repartition(16).write_parquet(src)
+    full = storage.compact_parquet(src, str(tmp_path / "full"), target_mb=1)
+    proj = storage.compact_parquet(
+        src, str(tmp_path / "proj"), target_mb=1, columns=["doc_id"]
+    )
+    assert full["bytes"] > 8 * proj["bytes"]  # blob ≫ doc_id on disk
+    assert proj["files_after"] == 1
+    assert proj["rows"] == n
+    out = ray.data.read_parquet(str(tmp_path / "proj"))
+    assert out.schema().names == ["doc_id"]
+
+
 def test_compact_parquet_refuses_nonempty_dst(tmp_path):
     import pyarrow as pa
     import pytest
