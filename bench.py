@@ -205,6 +205,19 @@ def run_bench() -> dict:
     def docs_ds():
         return sf_read("documents", ["doc_id", "text"])
 
+    # plain_text re-reads the corpus the flagship already consumed. Between
+    # the two, the flagship wrote a multi-GB spans output and verify_sample
+    # re-read it — on a memory-pressured host that EVICTS the corpus page
+    # cache, so plain_text would pay cold disk reads the flagship didn't
+    # (the r3/r4 driver-window 1.4-1.6x ratios on a plan that measures
+    # 0.97x quiet). Apply the same declared warm-read policy the flagship
+    # gets (untimed decode pass, header comment above), after dropping the
+    # spans output that verify has fully consumed.
+    if want("plain_text"):
+        shutil.rmtree(os.path.join(out_dir, "spans"), ignore_errors=True)
+        ray.data.read_parquet(corpus_path).map_batches(
+            lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).count()
     timed("plain_text", lambda: P.extract_plain_text_corpus_skew_aware(corpus_path)
           .write_parquet(os.path.join(out_dir, "plain")))
     timed("dedup_minhash", lambda: dedup.minhash_lsh_pairs(docs_ds(), threshold=0.5).count())
