@@ -978,6 +978,88 @@ def _q_incremental_embedding(sf_dir: str):
     )
 
 
+def _q_incremental_family(sf_dir: str):
+    """The three incremental-dedup modalities — exact content hashes,
+    MinHash signatures, embedding vectors — in ONE tagged-union driver row
+    (the ``dedup_exact_prefix`` pattern): the daily-crawl increment shape
+    under the driver's hard signal. Legs are byte-identical to the extras
+    queries ``incremental_dedup`` / ``incremental_minhash`` /
+    ``incremental_embedding`` (which stay pytest-gated individually)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    exact = _q_incremental_dedup(sf_dir)
+    mh = _q_incremental_minhash(sf_dir)
+    emb = _q_incremental_embedding(sf_dir)
+
+    def shape(method: str, key_col: str, ref_col: str, metric_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "method": _const_str(method, len(t)),
+                "key": pc.cast(t.column(key_col), pa.string()),
+                "ref_id": pc.cast(t.column(ref_col), pa.int64()),
+                "metric": pc.cast(t.column(metric_col), pa.float64()),
+            })
+
+        return fn
+
+    return (
+        exact.map_batches(
+            shape("exact", "text_hash", "keep_doc_id", "dup_count"), batch_format="pyarrow"
+        )
+        .union(mh.map_batches(
+            shape("minhash", "doc_id", "dup_of", "est_jaccard"), batch_format="pyarrow"
+        ))
+        .union(emb.map_batches(
+            shape("embedding", "vec_id", "dup_of", "cosine"), batch_format="pyarrow"
+        ))
+    )
+
+
+def _q_incremental_cc(sf_dir: str):
+    """Cluster stability across crawl increments (the fourth incremental
+    modality): the exact MinHash pair set splits into BASELINE edges (both
+    endpoints even — yesterday's corpus) and INCREMENT edges; baseline
+    cluster labels are computed once as the persisted artifact, then
+    ``incremental_connected_components`` assigns the increment against the
+    LABEL TABLE ONLY — the baseline graph is never recomputed. Output: the
+    delta (kind = assign|remap, node, cluster_id). Oracle: two recursive
+    transitive closures (baseline-only and full) re-derive the contract in
+    SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import cluster, dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4, exact_recall=True
+    ).materialize()  # consumed by both split sides; pairs ≪ corpus
+
+    def split(want_base: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            both_even = pc.and_(
+                pc.equal(pc.bit_wise_and(t.column("doc_a"), pa.scalar(1, pa.int64())), 0),
+                pc.equal(pc.bit_wise_and(t.column("doc_b"), pa.scalar(1, pa.int64())), 0),
+            )
+            return t.filter(both_even if want_base else pc.invert(both_even))
+
+        return fn
+
+    base_pairs = pairs.map_batches(split(True), batch_format="pyarrow")
+    inc_pairs = pairs.map_batches(split(False), batch_format="pyarrow")
+    labels = cluster.connected_components_distributed(base_pairs).materialize()
+    delta = cluster.incremental_connected_components(inc_pairs, labels)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pc.cast(t.column("kind"), pa.string()),
+            "node": pc.cast(t.column("node"), pa.int64()),
+            "cluster_id": pc.cast(t.column("cluster_id"), pa.int64()),
+        })
+
+    return delta.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_top_orders_q3(sf_dir: str):
     """TPC-H-Q3-shaped composition over EXISTING primitives: broadcast
     semi-filter orders by the BUILDING customer keys (bounded dimension
@@ -2343,7 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top_component": _q_pca_top_component,
         # deduplication
         "dedup_exact_prefix": _q_dedup_exact_prefix,
-        "paragraph_dedup": _q_paragraph_dedup,
+        "incremental_family": _q_incremental_family,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2408,6 +2490,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "incremental_minhash": _q_incremental_minhash,
         "incremental_embedding": _q_incremental_embedding,
+        "incremental_cc": _q_incremental_cc,
+        "paragraph_dedup": _q_paragraph_dedup,
         "main_content": _q_main_content,
         "embedding_pairs": _q_embedding_pairs,
         "dedup_embedding": _q_dedup_embedding,
@@ -3298,6 +3382,50 @@ def _full_oracle_sql() -> dict[str, str]:
         "WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT text_hash FROM base)) "
         "SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count "
         "FROM novel GROUP BY text_hash"
+    )
+    d["incremental_family"] = (
+        # tagged union of the three incremental-dedup modality oracles;
+        # first SELECT fixes the union column names (method, key, ref_id,
+        # metric) — matching the Ray side's explicit casts
+        "SELECT 'exact' AS method, text_hash AS key, keep_doc_id AS ref_id, "
+        "CAST(dup_count AS DOUBLE) AS metric FROM (" + d["incremental_dedup"] + ") if_ex "
+        "UNION ALL SELECT 'minhash', CAST(doc_id AS VARCHAR), dup_of, est_jaccard "
+        "FROM (" + d["incremental_minhash"] + ") if_mh "
+        "UNION ALL SELECT 'embedding', CAST(vec_id AS VARCHAR), dup_of, cosine "
+        "FROM (" + d["incremental_embedding"] + ") if_em"
+    )
+    d["incremental_cc"] = (
+        # re-derive the incremental-CC contract from first principles: a
+        # baseline-only closure gives the persisted labels, a full closure
+        # the ground truth; contract the increment edges through the
+        # baseline labels, and every touched contracted node is either a
+        # baseline rep (remap row, only when its id changes) or a newly
+        # labeled node (assign row). Matches ops/cluster.
+        # incremental_connected_components + the min-member invariant.
+        "WITH RECURSIVE p AS (" + _minhash_pairs_sql(0.4) + "), "
+        "be AS (SELECT doc_a a, doc_b b FROM p WHERE doc_a % 2 = 0 AND doc_b % 2 = 0), "
+        "ie AS (SELECT doc_a a, doc_b b FROM p WHERE doc_a % 2 = 1 OR doc_b % 2 = 1), "
+        "bedges AS (SELECT a, b FROM be UNION SELECT b, a FROM be), "
+        "bcl(node, reach) AS (SELECT a, a FROM bedges UNION "
+        "SELECT c.node, e.b FROM bcl c JOIN bedges e ON c.reach = e.a), "
+        "blab AS (SELECT node, min(reach) AS cid FROM bcl GROUP BY node), "
+        "aedges AS (SELECT a, b FROM bedges UNION SELECT a, b FROM ie UNION SELECT b, a FROM ie), "
+        "acl(node, reach) AS (SELECT a, a FROM aedges UNION "
+        "SELECT c.node, e.b FROM acl c JOIN aedges e ON c.reach = e.a), "
+        "alab AS (SELECT node, min(reach) AS cid FROM acl GROUP BY node), "
+        "mapped AS (SELECT coalesce(ba.cid, ie.a) AS ma, coalesce(bb.cid, ie.b) AS mb "
+        "FROM ie LEFT JOIN blab ba ON ba.node = ie.a LEFT JOIN blab bb ON bb.node = ie.b), "
+        "medges AS (SELECT ma, mb FROM mapped WHERE ma != mb), "
+        # NOT a bare UNION: inside a WITH RECURSIVE clause DuckDB gives
+        # `A UNION B` CTEs recursive-union semantics and skips the global
+        # dedup, so distinct-ness must be explicit
+        "touched AS (SELECT DISTINCT node FROM "
+        "(SELECT ma AS node FROM medges UNION ALL SELECT mb FROM medges) tu), "
+        "fin AS (SELECT t.node, al.cid FROM touched t JOIN alab al ON al.node = t.node), "
+        "cls AS (SELECT f.node, f.cid, (bl.node IS NOT NULL) AS is_rep "
+        "FROM fin f LEFT JOIN blab bl ON bl.node = f.node AND bl.cid = f.node) "
+        "SELECT CASE WHEN is_rep THEN 'remap' ELSE 'assign' END AS kind, "
+        "node, cid AS cluster_id FROM cls WHERE NOT (is_rep AND cid = node)"
     )
     d["dedup_exact_prefix"] = (
         "SELECT 'exact' AS method, text_hash AS key_hash, keep_doc_id, dup_count "

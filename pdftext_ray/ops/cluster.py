@@ -297,6 +297,262 @@ def connected_components_distributed(
     )
 
 
+def incremental_connected_components(
+    new_pairs: ray.data.Dataset,
+    baseline_labels: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    node_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    max_rounds: int = 64,
+    local_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Assign an increment's near-dup pairs to PERSISTED cluster ids without
+    recomputing components over the baseline graph — the crawl-increment
+    analog of :func:`connected_components_distributed`, completing the
+    incremental family (exact hashes / MinHash sigs / embeddings / cluster
+    stability). The keep-first stability contract extends the reference's
+    keep-first ordering rule (`/root/reference/pdftext/pdf/chars.py:102-113`)
+    across runs: a merged cluster keeps the smallest id involved.
+
+    Inputs: ``baseline_labels`` is a persisted (node, cluster_id) table from
+    a prior CC run (cluster_id = min member id; the rep row (r, r) is
+    present — both are invariants of ``connected_components_distributed``'s
+    output); ``new_pairs`` is the increment's pair table, whose endpoints
+    may be baseline nodes (labeled or singleton) or new nodes.
+
+    Plan — the baseline GRAPH is never touched, only its label table:
+
+    1. contract: map each endpoint to its baseline cluster id if labeled,
+       else itself (two co-partitioned bucket merges — one on node to look
+       up labels, one on the edge key to re-pair the two mapped sides; no
+       Acero join, invariant 7). Self-edges (pairs inside one existing
+       cluster) drop here — they cannot change any label.
+    2. run the alternating-star CC on the CONTRACTED graph only (reps +
+       new nodes + baseline singletons — increment-sized, not
+       corpus-sized). It inherits the non-convergence raise (invariant 15).
+    3. classify each final label: contracted ids that are baseline reps
+       become ``remap`` rows (old cluster id -> new id, emitted only when
+       changed); everything else becomes ``assign`` rows (newly labeled
+       node -> cluster id).
+
+    Output: (kind: 'assign'|'remap', node, cluster_id). Applying it via
+    :func:`apply_incremental_cc` reproduces, exactly, a from-scratch CC over
+    baseline-edges ∪ increment-edges: contraction preserves min-member ids
+    because a rep IS its cluster's min member, so the min over contracted
+    component ids equals the min over all merged members.
+
+    Scale shape: the label-lookup merge scans the baseline label table once
+    (hash-partitioned, vectorized — membership lookup is unavoidable; at
+    100 TB put a bloom filter of increment endpoints in front), everything
+    downstream is proportional to the INCREMENT, not the corpus.
+    """
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    id_type = new_pairs.schema().base_schema.field(a_col).type
+    n_parts = default_num_partitions()
+    sentinel = pa.scalar(0, id_type) if pa.types.is_integer(id_type) else pa.scalar("", id_type)
+
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col).combine_chunks(), id_type)
+        b = pc.cast(t.column(b_col).combine_chunks(), id_type)
+        lo, hi = _arr(pc.min_element_wise(a, b)), _arr(pc.max_element_wise(a, b))
+        n = len(t)
+        return pa.table({
+            "node": pa.concat_arrays([lo, hi]),
+            "e_a": pa.concat_arrays([lo, lo]),
+            "e_b": pa.concat_arrays([hi, hi]),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()),
+            "lab": pa.array([sentinel.as_py()] * (2 * n), id_type),
+            "is_lab": pa.array(np.zeros(2 * n, np.int8), pa.int8()),
+        })
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column(node_col).combine_chunks(), id_type)
+        lab = pc.cast(t.column(label_col).combine_chunks(), id_type)
+        n = len(t)
+        return pa.table({
+            "node": node,
+            "e_a": pa.array([sentinel.as_py()] * n, id_type),
+            "e_b": pa.array([sentinel.as_py()] * n, id_type),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "lab": lab,
+            "is_lab": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def resolve_lookup(g: pd.DataFrame) -> pa.Table:
+        """Per node-partition: replace each edge endpoint by its baseline
+        label when present. Emits one row per (edge, side)."""
+        labs = g[g["is_lab"] == 1].drop_duplicates("node").set_index("node")["lab"]
+        e = g[g["is_lab"] == 0].drop_duplicates(["node", "e_a", "e_b", "side"])
+        if e.empty:
+            return pa.table({
+                "e_a": pa.array([], id_type), "e_b": pa.array([], id_type),
+                "side": pa.array([], pa.int8()), "mapped": pa.array([], id_type),
+            })
+        mapped = e["node"].map(labs).fillna(e["node"])
+        out = pd.DataFrame({
+            "e_a": e["e_a"].values, "e_b": e["e_b"].values,
+            "side": e["side"].values, "mapped": mapped.values,
+        })
+        return from_pandas_clean(out)
+
+    def resolve_repair(g: pd.DataFrame) -> pa.Table:
+        """Per edge-partition (keyed on e_a — both sides of an edge share
+        it): re-pair the two mapped endpoints, drop self-edges."""
+        g = g.drop_duplicates(["e_a", "e_b", "side"])
+        w = g.pivot_table(index=["e_a", "e_b"], columns="side", values="mapped",
+                          aggfunc="first").reset_index()
+        if 0 not in w.columns or 1 not in w.columns or w.empty:
+            return pa.table({"ma": pa.array([], id_type), "mb": pa.array([], id_type)})
+        keep = w[w[0] != w[1]]
+        out = pd.DataFrame({"ma": keep[0].values, "mb": keep[1].values}).drop_duplicates()
+        return from_pandas_clean(out)
+
+    contracted = (
+        new_pairs.map_batches(edge_rows, batch_format="pyarrow")
+        .union(baseline_labels.map_batches(label_rows, batch_format="pyarrow"))
+        .map_batches(_key_part_tag("node", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(resolve_lookup, batch_format="pandas")
+        .map_batches(_key_part_tag("e_a", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(resolve_repair, batch_format="pandas")
+        .materialize()
+    )
+
+    def _empty_delta() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "kind": pa.array([], pa.string()),
+            "node": pa.array([], id_type),
+            "cluster_id": pa.array([], id_type),
+        }))
+
+    if contracted.count() == 0:
+        return _empty_delta()
+
+    final = connected_components_distributed(
+        contracted, a_col="ma", b_col="mb",
+        max_rounds=max_rounds, local_threshold=local_threshold,
+    )
+
+    def rep_rows(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column(node_col).combine_chunks(), id_type)
+        lab = pc.cast(t.column(label_col).combine_chunks(), id_type)
+        keep = pc.equal(node, lab)
+        reps = node.filter(keep)
+        return pa.table({
+            "node": reps,
+            "val": reps,
+            "is_rep": pa.array(np.ones(len(reps), np.int8), pa.int8()),
+        })
+
+    def final_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(t.column("doc_id").combine_chunks(), id_type),
+            "val": pc.cast(t.column("cluster_id").combine_chunks(), id_type),
+            "is_rep": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        })
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        rep_set = set(g.loc[g["is_rep"] == 1, "node"])
+        f = g[g["is_rep"] == 0]
+        if f.empty:
+            return pa.table({
+                "kind": pa.array([], pa.string()),
+                "node": pa.array([], id_type),
+                "cluster_id": pa.array([], id_type),
+            })
+        is_rep = f["node"].isin(rep_set).values
+        # a rep whose component min is still itself keeps its id — no row
+        keep = ~(is_rep & (f["node"].values == f["val"].values))
+        f = f[keep]
+        kinds = np.where(is_rep[keep], "remap", "assign")
+        out = pd.DataFrame({"kind": kinds, "node": f["node"].values,
+                            "cluster_id": f["val"].values})
+        return from_pandas_clean(out)
+
+    return (
+        final.map_batches(final_rows, batch_format="pyarrow")
+        .union(baseline_labels.map_batches(rep_rows, batch_format="pyarrow"))
+        .map_batches(_key_part_tag("node", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(classify, batch_format="pandas")
+    )
+
+
+def apply_incremental_cc(
+    baseline_labels: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    node_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> ray.data.Dataset:
+    """Fold an :func:`incremental_connected_components` delta into the
+    persisted label table → the updated full (node, cluster_id) table,
+    equal by construction to a from-scratch CC over baseline ∪ increment
+    edges (the probe suite verifies this against union-find on adversarial
+    topologies). One co-partitioned bucket merge keyed on the OLD cluster
+    id (remap rows touch every member of a renamed cluster; assign rows
+    pass through untouched as their own key)."""
+    import pyarrow.compute as pc
+
+    from pdftext_ray.ops import default_num_partitions, from_pandas_clean
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    id_type = baseline_labels.schema().base_schema.field(node_col).type
+    n_parts = default_num_partitions()
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column(label_col).combine_chunks(), id_type),
+            "node": pc.cast(t.column(node_col).combine_chunks(), id_type),
+            "val": pc.cast(t.column(label_col).combine_chunks(), id_type),
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        })
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        # remap rows key on the OLD cluster id they rename; assign rows are
+        # already final labels and pass through (tag 2)
+        kind = t.column("kind")
+        node = pc.cast(t.column("node").combine_chunks(), id_type)
+        cid = pc.cast(t.column("cluster_id").combine_chunks(), id_type)
+        is_remap = pc.equal(kind, "remap")
+        tag = pc.if_else(is_remap, pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8()))
+        return pa.table({"key": node, "node": node, "val": cid,
+                         "tag": pc.cast(tag, pa.int8())})
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        remaps = g[g["tag"] == 1].drop_duplicates("key").set_index("key")["val"]
+        base = g[g["tag"] == 0]
+        out_frames = []
+        if not base.empty:
+            new_lab = base["key"].map(remaps).fillna(base["val"])
+            out_frames.append(pd.DataFrame({node_col: base["node"].values,
+                                            label_col: new_lab.values}))
+        assigns = g[g["tag"] == 2]
+        if not assigns.empty:
+            out_frames.append(pd.DataFrame({node_col: assigns["node"].values,
+                                            label_col: assigns["val"].values}))
+        if not out_frames:
+            return pa.table({node_col: pa.array([], id_type),
+                             label_col: pa.array([], id_type)})
+        return from_pandas_clean(pd.concat(out_frames).drop_duplicates())
+
+    return (
+        baseline_labels.map_batches(base_rows, batch_format="pyarrow")
+        .union(delta.map_batches(delta_rows, batch_format="pyarrow"))
+        .map_batches(_key_part_tag("key", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def kmeans_assign(
     ds: ray.data.Dataset,
     k: int = 8,
