@@ -197,10 +197,19 @@ def run_bench() -> dict:
 
     from pdftext_ray.storage import read_table
 
-    def sf_read(name, columns):
+    # rows-aware block sizing for the LIGHT vectorized queries (SURVEY §12's
+    # prescribed fix, VERDICT r4 item 7): Ray over-splits sub-MB sf files
+    # into ~64 tiny blocks and every shuffle/aggregate stage then pays ~64
+    # fixed task costs. 25k rows/block keeps lineitem at ~24 blocks and the
+    # small dimension tables at a handful. CPU-heavy text/signature queries
+    # deliberately keep the default split (they want one block per core).
+    LIGHT_RPB = 25_000
+
+    def sf_read(name, columns, rows_per_block=None):
         # read_table strips parquet pandas schema metadata (unhashable dict
         # that defeats Ray's schema dedup in downstream hash shuffles)
-        return read_table(os.path.join(SF_DIR, f"{name}.parquet"), columns=columns)
+        return read_table(os.path.join(SF_DIR, f"{name}.parquet"), columns=columns,
+                          rows_per_block=rows_per_block)
 
     def docs_ds():
         return sf_read("documents", ["doc_id", "text"])
@@ -281,6 +290,37 @@ def run_bench() -> dict:
         cluster.connected_components_distributed(pairs).count()
 
     timed("dedup_clusters", q_clusters)
+
+    def q_incremental_cc():
+        from pdftext_ray.ops import cluster
+
+        # persisted artifacts (baseline labels, split pair table) are
+        # prepared UNTIMED — the bench measures the incremental assignment
+        # itself, which is what a daily crawl run pays
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pairs = dedup.minhash_lsh_pairs(
+            docs_ds(), threshold=0.4, exact_recall=False).materialize()
+
+        def split(want_base):
+            def fn(t):
+                both_even = pc.and_(
+                    pc.equal(pc.bit_wise_and(t.column("doc_a"), pa.scalar(1, pa.int64())), 0),
+                    pc.equal(pc.bit_wise_and(t.column("doc_b"), pa.scalar(1, pa.int64())), 0),
+                )
+                return t.filter(both_even if want_base else pc.invert(both_even))
+
+            return fn
+
+        inc_pairs = pairs.map_batches(split(False), batch_format="pyarrow")
+        labels = cluster.connected_components_distributed(
+            pairs.map_batches(split(True), batch_format="pyarrow")).materialize()
+        timed("incremental_cc", lambda: cluster.incremental_connected_components(
+            inc_pairs, labels).count())
+
+    if want("incremental_cc"):
+        q_incremental_cc()
     # the exact O(n²) baseline AND the hyperplane-LSH path: the LSH number is
     # the one that scales (the 100 TB plan — VERDICT r2 item 8); the brute
     # number is the guarded exact baseline it trades against at this size
@@ -291,7 +331,7 @@ def run_bench() -> dict:
         threshold=0.4, n_planes=8, probe_radius=1).count())
 
     def q_similarity():
-        emb = sf_read("embeddings", ["vec_id", "embedding"])
+        emb = sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB)
         t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
         import numpy as np
 
@@ -302,18 +342,18 @@ def run_bench() -> dict:
 
     timed("pricing_summary", lambda: relational.lineitem_pricing_summary(
         sf_read("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
-                             "l_extendedprice", "l_discount"])).to_pandas())
+                             "l_extendedprice", "l_discount"], rows_per_block=LIGHT_RPB)).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly_window(
-        sf_read("events", ["event_id", "ts", "event_type", "value"])).count())
+        sf_read("events", ["event_id", "ts", "event_type", "value"], rows_per_block=LIGHT_RPB)).count())
     timed("events_sessions", lambda: relational.sessionize_events(
-        sf_read("events", ["event_id", "ts", "user_id", "value"])).count())
+        sf_read("events", ["event_id", "ts", "user_id", "value"], rows_per_block=LIGHT_RPB)).count())
 
     def q_hash_join():
         from pdftext_ray.ops import joins
 
         joins.partitioned_hash_join(
-            sf_read("lineitem", ["l_orderkey", "l_quantity"]),
-            sf_read("orders", ["o_orderkey", "o_orderpriority"]),
+            sf_read("lineitem", ["l_orderkey", "l_quantity"], rows_per_block=LIGHT_RPB),
+            sf_read("orders", ["o_orderkey", "o_orderpriority"], rows_per_block=LIGHT_RPB),
             "l_orderkey", "o_orderkey",
         ).count()
 
@@ -323,7 +363,7 @@ def run_bench() -> dict:
         from pdftext_ray.ops import joins
 
         joins.range_join_events(
-            sf_read("events", ["event_id", "ts", "user_id", "event_type"])
+            sf_read("events", ["event_id", "ts", "user_id", "event_type"], rows_per_block=LIGHT_RPB)
         ).count()
 
     timed("events_range_join", q_range_join)
@@ -333,7 +373,7 @@ def run_bench() -> dict:
     def q_kmeans():
         from pdftext_ray.ops import cluster
 
-        cluster.kmeans_assign(sf_read("embeddings", ["vec_id", "embedding"])).count()
+        cluster.kmeans_assign(sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB)).count()
 
     timed("kmeans", q_kmeans)
 
@@ -347,7 +387,7 @@ def run_bench() -> dict:
     def q_shuffle_rank():
         from pdftext_ray.ops import sampling
 
-        sampling.shuffle_rank(sf_read("documents", ["doc_id"])).count()
+        sampling.shuffle_rank(sf_read("documents", ["doc_id"], rows_per_block=LIGHT_RPB)).count()
 
     timed("shuffle_rank", q_shuffle_rank)
     timed("top_ngrams", lambda: textstats.top_ngrams(
@@ -389,8 +429,8 @@ def run_bench() -> dict:
         from pdftext_ray.ops import joins
 
         joins.salted_hash_join(
-            sf_read("events", ["event_id", "user_id", "value"]),
-            sf_read("customer", ["c_custkey", "c_mktsegment"]),
+            sf_read("events", ["event_id", "user_id", "value"], rows_per_block=LIGHT_RPB),
+            sf_read("customer", ["c_custkey", "c_mktsegment"], rows_per_block=LIGHT_RPB),
             "user_id", "c_custkey", salt_col="event_id",
             left_cols=["event_id", "user_id", "value"],
             right_cols=["c_custkey", "c_mktsegment"],
@@ -399,11 +439,11 @@ def run_bench() -> dict:
 
     timed("salted_join", q_salted_join)
     timed("sort_rank", lambda: relational.sort_rank(
-        sf_read("documents", ["doc_id", "n_chars"]), "n_chars", "doc_id",
+        sf_read("documents", ["doc_id", "n_chars"], rows_per_block=LIGHT_RPB), "n_chars", "doc_id",
         descending=True, n_buckets=10).count())
 
     def q_sq8():
-        emb = sf_read("embeddings", ["vec_id", "embedding"])
+        emb = sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB)
         t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
         import numpy as np
 

@@ -71,8 +71,38 @@ def _stripped_file_schema(uri: str, columns: Optional[list]):
     return sch
 
 
-def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.Dataset:
+def _parquet_row_count(uri: str) -> Optional[int]:
+    """Total rows of a parquet file or directory, from footers only (no
+    data read). Returns None when the count can't be had cheaply."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(uri):
+            total = 0
+            for root, _dirs, files in os.walk(uri):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.read_metadata(uri).num_rows
+    except Exception:
+        return None
+
+
+def read_table(uri: str, columns: Optional[list] = None,
+               rows_per_block: Optional[int] = None, **kwargs) -> ray.data.Dataset:
     """Read a document table as a Ray Dataset (column-pruned at the read).
+
+    ``rows_per_block`` is the rows-aware split hint for LIGHT vectorized
+    consumers (SURVEY §12's prescribed fix): Ray's default splitter gives a
+    sub-MB file ~64 tiny blocks, and every downstream stage then pays ~64
+    fixed task costs for microseconds of useful work per block (measured
+    0.39 s vs 0.11 s for a trivial 100k-row read+count at 32 cpus). When
+    set (and the caller didn't pass ``override_num_blocks``), the block
+    count becomes ``ceil(rows / rows_per_block)`` clamped to [1, 256] using
+    footer metadata only. Leave it unset for CPU-heavy consumers
+    (signature/minhash stages) — they want one block per core, and at
+    production scale files exceed the split threshold anyway.
 
     Format dispatch by extension: ``.lance`` (when pylance is installed),
     ``.jsonl``/``.json`` (newline-delimited JSON), ``.csv``, ``.orc``
@@ -101,6 +131,12 @@ def read_table(uri: str, columns: Optional[list] = None, **kwargs) -> ray.data.D
             sch = None
         if sch is not None:
             kwargs["schema"] = sch
+    if rows_per_block is not None and "override_num_blocks" not in kwargs:
+        if rows_per_block <= 0:
+            raise ValueError(f"rows_per_block must be positive, got {rows_per_block}")
+        n_rows = _parquet_row_count(uri)
+        if n_rows is not None:
+            kwargs["override_num_blocks"] = min(256, max(1, -(-n_rows // rows_per_block)))
     return ray.data.read_parquet(uri, columns=columns, **kwargs)
 
 

@@ -757,3 +757,28 @@ def test_compact_parquet_refuses_nonempty_dst(tmp_path):
     # a second run into the same dst would APPEND and double the rows
     with pytest.raises(FileExistsError, match="duplicate rows"):
         storage.compact_parquet(src, dst)
+
+
+def test_read_table_rows_per_block_caps_split(tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from pdftext_ray import storage
+
+    src = str(tmp_path / "t.parquet")
+    n = 10_000
+    pa.parquet.write_table(pa.table({"x": pa.array(range(n), pa.int64())}), src)
+    ds = storage.read_table(src, columns=["x"], rows_per_block=2_500)
+    # ceil(10000/2500) = 4 read tasks; rows and values unchanged
+    assert ds.materialize().num_blocks() <= 4
+    assert ds.count() == n
+    # directory input: footer row counts sum across part files
+    d = str(tmp_path / "dir")
+    ray.data.from_arrow(pa.table({"x": pa.array(range(n), pa.int64())})) \
+        .repartition(8).write_parquet(d)
+    ds2 = storage.read_table(d, rows_per_block=5_000)
+    assert ds2.count() == n
+    assert ds2.materialize().num_blocks() <= 8
+    with pytest.raises(ValueError, match="rows_per_block"):
+        storage.read_table(src, rows_per_block=0)
