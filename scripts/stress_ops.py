@@ -98,6 +98,32 @@ def _parity_hashes(parity):
     return fn
 
 
+def build_longdoc_skew(inflate: int = 300, every: int = 250) -> str:
+    """Documents table with 1-in-``every`` docs inflated ``inflate``× — the
+    long-doc-skew probe for window-emitting text ops (substring_dedup):
+    ~20 mega-docs end up holding more bytes than the other 4,980 combined,
+    so a plan that serializes on a single doc or materializes a per-doc
+    quadratic structure shows up as a wall-time cliff, not a gentle ratio."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(STRESS_ROOT, f"longdoc_i{inflate}_e{every}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    is_long = pc.equal(pc.modulo(t.column("doc_id"), every), 0)
+    text = pc.if_else(is_long, pc.binary_repeat(t.column("text"), inflate),
+                      t.column("text"))
+    t = t.set_column(t.schema.get_field_index("text"), "text", text)
+    pq.write_table(t, os.path.join(out, "documents.parquet"),
+                   row_group_size=256)
+    open(done, "w").close()
+    return out
+
+
 def main():
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -109,8 +135,8 @@ def main():
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from pdftext_ray.ops import cluster, dedup, graph, joins, pack, \
-        relational, sampling, textstats
+    from pdftext_ray.ops import cluster, dedup, graph, joins, media, pack, \
+        relational, sampling, similarity, streaming, textstats
     from pdftext_ray.pipelines.mixture import training_mixture
     from pdftext_ray.storage import read_table
 
@@ -134,6 +160,38 @@ def main():
                      "dst": _pc.add(t.column("l_partkey"), 1_000_000)}),
                 batch_format="pyarrow")
             return graph.pagerank(edges, n_iter=8)
+
+        def qvec():
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["embedding"])
+            return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+        def q_incremental_cc():
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            pairs = dedup.minhash_lsh_pairs(docs(), threshold=0.4).materialize()
+
+            def split(want_base):
+                def fn(t):
+                    both_even = _pc.and_(
+                        _pc.equal(_pc.bit_wise_and(
+                            t.column("doc_a"), _pa.scalar(1, _pa.int64())), 0),
+                        _pc.equal(_pc.bit_wise_and(
+                            t.column("doc_b"), _pa.scalar(1, _pa.int64())), 0),
+                    )
+                    return t.filter(both_even if want_base else _pc.invert(both_even))
+
+                return fn
+
+            labels = cluster.connected_components_distributed(
+                pairs.map_batches(split(True), batch_format="pyarrow")).materialize()
+            return cluster.incremental_connected_components(
+                pairs.map_batches(split(False), batch_format="pyarrow"), labels
+            ).count()
 
         return {
             "dedup_minhash": lambda: dedup.minhash_lsh_pairs(
@@ -206,6 +264,30 @@ def main():
                 rd("events", ["event_id", "ts", "user_id", "value"])).count(),
             "events_hourly": lambda: relational.events_hourly_window(
                 rd("events", ["event_id", "ts", "event_type", "value"])).count(),
+            # similarity family: index BUILD + query at both levels (the
+            # r4 unstressed gap) — train-sample caps and broadcast index
+            # should keep the ratio ~linear in the scan
+            "similarity_ivf": lambda: similarity.ivf_topk(
+                rd("embeddings", ["vec_id", "embedding"]), qvec(), k=10).count(),
+            "similarity_pq": lambda: similarity.pq_topk(
+                rd("embeddings", ["vec_id", "embedding"]), qvec(), k=10).count(),
+            "similarity_sq8": lambda: similarity.sq8_topk(
+                rd("embeddings", ["vec_id", "embedding"]), qvec(), k=10).count(),
+            # incremental CC end to end (pairs -> baseline CC -> increment
+            # assignment) — every stage must stay ~linear on the
+            # dup-saturated replicas
+            "incremental_cc": q_incremental_cc,
+            # streaming tumbling windows under shard-count pressure: 2
+            # shards = hot-actor funnel, 32 = max message fan-out
+            "streaming_windows_s2": lambda: streaming.streaming_window_counts(
+                rd("events", ["event_id", "ts", "event_type", "value"]),
+                n_shards=2).num_rows,
+            "streaming_windows_s8": lambda: streaming.streaming_window_counts(
+                rd("events", ["event_id", "ts", "event_type", "value"]),
+                n_shards=8).num_rows,
+            "streaming_windows_s32": lambda: streaming.streaming_window_counts(
+                rd("events", ["event_id", "ts", "event_type", "value"]),
+                n_shards=32).num_rows,
         }
 
     levels = {}
@@ -228,8 +310,59 @@ def main():
         hi = levels[f"{mult}x"].get(name, {})
         if "sec" in lo and "sec" in hi:
             ratios[name] = round(hi["sec"] / max(lo["sec"], 1e-9), 2)
-    print(json.dumps({"probe": "op-layer mult-replicated scale stress",
-                      "mult": mult, "levels": levels, "sec_ratios": ratios}))
+
+    out = {"probe": "op-layer mult-replicated scale stress",
+           "mult": mult, "levels": levels, "sec_ratios": ratios}
+
+    # long-doc skew probe: same doc COUNT, ~20 mega-docs holding more bytes
+    # than the rest of the corpus combined — sec should track the BYTES
+    # ratio, not cliff on the stragglers
+    if not only or "substring_longdoc" in (only or set()):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        skew_dir = build_longdoc_skew()
+        base_bytes = int(pc.sum(pc.binary_length(pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+        ).column("text"))).as_py())
+        skew_bytes = int(pc.sum(pc.binary_length(pq.read_table(
+            os.path.join(skew_dir, "documents.parquet"), columns=["text"]
+        ).column("text"))).as_py())
+        res = {}
+        for label, d in [("base", SF_DIR), ("skew", skew_dir)]:
+            ds = read_table(os.path.join(d, "documents.parquet"),
+                            columns=["doc_id", "text"])
+            t0 = time.perf_counter()
+            rows = dedup.substring_dedup(ds, k=8).count()
+            res[label] = {"sec": round(time.perf_counter() - t0, 2), "rows": rows}
+        res["bytes_ratio"] = round(skew_bytes / base_bytes, 2)
+        res["sec_ratio"] = round(res["skew"]["sec"] / max(res["base"]["sec"], 1e-9), 2)
+        out["substring_longdoc"] = res
+
+    # media actor-pool stages at n and n*mult synthetic rows (wide binary
+    # payloads; generation untimed, fixed rows-per-partition at both levels)
+    if not only or "media" in (only or set()):
+        res = {}
+        for label, n in [("1x", 4000), (f"{mult}x", 4000 * mult)]:
+            feat_in = ray.data.from_arrow(
+                media.synth_media_table(n)).repartition(max(8, n // 500))
+            ppm_in = ray.data.from_arrow(
+                media.synth_ppm_table(n // 2)).repartition(max(8, n // 1000))
+            t0 = time.perf_counter()
+            fr = media.featurize_media(feat_in).count()
+            feat_s = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            rr = media.resize_media(ppm_in).count()
+            res[label] = {"featurize_sec": feat_s, "featurize_rows": fr,
+                          "resize_sec": round(time.perf_counter() - t0, 2),
+                          "resize_rows": rr}
+        res["featurize_ratio"] = round(
+            res[f"{mult}x"]["featurize_sec"] / max(res["1x"]["featurize_sec"], 1e-9), 2)
+        res["resize_ratio"] = round(
+            res[f"{mult}x"]["resize_sec"] / max(res["1x"]["resize_sec"], 1e-9), 2)
+        out["media"] = res
+
+    print(json.dumps(out))
     ray.shutdown()
 
 
