@@ -396,10 +396,16 @@ def incremental_connected_components(
                 "e_a": pa.array([], id_type), "e_b": pa.array([], id_type),
                 "side": pa.array([], pa.int8()), "mapped": pa.array([], id_type),
             })
-        mapped = e["node"].map(labs).fillna(e["node"])
+        # NOT map().fillna(): that routes int64 ids through float64 NaN,
+        # silently corrupting ids past 2^53 (hash-derived 63-bit ids at
+        # crawl scale) — substitute only the hits, dtype untouched
+        mapped = e["node"].to_numpy().copy()
+        hit = e["node"].isin(labs.index).to_numpy()
+        if hit.any():
+            mapped[hit] = labs.loc[e["node"].iloc[hit]].to_numpy()
         out = pd.DataFrame({
             "e_a": e["e_a"].values, "e_b": e["e_b"].values,
-            "side": e["side"].values, "mapped": mapped.values,
+            "side": e["side"].values, "mapped": mapped,
         })
         return from_pandas_clean(out)
 
@@ -532,9 +538,13 @@ def apply_incremental_cc(
         base = g[g["tag"] == 0]
         out_frames = []
         if not base.empty:
-            new_lab = base["key"].map(remaps).fillna(base["val"])
+            # same no-float64-NaN discipline as resolve_lookup above
+            new_lab = base["val"].to_numpy().copy()
+            hit = base["key"].isin(remaps.index).to_numpy()
+            if hit.any():
+                new_lab[hit] = remaps.loc[base["key"].iloc[hit]].to_numpy()
             out_frames.append(pd.DataFrame({node_col: base["node"].values,
-                                            label_col: new_lab.values}))
+                                            label_col: new_lab}))
         assigns = g[g["tag"] == 2]
         if not assigns.empty:
             out_frames.append(pd.DataFrame({node_col: assigns["node"].values,

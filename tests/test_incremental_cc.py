@@ -187,3 +187,15 @@ def test_chain_of_increments_is_stable():
         labels = dict(zip(updated["doc_id"], updated["cluster_id"]))
         all_edges += inc
         assert labels == _union_find(all_edges)
+
+
+def test_huge_ids_survive_exactly():
+    # ids beyond 2^53: any float64 round-trip in the lookup/fold paths
+    # would silently corrupt them (map().fillna() routes through NaN) —
+    # the engine must keep them bit-exact
+    B = 1 << 60
+    base = [(B + 1, B + 2), (B + 10, B + 11)]
+    inc = [(B + 2, B + 10), (B + 3, B + 1)]
+    delta, got, want = _run(base, inc)
+    assert got == want
+    assert all(n > (1 << 53) for n in got)
