@@ -2490,7 +2490,14 @@ def _keepbest_broadcast_labels(
     def tag(t: pa.Table) -> pa.Table:
         m = _ray.get(ref)
         ids = pc.cast(t.column(id_col).combine_chunks(), pa.int64())
-        clus = pd.Series(np.asarray(ids)).map(m).fillna(-1).to_numpy(dtype=np.int64)
+        # hit-substitution, not map().fillna(): the NaN route coerces int64
+        # cluster ids through float64, corrupting ids past 2^53
+        ids_np = np.asarray(ids)
+        clus = np.full(len(ids_np), -1, dtype=np.int64)
+        ser = pd.Series(ids_np)
+        hit = ser.isin(m).to_numpy()
+        if hit.any():
+            clus[hit] = ser[hit].map(m).to_numpy(dtype=np.int64)
         return pa.table({
             "doc_id": ids,
             "n_tokens": pc.cast(pc.count_substring_regex(t.column(text_col), r"\S+"), pa.int64()),
@@ -2599,9 +2606,16 @@ def fuzzy_dedup_keepbest(
 
     def merge(g: pd.DataFrame):
         lens = g[g["_is_lab"] == 0][["doc_id", "n_tokens"]]
-        labs = g[g["_is_lab"] == 1][["doc_id", "cluster_id"]]
-        m = lens.merge(labs, on="doc_id", how="left")
-        m["cluster_id"] = m["cluster_id"].fillna(-1).astype(np.int64)
+        labs = g[g["_is_lab"] == 1].drop_duplicates("doc_id").set_index("doc_id")["cluster_id"]
+        # hit-substitution, not a left merge + fillna: a NaN-bearing merge
+        # column is float64 and corrupts cluster ids past 2^53
+        cl = np.full(len(lens), -1, dtype=np.int64)
+        hit = lens["doc_id"].isin(labs.index).to_numpy()
+        if hit.any():
+            cl[hit] = labs.loc[lens["doc_id"].iloc[hit]].to_numpy()
+        m = pd.DataFrame({"doc_id": lens["doc_id"].values,
+                          "n_tokens": lens["n_tokens"].values,
+                          "cluster_id": cl})
         return from_pandas_clean(m)
 
     merged = (

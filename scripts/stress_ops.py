@@ -104,6 +104,7 @@ def build_longdoc_skew(inflate: int = 300, every: int = 250) -> str:
     ~20 mega-docs end up holding more bytes than the other 4,980 combined,
     so a plan that serializes on a single doc or materializes a per-doc
     quadratic structure shows up as a wall-time cliff, not a gentle ratio."""
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -112,9 +113,12 @@ def build_longdoc_skew(inflate: int = 300, every: int = 250) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+    import numpy as np
+
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                       columns=["doc_id", "text"])
-    is_long = pc.equal(pc.modulo(t.column("doc_id"), every), 0)
+    # no pc.modulo in pyarrow 16 — numpy parity mask over the id column
+    is_long = pa.array(t.column("doc_id").to_numpy() % every == 0)
     text = pc.if_else(is_long, pc.binary_repeat(t.column("text"), inflate),
                       t.column("text"))
     t = t.set_column(t.schema.get_field_index("text"), "text", text)
@@ -313,6 +317,8 @@ def main():
 
     out = {"probe": "op-layer mult-replicated scale stress",
            "mult": mult, "levels": levels, "sec_ratios": ratios}
+    # main sweep results survive even if an extra section dies
+    print(json.dumps(out), file=sys.stderr, flush=True)
 
     # long-doc skew probe: same doc COUNT, ~20 mega-docs holding more bytes
     # than the rest of the corpus combined — sec should track the BYTES
