@@ -47,6 +47,32 @@ def default_num_partitions(
     return base
 
 
+def vec_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix view of a fixed-width ``list<float/double>`` column —
+    flatten + reshape on the Arrow child buffer, replacing the
+    ``np.asarray(col.to_pylist())`` per-row Python materialization that was
+    the embedding ops' per-batch constant factor (the reference's
+    vectorize-the-fold ethos, `pages.py:171-188`, applied to vectors).
+    Values are bit-identical to the to_pylist path: float32 widens exactly,
+    float64 passes through. Raises on ragged or null rows (embedding
+    columns are fixed-dim by contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(a)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if a.null_count:
+        raise ValueError("vec_matrix: embedding column has null rows")
+    lens = pc.list_value_length(a).to_numpy(zero_copy_only=False)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("vec_matrix: ragged list column (fixed dim required)")
+    flat = a.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(dtype, copy=False)
+
+
 def from_pandas_clean(df):
     """pandas → Arrow without the ``pandas`` schema-metadata dict.
 

@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from pdftext_ray.ops import vec_matrix
+
 
 def connected_components_local(pairs: ray.data.Dataset, a_col: str = "doc_a", b_col: str = "doc_b") -> pa.Table:
     """Union-find on the collected pair table. Output: (doc_id, cluster_id)
@@ -621,7 +623,7 @@ def kmeans_assign(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = vec_matrix(batch.column(vec_col))
             if len(vecs) == 0:
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "vsum": pa.array([], pa.list_(pa.float64())),
@@ -659,7 +661,7 @@ def kmeans_assign(
             if keep_vec:
                 empty[vec_col] = batch.column(vec_col)
             return pa.table(empty)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         d2 = (vecs * vecs).sum(1)[:, None] - 2.0 * (vecs @ c.T) + (c * c).sum(1)[None, :]
         assign = np.argmin(d2, axis=1)
         dist = round_half_away(np.linalg.norm(vecs - c[assign], axis=1), 6)
@@ -767,7 +769,7 @@ def pca_top_component(
     def partial(t: pa.Table) -> pa.Table:
         from pdftext_ray.ops import round_half_away
 
-        x = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        x = vec_matrix(t.column(vec_col))
         xi = np.asarray(round_half_away(x * scale, 0), dtype=np.int64)
         # runtime overflow guard (ADVICE r3): an int64 partial entry is
         # Σ_rows xi_i·xi_j ≤ rows·max|xi|²; numpy wraps silently past 2⁶³,

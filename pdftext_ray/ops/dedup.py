@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from pdftext_ray.ops import from_pandas_clean, round_half_away
+from pdftext_ray.ops import from_pandas_clean, round_half_away, vec_matrix
 
 # 31-bit Mersenne prime: a, b, x < p keeps a*x + b < 2^63, so the minhash
 # permutations h_i(x) = (a_i·x + b_i) mod p run fully vectorized in uint64 —
@@ -509,7 +509,7 @@ def _lsh_bucket_table(
     ``const_cols``: [(name, (value, pa_type))] constant columns appended
     (e.g. an is_new marker)."""
     rng = np.random.RandomState(seed)
-    vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    vecs = vec_matrix(batch.column(vec_col))
     planes = rng.standard_normal((vecs.shape[1] if vecs.size else 0, n_planes))
     ids = batch.column(id_col).to_pylist()
     if not ids:
@@ -2239,7 +2239,7 @@ def embedding_pairs_bruteforce(
     def _assemble(*tables: pa.Table):
         t = pa.concat_tables(tables)
         ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit_rows(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
+        mat = _unit_rows(vec_matrix(t.column(vec_col)))
         return ids, mat
 
     ref = _assemble.remote(*proj.to_arrow_refs())
@@ -2266,7 +2266,7 @@ def embedding_pairs_bruteforce(
                     [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
                     names=["id_a", "id_b", "cosine"],
                 )
-            vecs_b = _unit_rows(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            vecs_b = _unit_rows(vec_matrix(batch.column(vec_col)))
             sims = vecs_b @ self.mat_o.T
             bi, oj = np.nonzero((sims >= threshold) & (ids_b[:, None] < self.ids_o[None, :]))
             return pa.Table.from_arrays(

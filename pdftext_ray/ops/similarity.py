@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from pdftext_ray.ops import round_half_away
+from pdftext_ray.ops import round_half_away, vec_matrix
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -43,7 +43,7 @@ def brute_force_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.Table.from_arrays([pa.array([], pa.int64()), pa.array([], pa.float64())],
@@ -95,7 +95,7 @@ def brute_force_topk_many(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return _empty()
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         scores = round_half_away(_unit(vecs) @ Qm.T, 6)  # (n, nq)
         take = min(k, len(ids))
         o_q, o_i, o_s = [], [], []
@@ -216,7 +216,7 @@ def ivf_topk(
     def probe_topk(batch: pa.Table) -> pa.Table:
         ivf: IVFIndex = ray.get(idx_ref)
         qv = ray.get(q_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.Table.from_arrays([pa.array([], pa.int64()), pa.array([], pa.float64())],
@@ -337,7 +337,7 @@ def pq_topk(
         if len(ids) == 0:
             return pa.Table.from_arrays([pa.array([], pa.int64()), pa.array([], pa.float64())],
                                         names=[id_col, "adc_dist"])
-        codes = pq_idx.encode(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        codes = pq_idx.encode(vec_matrix(batch.column(vec_col)))
         dist = round_half_away(
             adc[np.arange(pq_idx.m)[None, :], codes.astype(np.int64)].sum(axis=1), 6
         )
@@ -471,7 +471,7 @@ def sq8_topk(
         if len(ids) == 0:
             return pa.Table.from_arrays([pa.array([], pa.int64()), pa.array([], pa.float64())],
                                         names=[id_col, "sq8_score"])
-        recon = sq_idx.reconstruct(sq_idx.encode(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)))
+        recon = sq_idx.reconstruct(sq_idx.encode(vec_matrix(batch.column(vec_col))))
         scores = round_half_away((recon * qv).sum(axis=1), 6)
         take = min(k, len(ids))
         sel = np.lexsort((ids, -scores))[:take]
