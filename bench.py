@@ -268,9 +268,9 @@ def run_bench() -> dict:
         return fn
 
     timed("incremental_embedding", lambda: dedup.incremental_embedding_dedup(
-        sf_read("embeddings", ["vec_id", "embedding"]).map_batches(
+        sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB).map_batches(
             _vec_parity(1), batch_format="pyarrow"),
-        sf_read("embeddings", ["vec_id", "embedding"]).map_batches(
+        sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB).map_batches(
             _vec_parity(0), batch_format="pyarrow"),
         threshold=0.9, n_planes=12, probe_radius=1).count())
     timed("text_stats", lambda: textstats.quality_scores(docs_ds()).count())
@@ -325,9 +325,9 @@ def run_bench() -> dict:
     # the one that scales (the 100 TB plan — VERDICT r2 item 8); the brute
     # number is the guarded exact baseline it trades against at this size
     timed("embedding_pairs", lambda: dedup.embedding_pairs_bruteforce(
-        sf_read("embeddings", ["vec_id", "embedding"]), threshold=0.4).count())
+        sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB), threshold=0.4).count())
     timed("embedding_pairs_lsh", lambda: dedup.embedding_dup_pairs(
-        sf_read("embeddings", ["vec_id", "embedding"]),
+        sf_read("embeddings", ["vec_id", "embedding"], rows_per_block=LIGHT_RPB),
         threshold=0.4, n_planes=8, probe_radius=1).count())
 
     def q_similarity():
