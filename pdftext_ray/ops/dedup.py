@@ -622,11 +622,27 @@ def incremental_embedding_dedup(
             "cosine": pa.array(o_c, pa.float64()),
         })
 
+    n_parts_b = default_num_partitions()
+
+    def part_verdicts(g: pd.DataFrame):
+        # few-partition bucket scan (invariant 9): all buckets of a hash
+        # partition in one vectorized pass, not per-distinct-bucket groups
+        outs = [bucket_verdicts(sub) for _, sub in g.groupby("bucket", sort=False)]
+        tabs = [t for t in outs if t.num_rows]
+        if not tabs:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "dup_of": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64()),
+            })
+        return pa.concat_tables(tabs)
+
     hits = (
         new_emb.map_batches(bucketize(1), batch_format="pyarrow")
         .union(baseline_emb.map_batches(bucketize(0), batch_format="pyarrow"))
-        .groupby("bucket")
-        .map_groups(bucket_verdicts, batch_format="pandas")
+        .map_batches(_key_part_tag("bucket", n_parts_b), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_verdicts, batch_format="pandas")
     )
 
     def best(g: pd.DataFrame):
@@ -2361,8 +2377,31 @@ def embedding_dup_pairs(
             }
         ))
 
-    pairs = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+    # buckets are a >100k-distinct-key space at corpus scale (2^n_planes ×
+    # probe fan-out), so the scan is a FEW-PARTITION hash shuffle with all
+    # buckets of a partition processed in one vectorized pass (invariant 9)
+    # — never a per-distinct-bucket map_groups
+    from pdftext_ray.ops import default_num_partitions
+    from pdftext_ray.ops.relational import _key_part_tag
+
+    n_parts = default_num_partitions()
+
+    def part_pairs(g: pd.DataFrame):
+        outs = [bucket_pairs(sub) for _, sub in g.groupby("bucket", sort=False)]
+        tabs = [t for t in outs if t.num_rows]
+        if not tabs:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        return pa.concat_tables(tabs)
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(_key_part_tag("bucket", n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
 
     # global pair dedup (a pair co-buckets in several probed buckets): the
@@ -2370,9 +2409,6 @@ def embedding_dup_pairs(
     # per-distinct-pair Max aggregate (~65 µs/key, and the distinct-key count
     # here IS the pair count, which explodes exactly on duplication-heavy
     # corpora, the op's whole target).
-    from pdftext_ray.ops import default_num_partitions
-
-    n_parts = default_num_partitions()
 
     def tag_pair(t: pa.Table) -> pa.Table:
         return t.append_column(
