@@ -199,3 +199,27 @@ def test_huge_ids_survive_exactly():
     delta, got, want = _run(base, inc)
     assert got == want
     assert all(n > (1 << 53) for n in got)
+
+
+def test_string_ids_generic():
+    # the op is id-type generic: string doc ids flow through contraction,
+    # CC, classification and fold-back with lexicographic min-member ids
+    def spairs(edges):
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, _ in edges], pa.string()),
+            "doc_b": pa.array([b for _, b in edges], pa.string())}))
+
+    base_labels = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["d01", "d02", "d07", "d08"], pa.string()),
+        "cluster_id": pa.array(["d01", "d01", "d07", "d07"], pa.string())}))
+    inc = [("d02", "d08"), ("d00", "d01"), ("z99", "d07")]
+    delta = cluster.incremental_connected_components(
+        spairs(inc), base_labels).to_pandas()
+    rows = {(r["kind"], r["node"], r["cluster_id"]) for _, r in delta.iterrows()}
+    assert rows == {("assign", "d00", "d00"), ("assign", "z99", "d00"),
+                    ("remap", "d01", "d00"), ("remap", "d07", "d00")}
+    upd = cluster.apply_incremental_cc(
+        base_labels, cluster.incremental_connected_components(spairs(inc), base_labels)
+    ).to_pandas()
+    assert dict(zip(upd["doc_id"], upd["cluster_id"])) == {
+        n: "d00" for n in ["d00", "d01", "d02", "d07", "d08", "z99"]}
