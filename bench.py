@@ -418,7 +418,8 @@ def run_bench() -> dict:
             return _pa.table({"src": t.column("l_suppkey"),
                               "dst": _pc.add(t.column("l_partkey"), 1_000_000)})
 
-        edges = sf_read("lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        edges = sf_read("lineitem", ["l_suppkey", "l_partkey"],
+                        rows_per_block=LIGHT_RPB).map_batches(
             to_edges, batch_format="pyarrow")
         graph.pagerank(edges, n_iter=8).count()
 
