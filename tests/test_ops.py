@@ -931,3 +931,30 @@ def test_bpe_train_hand_case_and_golden():
     # merges stop when nothing repeats
     tiny = textstats.bpe_train(_doc_table(["ab cd"]), n_merges=10).to_pandas()
     assert len(tiny) == 0  # every pair occurs once → best < 2 → stop
+
+
+def test_vec_matrix_bit_identical_to_pylist_path():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from pdftext_ray.ops import vec_matrix
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal((50, 16))
+    for typ in (pa.float64(), pa.float32()):
+        arr = pa.array([list(map(float, r)) for r in vals], pa.list_(typ))
+        want = np.asarray(arr.to_pylist(), dtype=np.float64)
+        got = vec_matrix(arr)
+        assert got.dtype == np.float64 and np.array_equal(got, want)
+        # sliced view (non-zero offset) and chunked columns take the same path
+        sl = arr.slice(7, 21)
+        assert np.array_equal(vec_matrix(sl), np.asarray(sl.to_pylist(), dtype=np.float64))
+        ch = pa.chunked_array([arr.slice(0, 13), arr.slice(13, 37)])
+        assert np.array_equal(vec_matrix(ch), want)
+    # contract violations raise instead of silently misaligning
+    with pytest.raises(ValueError, match="ragged"):
+        vec_matrix(pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64())))
+    with pytest.raises(ValueError, match="null"):
+        vec_matrix(pa.array([[1.0], None], pa.list_(pa.float64())))
+    assert vec_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
