@@ -68,6 +68,8 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_col: str = "text_hash",
+    plan: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Dedup a NEW increment against a persisted baseline fingerprint table
     — the daily-crawl shape at 100 TB: yesterday's corpus is represented
@@ -80,14 +82,27 @@ def incremental_exact_dedup(
     baseline, keeping the smallest new id per hash; dup_count counts
     within-increment copies only.
 
-    Scale shape: both sides are projected to (hash, id, is_new) rows and
-    co-partitioned by hash bucket (the `_attach_blobs` union-merge
-    pattern — Acero ``Dataset.join`` is banned for sides that can be
-    empty, CLAUDE.md invariant 7); each partition resolves membership and
-    the keep-min vectorized. The shuffle carries hashes + ids, not text.
+    Two plans:
+
+    * ``broadcast`` (default for increments ≤ ``broadcast_threshold`` rows
+      — the expected daily shape): the increment's distinct hash set is
+      broadcast once, ONE distributed scan filters the corpus-sized
+      baseline down to the ≤ |increment| hashes it already contains, and
+      the keep-min aggregation + seen-filter run over increment rows only.
+      Zero all-to-all exchanges over baseline data — the 100 TB shape.
+    * ``shuffle`` (forced, or auto past the threshold): both sides are
+      projected to (hash, id, is_new) rows and co-partitioned by hash
+      bucket (the `_attach_blobs` union-merge pattern — Acero
+      ``Dataset.join`` is banned for sides that can be empty, CLAUDE.md
+      invariant 7); each partition resolves membership and the keep-min
+      vectorized. The shuffle carries hashes + ids, not text, and nothing
+      is collected on the driver.
     """
     from pdftext_ray.ops import default_num_partitions, from_pandas_clean
     from pdftext_ray.ops.relational import _key_part_tag
+
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"plan must be auto|broadcast|shuffle, got {plan!r}")
 
     n_parts = default_num_partitions()
 
@@ -97,6 +112,68 @@ def incremental_exact_dedup(
         .append_column("is_new", pa.array([1] * b.num_rows, pa.int8())),
         batch_format="pyarrow",
     )
+
+    use_broadcast = False
+    if plan != "shuffle":
+        # the increment is the small side by this op's contract — materialize
+        # the hashed projection once so the count, the hash-set assembly and
+        # the aggregation share one execution of the lineage
+        new_hashed = new_hashed.materialize()
+        use_broadcast = plan == "broadcast" or new_hashed.count() <= broadcast_threshold
+
+    if use_broadcast:
+        import ray as _ray
+
+        from pdftext_ray.ops.cluster import _member_sorted
+        from pdftext_ray.ops.relational import hash_grouped_agg
+
+        @_ray.remote
+        def _hash_set(*tables: pa.Table):
+            tables = [t for t in tables if t.num_rows > 0]
+            if not tables:
+                return np.array([], dtype=object)
+            both = pa.chunked_array([t.column("text_hash") for t in tables])
+            uniq = pc.unique(both).to_numpy(zero_copy_only=False)
+            return np.sort(uniq, kind="mergesort")
+
+        hs_ref = _hash_set.remote(*new_hashed.to_arrow_refs())
+
+        def filter_seen(t: pa.Table) -> pa.Table:
+            """The one corpus-sized scan in the broadcast plan: emit only
+            baseline hashes the increment also contains (≤ |increment|
+            rows total; sorted-array probe, zero per-worker setup)."""
+            hs = _ray.get(hs_ref)
+            col = pc.cast(t.column(hash_col).combine_chunks(), pa.string())
+            mask = pa.array(_member_sorted(col.to_numpy(zero_copy_only=False), hs))
+            return pa.table({"text_hash": col.filter(mask)})
+
+        seen_tabs = [
+            t for t in _ray.get(
+                baseline_hashes.map_batches(filter_seen, batch_format="pyarrow")
+                .to_arrow_refs()
+            ) if t.num_rows > 0
+        ]
+        if seen_tabs:
+            seen_np = pc.unique(
+                pa.concat_tables(seen_tabs).column("text_hash")
+            ).to_numpy(zero_copy_only=False)
+            seen_np = np.sort(seen_np, kind="mergesort")
+        else:
+            seen_np = np.array([], dtype=object)
+        seen_ref = _ray.put(seen_np)
+
+        agg = hash_grouped_agg(
+            new_hashed.select_columns([id_col, "text_hash"]), "text_hash",
+            {"keep_doc_id": (id_col, "min"), "dup_count": (id_col, "size")},
+        )
+
+        def drop_seen(t: pa.Table) -> pa.Table:
+            seen = _ray.get(seen_ref)
+            col = t.column("text_hash").combine_chunks()
+            keep = pa.array(~_member_sorted(col.to_numpy(zero_copy_only=False), seen))
+            return t.filter(keep)
+
+        return agg.map_batches(drop_seen, batch_format="pyarrow")
     # baseline contributes hash membership only; a sentinel id VALUE (not
     # null — a null would coerce the pandas id column to float64, losing
     # precision past 2^53) of the NEW side's type keeps the union schema

@@ -31,7 +31,8 @@ def test_exact_dedup_groups_identical_texts():
     assert grp["dup_count"] == 2
 
 
-def test_incremental_dedup_suppresses_baseline_and_keeps_min():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_dedup_suppresses_baseline_and_keeps_min(inc_plan):
     import hashlib
 
     known = BASE
@@ -41,16 +42,17 @@ def test_incremental_dedup_suppresses_baseline_and_keeps_min():
     baseline = ray.data.from_arrow(pa.table({
         "text_hash": [hashlib.md5(known.encode()).hexdigest()]
     }))
-    out = dedup.incremental_exact_dedup(ds, baseline).to_pandas()
+    out = dedup.incremental_exact_dedup(ds, baseline, plan=inc_plan).to_pandas()
     assert len(out) == 1  # the known doc is suppressed entirely
     assert out.iloc[0]["keep_doc_id"] == 1 and out.iloc[0]["dup_count"] == 2
 
 
-def test_incremental_dedup_empty_baseline_equals_exact_dedup():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_dedup_empty_baseline_equals_exact_dedup(inc_plan):
     ds = _doc_table([BASE, BASE, BASE + " extra"])
     baseline = ray.data.from_arrow(pa.table({"text_hash": pa.array([], pa.string())}))
     inc = (
-        dedup.incremental_exact_dedup(ds, baseline)
+        dedup.incremental_exact_dedup(ds, baseline, plan=inc_plan)
         .to_pandas().sort_values("text_hash").reset_index(drop=True)
     )
     ref = (
@@ -958,3 +960,21 @@ def test_vec_matrix_bit_identical_to_pylist_path():
     with pytest.raises(ValueError, match="null"):
         vec_matrix(pa.array([[1.0], None], pa.list_(pa.float64())))
     assert vec_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
+
+
+def test_incremental_dedup_plans_agree_on_random_overlap():
+    # 120 increment docs with planted copies, ~half the distinct texts
+    # already in the baseline: both plans must produce identical novel sets
+    rng = np.random.default_rng(7)
+    texts = [f"document body number {i} with shared filler tokens" for i in range(40)]
+    inc_rows = [texts[rng.integers(0, 40)] for _ in range(120)]
+    ds = _doc_table(inc_rows)
+    import hashlib
+    baseline = ray.data.from_arrow(pa.table({
+        "text_hash": [hashlib.md5(t.encode()).hexdigest() for t in texts[:20]]
+    }))
+    def run(plan):
+        return (dedup.incremental_exact_dedup(ds, baseline, plan=plan)
+                .to_pandas().sort_values("text_hash").reset_index(drop=True))
+    b, s = run("broadcast"), run("shuffle")
+    assert b.equals(s) and len(b) > 0
