@@ -626,6 +626,8 @@ def incremental_embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_radius: int = 1,
+    plan: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Embedding near-dup verdicts for an increment against a persisted
     baseline vector table — the third modality of the incremental family
@@ -642,6 +644,15 @@ def incremental_embedding_dedup(
     default the approximate scale path. Output columns are named
     (``id_col``, dup_of, cosine) — a custom ``id_col`` carries through
     (round-4 ADVICE).
+
+    For increments ≤ ``broadcast_threshold`` vectors (``plan="auto"``, the
+    expected crawl shape) the increment's DISTINCT probe-bucket set is
+    broadcast once and the baseline postings — each carrying its full
+    vector — are filtered to increment-hit buckets BEFORE the bucket
+    shuffle: a baseline posting in a bucket no new vector probes can never
+    produce a verdict, so the exchange shrinks from corpus-sized to
+    candidate-sized with bit-identical output. ``plan="shuffle"`` keeps the
+    unfiltered exchange (no broadcast state at all).
     """
     from itertools import combinations
 
@@ -714,9 +725,55 @@ def incremental_embedding_dedup(
             })
         return pa.concat_tables(tabs)
 
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"plan must be auto|broadcast|shuffle, got {plan!r}")
+
+    use_broadcast = False
+    if plan != "shuffle":
+        # the increment is the small side by this op's contract; materialize
+        # the input (not the 1+probes-times-larger posting expansion) so the
+        # count, the bucket-set pass and the posting pass share one read
+        new_emb = new_emb.materialize()
+        use_broadcast = plan == "broadcast" or new_emb.count() <= broadcast_threshold
+
+    new_posts = new_emb.map_batches(bucketize(1), batch_format="pyarrow")
+    base_posts = baseline_emb.map_batches(bucketize(0), batch_format="pyarrow")
+
+    if use_broadcast:
+        import ray as _ray
+
+        from pdftext_ray.ops.cluster import _member_sorted
+
+        @_ray.remote
+        def _bucket_set(*tables: pa.Table):
+            tables = [t for t in tables if t.num_rows > 0]
+            if not tables:
+                return np.array([], dtype=np.int64)
+            u = pc.unique(pa.chunked_array(
+                [t.column("bucket") for t in tables]
+            )).to_numpy(zero_copy_only=False)
+            return np.sort(u)
+
+        bucket_only = new_posts.map_batches(
+            lambda t: pa.table({"bucket": pc.unique(t.column("bucket").combine_chunks())}),
+            batch_format="pyarrow",
+        )
+        bs_ref = _bucket_set.remote(*bucket_only.to_arrow_refs())
+
+        def filter_base(t: pa.Table) -> pa.Table:
+            """Drop baseline postings in buckets no new vector probes —
+            they cannot meet a new row in part_verdicts, so the bucket
+            shuffle carries candidates only, not the corpus."""
+            bs = _ray.get(bs_ref)
+            col = t.column("bucket").combine_chunks()
+            mask = pa.array(_member_sorted(col.to_numpy(zero_copy_only=False), bs))
+            return t.filter(mask)
+
+        base_posts = base_posts.map_batches(filter_base, batch_format="pyarrow")
+
     hits = (
-        new_emb.map_batches(bucketize(1), batch_format="pyarrow")
-        .union(baseline_emb.map_batches(bucketize(0), batch_format="pyarrow"))
+        new_posts
+        .union(base_posts)
         .map_batches(_key_part_tag("bucket", n_parts_b), batch_format="pyarrow")
         .groupby("_part")
         .map_groups(part_verdicts, batch_format="pandas")

@@ -103,7 +103,8 @@ def test_incremental_minhash_within_increment_keep_first():
     assert out.iloc[0]["est_jaccard"] == 1.0
 
 
-def test_incremental_embedding_verdicts():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_embedding_verdicts(inc_plan):
     rng = np.random.RandomState(3)
     base_vecs = rng.standard_normal((4, 16))
     base = ray.data.from_arrow(pa.table({
@@ -122,7 +123,8 @@ def test_incremental_embedding_verdicts():
         ], pa.list_(pa.float64())),
     }))
     out = (
-        dedup.incremental_embedding_dedup(new, base, threshold=0.9, n_planes=4, probe_radius=4)
+        dedup.incremental_embedding_dedup(
+            new, base, threshold=0.9, n_planes=4, probe_radius=4, plan=inc_plan)
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert list(out["vec_id"]) == [11, 13]
@@ -130,7 +132,8 @@ def test_incremental_embedding_verdicts():
     assert out.loc[1, "dup_of"] == 0 and out.loc[1, "cosine"] == 1.0
 
 
-def test_incremental_embedding_within_increment_keep_first():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_embedding_within_increment_keep_first(inc_plan):
     v = np.ones(8)
     base = ray.data.from_arrow(pa.table({
         "vec_id": pa.array([], pa.int64()),
@@ -140,7 +143,8 @@ def test_incremental_embedding_within_increment_keep_first():
         "vec_id": pa.array([5, 9], pa.int64()),
         "embedding": pa.array([v.tolist(), v.tolist()], pa.list_(pa.float64())),
     }))
-    out = dedup.incremental_embedding_dedup(new, base, threshold=0.9, n_planes=4, probe_radius=4).to_pandas()
+    out = dedup.incremental_embedding_dedup(
+        new, base, threshold=0.9, n_planes=4, probe_radius=4, plan=inc_plan).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["vec_id"] == 9 and out.iloc[0]["dup_of"] == 5
     assert out.iloc[0]["cosine"] == 1.0
