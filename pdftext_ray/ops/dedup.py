@@ -356,6 +356,8 @@ def incremental_minhash_dedup(
     seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    plan: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Near-dup verdicts for a crawl increment against a persisted MinHash
     signature baseline — the scale path of :func:`incremental_exact_dedup`.
@@ -401,6 +403,20 @@ def incremental_minhash_dedup(
     ADVICE). Every stage is matrix-vectorized over the whole batch via the
     signature-matrix toolkit above — no per-row hashing or per-pair
     ``np.frombuffer`` (round-4 VERDICT #1).
+
+    For increments ≤ ``broadcast_threshold`` docs (``plan="auto"``, the
+    expected crawl shape) the corpus-sized exchanges disappear: the
+    increment's distinct signature set is broadcast and ONE baseline scan
+    extracts the matched collapse heads (min baseline id per identical
+    sig); collapse then shuffles increment signatures only. A second
+    baseline scan filters to docs whose band buckets intersect the
+    increment reps' broadcast bucket set — only those candidates join the
+    (now increment-sized) banding/attach exchanges, with identical output:
+    a baseline doc in a bucket no increment rep probes can never pair, and
+    per-batch-uncollapsed baseline copies produce the same per-doc argmax
+    (identical sigs → identical estimates, tie-break min id = the head).
+    ``plan="shuffle"`` keeps the union plan: no driver-side collection,
+    both sides co-partitioned end to end.
     """
     from pdftext_ray.ops import default_num_partitions, from_pandas_clean, round_half_away
     from pdftext_ray.ops.relational import _key_part_tag
@@ -419,11 +435,23 @@ def incremental_minhash_dedup(
 
         return fn
 
-    allsigs = (
-        minhash_signatures(new_ds, num_perm, ngram, seed, id_col, text_col)
-        .map_batches(mark(1), batch_format="pyarrow")
-        .union(baseline_sigs.map_batches(mark(0), batch_format="pyarrow"))
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"plan must be auto|broadcast|shuffle, got {plan!r}")
+
+    new_sigs = minhash_signatures(new_ds, num_perm, ngram, seed, id_col, text_col).map_batches(
+        mark(1), batch_format="pyarrow"
     )
+
+    use_broadcast = False
+    if plan != "shuffle":
+        # the increment is the small side by this op's contract — signatures
+        # are num_perm×8 bytes/doc, so materializing them is bounded; the
+        # count, the sig-set assembly, collapse and banding share one
+        # execution of the MinHasher lineage
+        new_sigs = new_sigs.materialize()
+        use_broadcast = plan == "broadcast" or new_sigs.count() <= broadcast_threshold
+
+    allsigs = new_sigs.union(baseline_sigs.map_batches(mark(0), batch_format="pyarrow"))
 
     def sig_part(t: pa.Table) -> pa.Table:
         # partition tag only needs run-internal consistency (identical sigs
@@ -465,21 +493,160 @@ def incremental_minhash_dedup(
             ),
         })
 
-    combined = (
-        allsigs.map_batches(sig_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(collapse, batch_format="pandas")
-        .materialize()
-    )
-    reps = combined.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())))
-        .select([id_col, "_sigb", "is_new"]),
-        batch_format="pyarrow",
-    )
-
     def band_keys(t: pa.Table) -> pa.Table:
         mat = _sig_matrix_from_binary(t.column("_sigb"), num_perm)
         return _band_postings_table(t, mat, bands, id_col, extra_cols=("is_new",))
+
+    if use_broadcast:
+        import ray as _ray
+
+        from pdftext_ray.ops.cluster import _member_sorted
+
+        @_ray.remote
+        def _sig_set(*tables: pa.Table):
+            tables = [t for t in tables if t.num_rows > 0]
+            if not tables:
+                return np.array([], dtype=object)
+            u = pc.unique(pa.chunked_array(
+                [t.column("_sigb") for t in tables]
+            )).to_pylist()
+            return np.sort(np.asarray(u, dtype=object), kind="mergesort")
+
+        ss_ref = _sig_set.remote(*new_sigs.to_arrow_refs())
+
+        def match_heads(t: pa.Table) -> pa.Table:
+            """Baseline scan #1: per-batch partial (matched sig → min
+            baseline id) for signatures the increment re-contains."""
+            ss = _ray.get(ss_ref)
+            t2 = mark(0)(t)
+            sig_np = np.asarray(t2.column("_sigb").to_pylist(), dtype=object)
+            hit = _member_sorted(sig_np, ss)
+            if not hit.any():
+                return pa.table({"_sigb": pa.array([], pa.binary()),
+                                 "_bh": pa.array([], id_type)})
+            ids = t2.column(id_col).to_numpy(zero_copy_only=False)
+            agg = (pd.DataFrame({"_sigb": sig_np[hit], "_bh": ids[hit]})
+                   .groupby("_sigb", as_index=False).agg(_bh=("_bh", "min")))
+            return pa.table({"_sigb": pa.array(list(agg["_sigb"]), pa.binary()),
+                             "_bh": pa.array(agg["_bh"].to_numpy(), id_type)})
+
+        head_tabs = [
+            t for t in _ray.get(
+                baseline_sigs.map_batches(match_heads, batch_format="pyarrow").to_arrow_refs()
+            ) if t.num_rows > 0
+        ]
+        if head_tabs:
+            hdf = (pa.concat_tables(head_tabs).to_pandas()
+                   .groupby("_sigb", as_index=False).agg(_bh=("_bh", "min"))
+                   .sort_values("_sigb", kind="mergesort"))
+            heads_ref = _ray.put((np.asarray(list(hdf["_sigb"]), dtype=object),
+                                  hdf["_bh"].to_numpy()))
+        else:
+            heads_ref = _ray.put((np.array([], dtype=object),
+                                  np.array([], dtype=object)))
+
+        def collapse_bcast(g: pd.DataFrame) -> pa.Table:
+            """Increment-only collapse consulting the broadcast baseline
+            heads: matched sig groups flag EVERY new member at the baseline
+            head and emit no rep (the head banding happens on the baseline
+            side via base_cands); unmatched groups behave like the union
+            collapse restricted to the increment."""
+            keys, vals = _ray.get(heads_ref)
+            g = g.sort_values(["_sigb", id_col], kind="mergesort")
+            first = (~g["_sigb"].duplicated()).to_numpy()
+            heads_new = g.loc[first, ["_sigb", id_col]].rename(columns={id_col: "_newhead"})
+            g = g.merge(heads_new, on="_sigb", how="left")  # left merge keeps row order
+            sig_np = g["_sigb"].to_numpy()
+            head = g["_newhead"].to_numpy().copy()
+            if len(keys):
+                pos = np.minimum(np.searchsorted(keys, sig_np), len(keys) - 1)
+                matched = keys[pos] == sig_np
+                if matched.any():
+                    head[matched] = vals[pos[matched]]
+            else:
+                matched = np.zeros(len(g), dtype=bool)
+            ids = g[id_col].to_numpy()
+            is_flag = matched | (ids != head)
+            is_rep = first & ~matched
+            return pa.table({
+                "kind": pa.array(
+                    np.concatenate([np.ones(int(is_flag.sum()), np.int8),
+                                    np.zeros(int(is_rep.sum()), np.int8)]),
+                    pa.int8(),
+                ),
+                id_col: pa.array(
+                    np.concatenate([ids[is_flag], ids[is_rep]]), id_type
+                ),
+                "dup_of": pa.array(
+                    np.concatenate([head[is_flag], ids[is_rep]]), id_type
+                ),
+                "_sigb": pa.array(
+                    [b""] * int(is_flag.sum()) + list(g["_sigb"].to_numpy()[is_rep]),
+                    pa.binary(),
+                ),
+                "is_new": pa.array(
+                    np.concatenate([np.zeros(int(is_flag.sum()), np.int8),
+                                    np.ones(int(is_rep.sum()), np.int8)]),
+                    pa.int8(),
+                ),
+            })
+
+        combined = (
+            new_sigs.map_batches(sig_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(collapse_bcast, batch_format="pandas")
+            .materialize()
+        )
+        reps_inc = combined.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())))
+            .select([id_col, "_sigb", "is_new"]),
+            batch_format="pyarrow",
+        )
+
+        @_ray.remote
+        def _bucket_set(*tables: pa.Table):
+            tables = [t for t in tables if t.num_rows > 0]
+            if not tables:
+                return np.array([], dtype=np.int64)
+            u = pc.unique(pa.chunked_array(
+                [t.column("bucket") for t in tables]
+            )).to_numpy(zero_copy_only=False)
+            return np.sort(u)
+
+        inc_buckets = reps_inc.map_batches(
+            lambda t: pa.table({"bucket": pa.array(np.unique(
+                _band_bucket_hash(_sig_matrix_from_binary(t.column("_sigb"), num_perm), bands)
+            ), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        bs_ref = _bucket_set.remote(*inc_buckets.to_arrow_refs())
+
+        def base_cands_fn(t: pa.Table) -> pa.Table:
+            """Baseline scan #2: keep only docs with ≥1 band bucket in the
+            increment reps' bucket set — the candidate set any plan must
+            consider; everything downstream is increment-proportional."""
+            bs = _ray.get(bs_ref)
+            t2 = mark(0)(t)
+            mat = _sig_matrix_from_binary(t2.column("_sigb"), num_perm)
+            buckets = _band_bucket_hash(mat, bands)
+            hit_any = _member_sorted(buckets.ravel(), bs).reshape(buckets.shape).any(axis=1)
+            return t2.filter(pa.array(hit_any)).select([id_col, "_sigb", "is_new"])
+
+        reps = reps_inc.union(
+            baseline_sigs.map_batches(base_cands_fn, batch_format="pyarrow")
+        )
+    else:
+        combined = (
+            allsigs.map_batches(sig_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(collapse, batch_format="pandas")
+            .materialize()
+        )
+        reps = combined.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())))
+            .select([id_col, "_sigb", "is_new"]),
+            batch_format="pyarrow",
+        )
 
     def pairs_part(g: pd.DataFrame) -> pa.Table:
         # Emit (new doc, earlier doc) pairs per bucket, fully vectorized:

@@ -64,7 +64,8 @@ def test_incremental_dedup_empty_baseline_equals_exact_dedup(inc_plan):
     )
 
 
-def test_incremental_minhash_verdicts():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_minhash_verdicts(inc_plan):
     near = BASE.replace("morning", "evening")
     base_docs = ray.data.from_arrow(pa.table({
         "doc_id": [0, 2],
@@ -76,7 +77,7 @@ def test_incremental_minhash_verdicts():
         "text": [BASE, near, "a totally novel doc about something else entirely", BASE],
     }))
     out = (
-        dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.4)
+        dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.4, plan=inc_plan)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     # exact copies collapse to est 1.0 vs the baseline doc; the near-dup is
@@ -87,7 +88,8 @@ def test_incremental_minhash_verdicts():
     assert 0.4 <= out.loc[1, "est_jaccard"] < 1.0
 
 
-def test_incremental_minhash_within_increment_keep_first():
+@pytest.mark.parametrize("inc_plan", ["broadcast", "shuffle"])
+def test_incremental_minhash_within_increment_keep_first(inc_plan):
     # no baseline at all: two identical new docs — the larger id is flagged
     # against the smaller, the smaller is unflagged
     sigs = ray.data.from_arrow(pa.table({
@@ -97,7 +99,7 @@ def test_incremental_minhash_within_increment_keep_first():
     new_docs = ray.data.from_arrow(pa.table({
         "doc_id": [5, 9], "text": [BASE, BASE],
     }))
-    out = dedup.incremental_minhash_dedup(new_docs, sigs).to_pandas()
+    out = dedup.incremental_minhash_dedup(new_docs, sigs, plan=inc_plan).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["doc_id"] == 9 and out.iloc[0]["dup_of"] == 5
     assert out.iloc[0]["est_jaccard"] == 1.0
@@ -982,3 +984,37 @@ def test_incremental_dedup_plans_agree_on_random_overlap():
                 .to_pandas().sort_values("text_hash").reset_index(drop=True))
     b, s = run("broadcast"), run("shuffle")
     assert b.equals(s) and len(b) > 0
+
+
+def test_incremental_minhash_plans_agree_on_mixed_corpus():
+    # exact copies straddling the baseline, near-dups, novel docs, and
+    # within-increment dup saturation: both plans must emit identical
+    # verdict frames (the broadcast plan's candidate filter and per-batch
+    # uncollapsed baseline copies must not change any argmax)
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(200)]
+    def doc(k, mut=0):
+        idx = rng.integers(0, 200, size=30)
+        t = [words[i] for i in idx]
+        for _ in range(mut):
+            t[rng.integers(0, 30)] = words[rng.integers(0, 200)]
+        return " ".join(t)
+    base_texts = [doc(i) for i in range(20)]
+    base = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": base_texts + [],
+    }))
+    # increment: copies of baseline docs, near-dups, novel, and 5x one copy
+    inc_texts = ([base_texts[3]] * 5 + [base_texts[7]]
+                 + [base_texts[1].replace("tok", "tok", 1)]  # exact again
+                 + [doc(100 + i) for i in range(10)])
+    new_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 100 + len(inc_texts)), pa.int64()),
+        "text": inc_texts,
+    }))
+    sigs = dedup.minhash_signatures(base)
+    def run(plan):
+        return (dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.3, plan=plan)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b, s = run("broadcast"), run("shuffle")
+    assert b.equals(s) and len(b) >= 7
