@@ -956,9 +956,11 @@ def _q_incremental_minhash(sf_dir: str):
     # (invariant 12, the simhash/winnow pattern)
     _require_gate_corpus(sf_dir, check_content=True)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialized = the persisted artifact shape (the broadcast plan scans
+    # the baseline twice; only fair against a stored table)
     baseline_sigs = dedup.minhash_signatures(
         docs.map_batches(_parity_filter("doc_id", 0), batch_format="pyarrow")
-    )
+    ).materialize()
     new_docs = docs.map_batches(_parity_filter("doc_id", 1), batch_format="pyarrow")
     return dedup.incremental_minhash_dedup(new_docs, baseline_sigs, threshold=0.5)
 

@@ -415,8 +415,12 @@ def incremental_minhash_dedup(
     a baseline doc in a bucket no increment rep probes can never pair, and
     per-batch-uncollapsed baseline copies produce the same per-doc argmax
     (identical sigs → identical estimates, tie-break min id = the head).
-    ``plan="shuffle"`` keeps the union plan: no driver-side collection,
-    both sides co-partitioned end to end.
+    The broadcast plan reads ``baseline_sigs`` TWICE — hand it the persisted
+    signature table its contract names (a parquet read-back re-scans for
+    pennies), not an expensive lazy lineage; force ``plan="shuffle"`` if
+    the baseline must be computed inline. ``plan="shuffle"`` keeps the
+    union plan: no driver-side collection, both sides co-partitioned end
+    to end, one pass over each input.
     """
     from pdftext_ray.ops import default_num_partitions, from_pandas_clean, round_half_away
     from pdftext_ray.ops.relational import _key_part_tag
@@ -504,28 +508,36 @@ def incremental_minhash_dedup(
 
         @_ray.remote
         def _sig_set(*tables: pa.Table):
+            # sorted int64 DIGEST set (the bands=1 bucket fold — vectorized,
+            # no 512-byte Python object sorts); membership false positives
+            # only add extra head rows, which the exact-bytes heads table
+            # downstream can never mistake for a real match
             tables = [t for t in tables if t.num_rows > 0]
             if not tables:
-                return np.array([], dtype=object)
-            u = pc.unique(pa.chunked_array(
-                [t.column("_sigb") for t in tables]
-            )).to_pylist()
-            return np.sort(np.asarray(u, dtype=object), kind="mergesort")
+                return np.array([], dtype=np.int64)
+            digs = [
+                _band_bucket_hash(_sig_matrix_from_binary(t.column("_sigb"), num_perm), 1).ravel()
+                for t in tables
+            ]
+            return np.unique(np.concatenate(digs))
 
         ss_ref = _sig_set.remote(*new_sigs.to_arrow_refs())
 
         def match_heads(t: pa.Table) -> pa.Table:
             """Baseline scan #1: per-batch partial (matched sig → min
-            baseline id) for signatures the increment re-contains."""
+            baseline id) for signatures the increment re-contains — int64
+            digest probe (vectorized), exact bytes only over the hits."""
             ss = _ray.get(ss_ref)
             t2 = mark(0)(t)
-            sig_np = np.asarray(t2.column("_sigb").to_pylist(), dtype=object)
-            hit = _member_sorted(sig_np, ss)
+            mat = _sig_matrix_from_binary(t2.column("_sigb"), num_perm)
+            hit = _member_sorted(_band_bucket_hash(mat, 1).ravel(), ss)
             if not hit.any():
                 return pa.table({"_sigb": pa.array([], pa.binary()),
                                  "_bh": pa.array([], id_type)})
+            t2 = t2.filter(pa.array(hit))
+            sig_np = np.asarray(t2.column("_sigb").to_pylist(), dtype=object)
             ids = t2.column(id_col).to_numpy(zero_copy_only=False)
-            agg = (pd.DataFrame({"_sigb": sig_np[hit], "_bh": ids[hit]})
+            agg = (pd.DataFrame({"_sigb": sig_np, "_bh": ids})
                    .groupby("_sigb", as_index=False).agg(_bh=("_bh", "min")))
             return pa.table({"_sigb": pa.array(list(agg["_sigb"]), pa.binary()),
                              "_bh": pa.array(agg["_bh"].to_numpy(), id_type)})
@@ -768,18 +780,28 @@ def _lsh_bucket_table(
     unit = _unit_rows(vecs)
     codes = (unit @ planes > 0).astype(np.uint32)
     base = (codes << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-    o_bucket, o_id, o_vec = [], [], []
-    for i, (bkt, did) in enumerate(zip(base.tolist(), ids)):
-        for m in masks:
-            o_bucket.append(bkt ^ m)
-            o_id.append(did)
-            o_vec.append(unit[i].tolist())
-    arrays = [pa.array(o_bucket, pa.int64()),
-              pa.array(o_id) if id_type is None else pa.array(o_id, id_type),
-              pa.array(o_vec, pa.list_(pa.float64()))]
+    # one output row per (vector, probe mask), row-major like the historical
+    # per-row loop — fully vectorized: XOR outer product for buckets, take
+    # for ids, a flat-values ListArray rebuild for the repeated unit vectors
+    n, k, d = len(base), len(masks), unit.shape[1]
+    marr = np.asarray(list(masks), dtype=np.int64)
+    buckets = (base.astype(np.int64)[:, None] ^ marr[None, :]).ravel()
+    rep_idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    id_chunk = batch.column(id_col).combine_chunks()
+    if id_type is not None:
+        id_chunk = pc.cast(id_chunk, id_type)
+    id_arr = pc.take(id_chunk, pa.array(rep_idx))
+    flat = np.ascontiguousarray(unit[rep_idx], dtype=np.float64).ravel()
+    if n * k * d >= 2**31:  # int32 list offsets — cap far above any batch
+        raise ValueError("_lsh_bucket_table: batch too large for list offsets; lower batch_size")
+    vec_arr = pa.ListArray.from_arrays(
+        pa.array(np.arange(n * k + 1, dtype=np.int32) * d, pa.int32()),
+        pa.array(flat, pa.float64()),
+    )
+    arrays = [pa.array(buckets, pa.int64()), id_arr, vec_arr]
     names = ["bucket", id_col, vec_col]
     for name, (val, typ) in const_cols:
-        arrays.append(pa.array([val] * len(o_id), typ))
+        arrays.append(pa.array(np.full(n * k, val), typ))
         names.append(name)
     return pa.Table.from_arrays(arrays, names=names)
 
