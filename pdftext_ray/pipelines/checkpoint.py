@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 from typing import List, Optional
 
 import ray.data
@@ -94,6 +95,7 @@ def run_checkpointed(
 
             shutil.rmtree(tmp_dir)
 
+        _t0 = time.monotonic()
         ds = ray.data.read_parquet(chunk, columns=["doc_id", "spans"])
         if bucket == "large":
             out = P.extract_spans_exploded(ds, cfg, page_batch_size=32)
@@ -103,6 +105,7 @@ def run_checkpointed(
         else:
             out = P.extract_spans(ds, cfg)
         out.write_parquet(tmp_dir)
+        wall_s = round(time.monotonic() - _t0, 3)
 
         # per-partition metrics ride in the manifest (lineage + observability)
         part = ray.data.read_parquet(tmp_dir, columns=["n_pages", "n_chars", "error"])
@@ -122,6 +125,8 @@ def run_checkpointed(
                     "fingerprint": fp,
                     "rows": rows,
                     "errors": errors,
+                    "wall_s": wall_s,
+                    "docs_per_sec": round(rows / wall_s, 1) if wall_s > 0 else None,
                     "input_files": [os.path.basename(c) for c in chunk],
                 },
                 f,
@@ -190,8 +195,10 @@ def run_partitioned_stage(
 
             shutil.rmtree(tmp_dir)
 
+        _t0 = time.monotonic()
         out = stage_fn(ray.data.read_parquet(chunk, columns=columns))
         out.write_parquet(tmp_dir)
+        wall_s = round(time.monotonic() - _t0, 3)
         # a fully-filtered partition writes no files — and Ray then doesn't
         # even create the directory; the rename below still needs one
         os.makedirs(tmp_dir, exist_ok=True)
@@ -209,6 +216,8 @@ def run_partitioned_stage(
                     "partition": i,
                     "fingerprint": fp,
                     "rows": rows,
+                    "wall_s": wall_s,
+                    "rows_per_sec": round(rows / wall_s, 1) if wall_s > 0 else None,
                     "input_files": [os.path.relpath(c, input_path) for c in chunk],
                 },
                 f,

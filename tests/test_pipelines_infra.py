@@ -37,9 +37,11 @@ def test_checkpoint_resume_and_lineage(tmp_path):
     assert r1["processed"] == 3 and r1["rows"] == 40
     r2 = checkpoint.run_checkpointed(corpus, out, num_partitions=3)
     assert r2["processed"] == 0 and r2["skipped"] == 3
-    # manifest carries lineage + metrics
+    # manifest carries lineage + metrics (north rule: per-partition
+    # lineage + metrics — incl. wall time and throughput)
     m = json.load(open(os.path.join(out, "_manifest", "part-0.json")))
     assert m["status"] == "done" and m["rows"] > 0 and "fingerprint" in m and m["errors"] == 0
+    assert m["wall_s"] > 0 and m["docs_per_sec"] > 0
     # fingerprint change forces reprocessing of exactly that partition
     m["fingerprint"] = {"tampered": 1}
     json.dump(m, open(os.path.join(out, "_manifest", "part-0.json"), "w"))
