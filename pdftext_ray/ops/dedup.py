@@ -2843,20 +2843,26 @@ def _keepbest_broadcast_labels(
     from pdftext_ray.ops import from_pandas_clean
 
     lab = _cluster.connected_components_local(pairs, "doc_a", "doc_b")
-    ref = _ray.put(dict(zip(lab.column("doc_id").to_pylist(),
-                            lab.column("cluster_id").to_pylist())))
+    # broadcast SORTED numpy arrays, not a dict: plasma reconstructs numpy
+    # views in microseconds per batch, a pickled dict re-deserializes every
+    # entry every batch; searchsorted probes need no per-worker setup
+    _keys = lab.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    _vals = lab.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    _order = np.argsort(_keys, kind="mergesort")
+    ref = _ray.put((_keys[_order], _vals[_order]))
 
     def tag(t: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
+        keys, vals = _ray.get(ref)
         ids = pc.cast(t.column(id_col).combine_chunks(), pa.int64())
         # hit-substitution, not map().fillna(): the NaN route coerces int64
         # cluster ids through float64, corrupting ids past 2^53
         ids_np = np.asarray(ids)
         clus = np.full(len(ids_np), -1, dtype=np.int64)
-        ser = pd.Series(ids_np)
-        hit = ser.isin(m).to_numpy()
-        if hit.any():
-            clus[hit] = ser[hit].map(m).to_numpy(dtype=np.int64)
+        if len(keys) and len(ids_np):
+            pos = np.minimum(np.searchsorted(keys, ids_np), len(keys) - 1)
+            hit = keys[pos] == ids_np
+            if hit.any():
+                clus[hit] = vals[pos[hit]]
         return pa.table({
             "doc_id": ids,
             "n_tokens": pc.cast(pc.count_substring_regex(t.column(text_col), r"\S+"), pa.int64()),
