@@ -31,12 +31,20 @@ def parse_range_str(range_str: str) -> List[int]:
 
 
 def _ray_session(num_cpus: Optional[int]):
+    """Own the Ray session. Honors RAY_ADDRESS so the same CLI is the
+    `ray job submit` driver on a multi-node cluster (the job runtime sets
+    RAY_ADDRESS to the cluster GCS; attaching ignores num_cpus — that is a
+    local-mode knob only) and runs standalone otherwise."""
+    import os as _os
+
     import ray
 
-    kwargs = dict(address="local", include_dashboard=False,
-                  ignore_reinit_error=True, logging_level="ERROR")
-    if num_cpus:
-        kwargs["num_cpus"] = num_cpus
+    address = _os.environ.get("RAY_ADDRESS", "local")
+    kwargs = dict(address=address, ignore_reinit_error=True, logging_level="ERROR")
+    if address == "local":  # instance-start knobs are invalid on attach
+        kwargs["include_dashboard"] = False
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
     ray.init(**kwargs)
     from ray.data import DataContext
 
