@@ -81,6 +81,20 @@ def _parity_rows(parity):
     return fn
 
 
+def _vec_parity(parity):
+    """vec_id-parity batch filter (the embeddings-table analog of
+    _parity_rows)."""
+    def fn(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(
+            pc.bit_wise_and(t.column("vec_id"), pa.scalar(1, pa.int64())),
+            pa.scalar(parity, pa.int64())))
+
+    return fn
+
+
 def _parity_hashes(parity):
     """Hash-only projection of the given parity's docs (the persisted-
     baseline stand-in for the incremental-dedup stress)."""
@@ -228,6 +242,12 @@ def main():
                 dedup.minhash_signatures(
                     docs().map_batches(_parity_rows(0), batch_format="pyarrow")),
                 threshold=0.5,
+            ).count(),
+            "incremental_embedding": lambda: dedup.incremental_embedding_dedup(
+                rd("embeddings", ["vec_id", "embedding"]).map_batches(
+                    _vec_parity(1), batch_format="pyarrow"),
+                rd("embeddings", ["vec_id", "embedding"]).map_batches(
+                    _vec_parity(0), batch_format="pyarrow"),
             ).count(),
             "embedding_pairs_lsh": lambda: dedup.embedding_dup_pairs(
                 rd("embeddings", ["vec_id", "embedding"]),
