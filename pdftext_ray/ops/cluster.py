@@ -388,7 +388,13 @@ def incremental_connected_components(
     if plan not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"plan must be auto|broadcast|shuffle, got {plan!r}")
 
-    id_type = new_pairs.schema().base_schema.field(a_col).type
+    pair_schema = new_pairs.schema()
+    if pair_schema is not None:
+        id_type = pair_schema.base_schema.field(a_col).type
+    else:
+        # a zero-block pairs dataset carries no schema — type the (empty)
+        # delta from the baseline label table instead
+        id_type = baseline_labels.schema().base_schema.field(node_col).type
     n_parts = default_num_partitions()
     sentinel = pa.scalar(0, id_type) if pa.types.is_integer(id_type) else pa.scalar("", id_type)
 
