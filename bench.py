@@ -260,6 +260,25 @@ def run_bench() -> dict:
         docs_ds().map_batches(_doc_parity(1), batch_format="pyarrow"),
         _base_sigs, threshold=0.5).count())
 
+    def q_daily_increment():
+        # the composed daily-crawl loop: day-1 artifacts (even docs) are the
+        # persisted state, prepared UNTIMED; the timed region is one full
+        # day-2 increment — exact dedup + minhash verdicts + cluster
+        # stability + artifact roll-forward (pipelines/increment.py)
+        import shutil
+
+        from pdftext_ray.pipelines import increment as _inc
+
+        art = "/tmp/pdftext_ray_bench_increment"
+        shutil.rmtree(art, ignore_errors=True)
+        _inc.run_increment(
+            docs_ds().map_batches(_doc_parity(0), batch_format="pyarrow"), art)
+        day2 = docs_ds().map_batches(_doc_parity(1), batch_format="pyarrow").materialize()
+        timed("daily_increment", lambda: _inc.run_increment(day2, art)["new_docs"])
+
+    if want("daily_increment"):
+        q_daily_increment()
+
     def _vec_parity(parity):
         def fn(t):
             import pyarrow as pa

@@ -358,9 +358,14 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     plan: str = "auto",
     broadcast_threshold: int = 2_000_000,
+    new_sigs: Optional[ray.data.Dataset] = None,
 ) -> ray.data.Dataset:
     """Near-dup verdicts for a crawl increment against a persisted MinHash
     signature baseline — the scale path of :func:`incremental_exact_dedup`.
+    Pass ``new_sigs`` (a :func:`minhash_signatures` table for exactly the
+    increment docs, same num_perm/seed) to skip the in-op signature pass —
+    the caller that also persists the increment's signatures (the daily
+    roll-forward) computes them ONCE and shares.
 
     Output: one row per FLAGGED new doc — (doc_id, dup_of, est_jaccard)
     where ``dup_of`` is the best-matching EARLIER doc (any baseline doc, or
@@ -442,9 +447,11 @@ def incremental_minhash_dedup(
     if plan not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"plan must be auto|broadcast|shuffle, got {plan!r}")
 
-    new_sigs = minhash_signatures(new_ds, num_perm, ngram, seed, id_col, text_col).map_batches(
-        mark(1), batch_format="pyarrow"
+    _new_sig_table = (
+        new_sigs if new_sigs is not None
+        else minhash_signatures(new_ds, num_perm, ngram, seed, id_col, text_col)
     )
+    new_sigs = _new_sig_table.map_batches(mark(1), batch_format="pyarrow")
 
     use_broadcast = False
     if plan != "shuffle":

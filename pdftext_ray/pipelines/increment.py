@@ -38,7 +38,13 @@ def _read_or_empty(path: str, schema: pa.Schema, columns=None) -> ray.data.Datas
     from pdftext_ray import storage
 
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-        return storage.read_table(path, columns=columns)
+        # rows-aware split (SURVEY §12): the broadcast-plan artifact scans
+        # are LIGHT vectorized probes, and Ray's default splitter turns a
+        # small artifact into dozens of tiny blocks whose count then
+        # multiplies every downstream shuffle's partition fan-out (measured
+        # 14.1 s vs 1.8 s for the same 2.5k-sig verdict run at 66 vs 1
+        # baseline blocks)
+        return storage.read_table(path, columns=columns, rows_per_block=65536)
     return ray.data.from_arrow(schema.empty_table())
 
 
@@ -109,12 +115,16 @@ def run_increment(
     # -- 2. minhash --------------------------------------------------------
     sig_schema = pa.schema([(id_col, id_type), ("minhash", pa.list_(pa.int64()))])
     baseline_sigs = _read_or_empty(sigs_dir, sig_schema).materialize()
+    # signatures computed ONCE: shared by the verdict op (new_sigs
+    # pass-through) and the artifact roll-forward
+    new_sigs = dedup.minhash_signatures(
+        new_docs, num_perm=num_perm, id_col=id_col, text_col=text_col
+    ).materialize()
     verdicts = dedup.incremental_minhash_dedup(
         new_docs, baseline_sigs, num_perm=num_perm, bands=bands,
         threshold=threshold, id_col=id_col, text_col=text_col, plan=plan,
+        new_sigs=new_sigs,
     ).materialize()
-    new_sigs = dedup.minhash_signatures(
-        new_docs, num_perm=num_perm, id_col=id_col, text_col=text_col)
     sigs_rows = _write_atomic(baseline_sigs.union(new_sigs), sigs_dir)
 
     # -- 3. cluster stability ----------------------------------------------

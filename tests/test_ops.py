@@ -1018,3 +1018,18 @@ def test_incremental_minhash_plans_agree_on_mixed_corpus():
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
     b, s = run("broadcast"), run("shuffle")
     assert b.equals(s) and len(b) >= 7
+
+
+def test_incremental_minhash_new_sigs_passthrough():
+    # the daily roll-forward computes increment signatures once and shares
+    # them — results must equal the in-op signature pass exactly
+    base_docs = ray.data.from_arrow(pa.table({"doc_id": [0], "text": [BASE]}))
+    new_docs = ray.data.from_arrow(pa.table({
+        "doc_id": [7, 9], "text": [BASE, BASE.replace("morning", "evening")]}))
+    sigs = dedup.minhash_signatures(base_docs)
+    pre = dedup.minhash_signatures(new_docs).materialize()
+    a = (dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup.incremental_minhash_dedup(new_docs, sigs, threshold=0.3, new_sigs=pre)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b) and len(a) == 2
