@@ -105,3 +105,23 @@ def test_empty_increment_is_noop(tmp_path):
     assert m["new_docs"] == 0 and m["flagged"] == 0
     after = ray.data.read_parquet(f"{art}/hashes").to_pandas()
     assert before.equals(after)
+
+
+def test_string_ids_roll_forward(tmp_path):
+    # the pipeline is id-type generic end to end (string doc ids through
+    # hashing, signatures, verdicts, labels); "earlier" = lexicographic min
+    art = str(tmp_path / "a")
+    t = "some shared body of text repeated across crawl days verbatim"
+
+    def sdocs(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.string()),
+            "text": pa.array([s for _, s in rows], pa.string()),
+        }))
+
+    m1 = increment.run_increment(sdocs([("d01", t)]), art, threshold=0.5)
+    m2 = increment.run_increment(sdocs([("d02", t), ("d03", "novel one")]), art, threshold=0.5)
+    assert m1["novel_hashes"] == 1 and m2["novel_hashes"] == 1
+    assert m2["flagged"] == 1 and m2["assigned"] == 2  # d01 first-entry + d02
+    labels = ray.data.read_parquet(f"{art}/labels").to_pandas()
+    assert dict(zip(labels["doc_id"], labels["cluster_id"])) == {"d01": "d01", "d02": "d01"}
