@@ -90,7 +90,10 @@ def run_increment(
     Returns {"new_docs", "novel_hashes", "flagged", "assigned", "remapped",
     "hashes_rows", "sigs_rows", "labels_rows"} — the per-increment metrics a
     daily run logs. Ids must be globally unique and monotone across days
-    (the incremental ops' shared contract)."""
+    (the incremental ops' shared contract). Increments are sequential by
+    design: artifact writes are atomic against readers and crashes
+    (tmp→rename), not against a CONCURRENT second increment — run one
+    increment at a time per artifact_dir (the daily-loop shape)."""
     from pdftext_ray.ops import cluster, dedup
 
     id_type = new_docs.schema().base_schema.field(id_col).type

@@ -90,9 +90,13 @@ def test_three_rolling_days(tmp_path):
     assert set(ray.data.read_parquet(f"{art2}/hashes").to_pandas()["text_hash"]) == want_hashes
 
 
-def test_bootstrap_empty_artifacts(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("plan", ["auto", "shuffle"])
+def test_bootstrap_empty_artifacts(tmp_path, plan):
     art = str(tmp_path / "a")
-    m = increment.run_increment(_docs([(5, "only doc")]), art, threshold=0.5)
+    m = increment.run_increment(_docs([(5, "only doc")]), art, threshold=0.5, plan=plan)
     assert m["new_docs"] == 1 and m["novel_hashes"] == 1 and m["flagged"] == 0
     assert m["labels_rows"] == 0 and m["sigs_rows"] == 1 and m["hashes_rows"] == 1
 
